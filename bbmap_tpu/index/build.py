@@ -1,0 +1,150 @@
+"""Dense k-mer index: CSR (starts, sites) arrays over the packed genome.
+
+The reference's Block layout (reference: align2/Block.java:15, int[] starts
+of size 4^k+1 + int[] sites) is already the ideal HBM layout, so we keep it:
+``starts[key] .. starts[key+1]`` delimits the sorted site list of a k-mer.
+Unlike the reference (per-block chrom<<SHIFT|site packing,
+align2/BBIndex.java:3038), sites here are flat positions into the single
+concatenated genome code array; chrom/scaffold translation happens on host
+via the genome offsets table. Build is a radix histogram + exclusive scan +
+stable sort (reference: align2/IndexMaker4.java:100-240 count/prefix/fill
+passes, collapsed into numpy/XLA primitives).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import numpy as np
+
+from ..core.bases import N_CODE
+from ..core.genome import Genome
+
+
+@dataclass
+class KmerIndex:
+    k: int
+    starts: np.ndarray       # int64 [4^k + 1]
+    sites: np.ndarray        # int32 [n_sites] flat genome positions
+    genome_codes: np.ndarray  # uint8 packed genome (0..3, 4=N)
+    chrom_offsets: np.ndarray  # int64 [n_chroms + 1]
+    counts_canonical: Optional[np.ndarray] = None  # int32 [4^k], key+rc hits
+    max_usable_length: int = 1 << 30  # list-length exclusion threshold
+
+    @property
+    def n_keys(self) -> int:
+        return 4 ** self.k
+
+    def list_length(self, key: int) -> int:
+        return int(self.starts[key + 1] - self.starts[key])
+
+    def get_sites(self, key: int) -> np.ndarray:
+        return self.sites[self.starts[key]:self.starts[key + 1]]
+
+
+def rolling_keys(codes: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
+    """All k-mer keys over a code array (big-endian 2-bit packing, matching
+    reference ChromosomeArray.toNumber, dna/ChromosomeArray.java:297-307).
+    Returns (keys int64 [n-k+1], valid bool)."""
+    n = len(codes)
+    if n < k:
+        return np.zeros(0, np.int64), np.zeros(0, bool)
+    m = n - k + 1
+    keys = np.zeros(m, np.int64)
+    invalid = np.zeros(m, bool)
+    c = codes.astype(np.int64)
+    for j in range(k):
+        col = c[j:m + j]
+        keys = (keys << 2) | (col & 3)
+        invalid |= col >= N_CODE
+    return keys, ~invalid
+
+
+def reverse_complement_key(keys: np.ndarray, k: int) -> np.ndarray:
+    """rc of 2-bit packed keys (reference:
+    dna/AminoAcid.reverseComplementBinaryFast)."""
+    keys = np.asarray(keys, np.int64)
+    out = np.zeros_like(keys)
+    x = ~keys  # complement each 2-bit base (A<->T, C<->G is bitwise not)
+    for _ in range(k):
+        out = (out << 2) | (x & 3)
+        x >>= 2
+    return out & ((1 << (2 * k)) - 1)
+
+
+def build_index(genome: Genome, k: int = 13) -> KmerIndex:
+    """Count -> prefix-sum -> stable-sort scatter
+    (reference: align2/IndexMaker4.java:155-240)."""
+    codes, offsets = genome.packed_codes()
+    keys, valid = rolling_keys(codes, k)
+    pos = np.nonzero(valid)[0]
+    vkeys = keys[valid]
+    n_keys = 4 ** k
+    counts = np.bincount(vkeys, minlength=n_keys)
+    starts = np.zeros(n_keys + 1, np.int64)
+    np.cumsum(counts, out=starts[1:])
+    order = np.argsort(vkeys, kind="stable")
+    sites = pos[order].astype(np.int32)
+    return KmerIndex(k=k, starts=starts, sites=sites, genome_codes=codes,
+                     chrom_offsets=offsets)
+
+
+def analyze_index(index: KmerIndex,
+                  fraction_to_exclude: float = 0.03) -> None:
+    """Frequency analysis: canonical (key + rc) list lengths -> histogram ->
+    exclusion threshold (reference: align2/BBIndex.java:101-191
+    analyzeIndex). Over-long lists are skipped at search time with staged
+    re-admission (reference: BBIndex.find:421-440)."""
+    lengths = np.diff(index.starts)
+    rc = reverse_complement_key(np.arange(index.n_keys, dtype=np.int64),
+                                index.k)
+    canonical = (lengths + lengths[rc]).astype(np.int64)
+    index.counts_canonical = canonical.astype(np.int32)
+    if fraction_to_exclude <= 0:
+        index.max_usable_length = 1 << 30
+        return
+    nz = canonical[canonical > 0]
+    if len(nz) == 0:
+        index.max_usable_length = 1 << 30
+        return
+    # length histogram with 1000 quantiles (reference: :172)
+    q = np.quantile(nz, 1.0 - fraction_to_exclude, method="lower")
+    index.max_usable_length = max(int(q), 1)
+
+
+def set_fraction_to_exclude(genome_bases: int) -> float:
+    """Genome-size-scaled exclusion fraction
+    (reference: align2/BBMap.java:365-380 — larger genomes exclude a larger
+    share of the busiest k-mers)."""
+    g = genome_bases
+    if g < 3_000_000:
+        return 0.0
+    if g < 30_000_000:
+        return 0.01
+    if g < 100_000_000:
+        return 0.02
+    if g < 1_000_000_000:
+        return 0.03
+    return 0.05
+
+
+def save_index(index: KmerIndex, path: str) -> None:
+    np.savez_compressed(
+        path, k=index.k, starts=index.starts, sites=index.sites,
+        genome_codes=index.genome_codes, chrom_offsets=index.chrom_offsets,
+        counts_canonical=(index.counts_canonical
+                          if index.counts_canonical is not None
+                          else np.zeros(0, np.int32)),
+        max_usable_length=index.max_usable_length)
+
+
+def load_index(path: str) -> KmerIndex:
+    z = np.load(path)
+    cc = z["counts_canonical"]
+    return KmerIndex(
+        k=int(z["k"]), starts=z["starts"], sites=z["sites"],
+        genome_codes=z["genome_codes"], chrom_offsets=z["chrom_offsets"],
+        counts_canonical=cc if len(cc) else None,
+        max_usable_length=int(z["max_usable_length"]))

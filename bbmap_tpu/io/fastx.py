@@ -1,0 +1,190 @@
+"""FASTA/FASTQ codecs.
+
+Host-side string handling (design stance: host does strings, device does
+math). Replaces the reference's stream-layer format decoders
+(reference: stream/FastaReadInputStream.java:23, stream/FastqReadInputStream,
+fileIO/ReadWrite.java) with buffered Python/numpy codecs; compression is
+handled with the gzip/bz2 modules instead of pigz subprocesses.
+"""
+
+from __future__ import annotations
+
+import bz2
+import gzip
+import io
+import os
+import sys
+from dataclasses import dataclass, field
+from typing import IO, Iterator, List, Optional, Tuple
+
+import numpy as np
+
+ASCII_OFFSET = 33  # Sanger phred offset (reference: stream/FASTQ ASCII_OFFSET)
+
+
+def xopen(path: str, mode: str = "rt") -> IO:
+    """Open plain/gzip/bz2 by extension; '-'/'stdin'/'stdout' for stdio
+    (reference: fileIO/ReadWrite.java open-by-extension)."""
+    if path in ("-", "stdin") or path.startswith("stdin."):
+        return sys.stdin.buffer if "b" in mode else sys.stdin
+    if path in ("stdout",) or path.startswith("stdout."):
+        return sys.stdout.buffer if "b" in mode else sys.stdout
+    if path.endswith(".gz") or path.endswith(".gzip"):
+        return gzip.open(path, mode)
+    if path.endswith(".bz2"):
+        return bz2.open(path, mode)
+    return open(path, mode)
+
+
+def sniff_format(path: str, data: Optional[bytes] = None) -> str:
+    """Detect fasta/fastq/sam by extension, falling back to content
+    (reference: fileIO/FileFormat.java)."""
+    base = path
+    for ext in (".gz", ".gzip", ".bz2"):
+        if base.endswith(ext):
+            base = base[: -len(ext)]
+    ext = os.path.splitext(base)[1].lower()
+    if ext in (".fq", ".fastq"):
+        return "fastq"
+    if ext in (".fa", ".fasta", ".fna", ".ffn", ".frn", ".fas", ".ref"):
+        return "fasta"
+    if ext == ".sam":
+        return "sam"
+    if ext == ".bam":
+        return "bam"
+    if ext == ".scarf":
+        return "scarf"
+    if data:
+        c = data.lstrip()[:1]
+        if c == b">":
+            return "fasta"
+        if c == b"@":
+            return "fastq"
+    head = None
+    try:
+        with xopen(path, "rb") as fh:
+            head = fh.read(1)
+    except Exception:
+        pass
+    if head == b">":
+        return "fasta"
+    if head == b"@":
+        return "fastq"
+    return "unknown"
+
+
+@dataclass
+class SeqRecord:
+    """One sequence record; bases/quals as ASCII bytes (quality may be None
+    for fasta). Mirrors the essential fields of the reference's Read record
+    (reference: stream/Read.java)."""
+    id: str
+    bases: bytes
+    quality: Optional[bytes] = None
+    numeric_id: int = 0
+    # mate, flags etc. live in the batched representation (core/batch.py)
+
+
+def read_fastq(path: str) -> Iterator[SeqRecord]:
+    n = 0
+    with xopen(path, "rb") as fh:
+        while True:
+            h = fh.readline()
+            if not h:
+                return
+            h = h.strip()
+            if not h:
+                continue
+            if not h.startswith(b"@"):
+                raise ValueError(f"{path}: bad fastq header {h[:50]!r}")
+            seq = fh.readline().strip()
+            plus = fh.readline()
+            if not plus.startswith(b"+"):
+                raise ValueError(f"{path}: bad fastq separator")
+            qual = fh.readline().strip()
+            yield SeqRecord(h[1:].decode(), bytes(seq), bytes(qual), n)
+            n += 1
+
+
+def read_fasta(path: str, fake_quality: int = -1) -> Iterator[SeqRecord]:
+    n = 0
+    name = None
+    chunks: List[bytes] = []
+    with xopen(path, "rb") as fh:
+        for line in fh:
+            line = line.strip()
+            if not line:
+                continue
+            if line.startswith(b">"):
+                if name is not None:
+                    seq = b"".join(chunks)
+                    q = (bytes([fake_quality + ASCII_OFFSET]) * len(seq)
+                         if fake_quality >= 0 else None)
+                    yield SeqRecord(name, seq, q, n)
+                    n += 1
+                name = line[1:].decode()
+                chunks = []
+            else:
+                chunks.append(line)
+        if name is not None:
+            seq = b"".join(chunks)
+            q = (bytes([fake_quality + ASCII_OFFSET]) * len(seq)
+                 if fake_quality >= 0 else None)
+            yield SeqRecord(name, seq, q, n)
+
+
+def read_seqs(path: str, fake_quality: int = -1) -> Iterator[SeqRecord]:
+    fmt = sniff_format(path)
+    if fmt == "fastq":
+        return read_fastq(path)
+    if fmt == "fasta":
+        return read_fasta(path, fake_quality)
+    raise ValueError(f"unsupported input format for {path}: {fmt}")
+
+
+def write_fastq(path: str, records) -> None:
+    with xopen(path, "wb") as fh:
+        for r in records:
+            q = r.quality if r.quality is not None else b"I" * len(r.bases)
+            fh.write(b"@" + r.id.encode() + b"\n" + r.bases + b"\n+\n" + q
+                     + b"\n")
+
+
+def write_fasta(path: str, records, wrap: int = 70) -> None:
+    with xopen(path, "wb") as fh:
+        for r in records:
+            fh.write(b">" + r.id.encode() + b"\n")
+            if wrap and wrap > 0:
+                for i in range(0, len(r.bases), wrap):
+                    fh.write(r.bases[i:i + wrap] + b"\n")
+            else:
+                fh.write(r.bases + b"\n")
+
+
+class PairedReader:
+    """Iterate read pairs from two files or one interleaved file
+    (reference: stream/ConcurrentReadInputStream.getReadInputStream paired
+    handling)."""
+
+    def __init__(self, in1: str, in2: Optional[str] = None,
+                 interleaved: bool = False):
+        self.in1, self.in2, self.interleaved = in1, in2, interleaved
+
+    def __iter__(self) -> Iterator[Tuple[SeqRecord, Optional[SeqRecord]]]:
+        if self.in2:
+            it1, it2 = read_seqs(self.in1), read_seqs(self.in2)
+            for r1 in it1:
+                r2 = next(it2, None)
+                if r2 is None:
+                    raise ValueError("in2 ended before in1")
+                yield r1, r2
+            if next(it2, None) is not None:
+                raise ValueError("in1 ended before in2")
+        elif self.interleaved:
+            it = read_seqs(self.in1)
+            for r1 in it:
+                r2 = next(it, None)
+                yield r1, r2
+        else:
+            for r1 in read_seqs(self.in1):
+                yield r1, None
