@@ -1,0 +1,314 @@
+"""SAM emission: match-string -> CIGAR, MAPQ model, flags, tags, header.
+
+Host-side serialization of device alignment results. Semantics mirror the
+reference SAM layer exactly, since the SAM text defines output equivalence:
+
+- CIGAR 1.3 (M) vs 1.4 (=/X) selected by VERSION
+  (reference: stream/SamLine.java:600-760, stream/SamHeader.java:28)
+- POS from scaffold-relative start + leading clip adjustment
+  (reference: stream/SamLine.java:171-260)
+- MAPQ model (reference: stream/SamLine.java:1703-1721)
+- NM/AM tags on by default, XT:A:R for ambiguous
+  (reference: stream/SamLine.java:1481-1560, 2400-2422)
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..core.bases import COMP_ASCII
+from ..core.genome import Genome
+
+VERSION = 1.4
+INTRON_LIMIT = 2 ** 31 - 1
+SOFT_CLIP = True
+MAKE_NM_TAG = True
+MAKE_AM_TAG = True
+PENALIZE_AMBIG = True
+
+BBMAP_VERSION_STRING = "36.19"  # tool-compatibility version the CLI reports
+
+
+def to_mapq(score: int, length: int, mapped: bool, ambig: bool) -> int:
+    """reference: stream/SamLine.java:1709-1721."""
+    if not mapped or length < 1:
+        return 0
+    if ambig and PENALIZE_AMBIG:
+        adjusted = (score * 3.0) / (100.0 * length)
+        return max(1, round_half_up(adjusted))
+    score2 = (score - length * 40) * 1.6
+    mx = 1.5 * math.log2(length) + 36
+    adjusted = (score2 * mx) / (100.0 * length)
+    return max(4, round_half_up(adjusted))
+
+
+def round_half_up(x: float) -> int:
+    """Java Math.round: floor(x + 0.5)."""
+    return int(math.floor(x + 0.5))
+
+
+def match_to_cigar(match: bytes, read_start: int, read_stop: int,
+                   reflen: int, version: float = VERSION) -> str:
+    """Long-form match string -> CIGAR
+    (reference: stream/SamLine.toCigar13:600 / toCigar14:679).
+    read_start = scaffold-relative alignment start (may be negative);
+    reflen = scaffold length. Out-of-scaffold positions soft-clip."""
+    if not match:
+        return "*"
+    ops: List[Tuple[int, str]] = []
+    count = 0
+    last_mode = "="
+    mode = "="
+    refloc = read_start
+    v14 = version > 1.3
+
+    def emit(cnt: int, m: str):
+        if cnt > 0:
+            if m == "D" and cnt > INTRON_LIMIT:
+                ops.append((cnt, "N"))
+            else:
+                ops.append((cnt, m))
+
+    for m in match:
+        ch = chr(m)
+        sfd = False
+        if SOFT_CLIP and (refloc < 0 or refloc >= reflen):
+            mode = "S"
+            if ch != "I":
+                refloc += 1
+            if ch == "D":
+                sfd = True
+        elif v14:
+            if ch in "ms":
+                mode = "="
+                refloc += 1
+            elif ch in "SNB":
+                mode = "X"
+                refloc += 1
+            elif ch in "IXY":
+                mode = "I"
+            elif ch == "D":
+                mode = "D"
+                refloc += 1
+            elif ch == "C":
+                mode = "S"
+                refloc += 1
+            else:
+                raise ValueError(f"bad match symbol {ch!r}")
+        else:
+            if ch in "msSNB":
+                mode = "M"
+                refloc += 1
+            elif ch in "IXY":
+                mode = "I"
+            elif ch == "D":
+                mode = "D"
+                refloc += 1
+            elif ch == "C":
+                mode = "S"
+                refloc += 1
+            else:
+                raise ValueError(f"bad match symbol {ch!r}")
+        if mode != last_mode:
+            emit(count, last_mode)
+            count = 0
+            last_mode = mode
+        count += 1
+        if sfd:
+            count -= 1
+    emit(count, mode)
+    return "".join(f"{c}{m}" for c, m in ops) or "*"
+
+
+def count_leading_clip(match: bytes) -> int:
+    """reference: stream/SamLine.countLeadingClip (long-form only here)."""
+    n = 0
+    for m in match:
+        if m == ord("C"):
+            n += 1
+        else:
+            break
+    return n
+
+
+def count_trailing_clip(match: bytes) -> int:
+    n = 0
+    for m in reversed(match):
+        if m == ord("C"):
+            n += 1
+        else:
+            break
+    return n
+
+
+def count_leading_indels(a: int, match: Optional[bytes]) -> int:
+    """Indels in the region that hangs off the scaffold start
+    (reference: stream/SamLine.countLeadingIndels). Counts D minus I among
+    match symbols while refloc < 0."""
+    if match is None or a >= 0:
+        return 0
+    dels = inss = 0
+    refloc = a
+    for m in match:
+        if refloc >= 0:
+            break
+        ch = chr(m)
+        if ch == "D":
+            dels += 1
+            refloc += 1
+        elif ch in "IXY":
+            inss += 1
+        else:
+            refloc += 1
+    return dels - inss
+
+
+def count_trailing_indels(b: int, scaflen: int, match: Optional[bytes]) -> int:
+    if match is None or b < scaflen:
+        return 0
+    dels = inss = 0
+    refloc = b
+    for m in reversed(match):
+        if refloc < scaflen:
+            break
+        ch = chr(m)
+        if ch == "D":
+            dels += 1
+            refloc -= 1
+        elif ch in "IXY":
+            inss += 1
+        else:
+            refloc -= 1
+    return dels - inss
+
+
+def calc_nm(match: bytes, cigar: str, read_len: int) -> int:
+    """NM over the unclipped region (reference: stream/SamLine.java:1515-1540).
+    N symbols count as mismatches; deletions longer than INTRON_LIMIT don't
+    count."""
+    leftclip = _cigar_left_clip(cigar)
+    rightclip = _cigar_right_clip(cigar)
+    frm, to = leftclip, read_len - rightclip
+    nm = 0
+    dels = 0
+    cpos = 0
+    for m in match:
+        ch = chr(m)
+        if frm <= cpos < to:
+            if ch in "ISNXY":
+                nm += 1
+            if ch == "D":
+                dels += 1
+            else:
+                if dels <= INTRON_LIMIT:
+                    nm += dels
+                dels = 0
+        if ch != "D":
+            cpos += 1
+    if dels <= INTRON_LIMIT:
+        nm += dels
+    return nm
+
+
+def _cigar_left_clip(cigar: str) -> int:
+    num = ""
+    for ch in cigar:
+        if ch.isdigit():
+            num += ch
+        else:
+            return int(num) if ch == "S" else 0
+    return 0
+
+
+def _cigar_right_clip(cigar: str) -> int:
+    if not cigar.endswith("S"):
+        return 0
+    i = len(cigar) - 2
+    num = ""
+    while i >= 0 and cigar[i].isdigit():
+        num = cigar[i] + num
+        i -= 1
+    return int(num) if num else 0
+
+
+def make_flag(mapped1: bool, mapped2: Optional[bool], strand1: int,
+              strand2: Optional[int], paired_input: bool, fragnum: int,
+              proper: bool, secondary: bool = False,
+              discarded: bool = False) -> int:
+    """reference: stream/SamLine.makeFlag:2134-2152."""
+    flag = 0
+    if paired_input:
+        flag |= 0x1
+        if proper:
+            flag |= 0x2
+        if fragnum == 0:
+            flag |= 0x40
+        else:
+            flag |= 0x80
+    if not mapped1:
+        flag |= 0x4
+    if paired_input and not mapped2:
+        flag |= 0x8
+    if strand1 == 1:
+        flag |= 0x10
+    if paired_input and strand2 == 1:
+        flag |= 0x20
+    if secondary:
+        flag |= 0x100
+    if discarded:
+        flag |= 0x200
+    return flag
+
+
+def sam_header(genome: Genome, sort_scaffolds: bool = False) -> List[str]:
+    """reference: stream/SamHeader.java header0/header1/header2."""
+    lines = [f"@HD\tVN:{'1.3' if VERSION < 1.4 else '1.4'}\tSO:unsorted"]
+    scafs = genome.scaffolds
+    if sort_scaffolds:
+        scafs = sorted(scafs, key=lambda s: s.name)
+    for s in scafs:
+        # full header text is kept verbatim (reference: SamHeader
+        # appendScafName — no whitespace trimming)
+        lines.append(f"@SQ\tSN:{s.name}\tLN:{s.length}")
+    lines.append(f"@PG\tID:BBMap\tPN:BBMap\tVN:{BBMAP_VERSION_STRING}")
+    return lines
+
+
+def revcomp_bytes(b: bytes) -> bytes:
+    return bytes(COMP_ASCII[np.frombuffer(b, np.uint8)][::-1])
+
+
+@dataclass
+class SamRecord:
+    qname: str
+    flag: int
+    rname: str
+    pos: int
+    mapq: int
+    cigar: str
+    rnext: str
+    pnext: int
+    tlen: int
+    seq: bytes
+    qual: Optional[bytes]
+    tags: List[str] = field(default_factory=list)
+
+    def to_line(self) -> str:
+        seq = self.seq
+        qual = self.qual
+        if (self.flag & 0x4) == 0 and (self.flag & 0x10) != 0:
+            seq = revcomp_bytes(seq)
+            qual = qual[::-1] if qual is not None else None
+        fields = [
+            self.qname, str(self.flag), self.rname, str(self.pos),
+            str(self.mapq), self.cigar, self.rnext, str(self.pnext),
+            str(self.tlen), seq.decode(),
+            qual.decode() if qual is not None else "*",
+        ]
+        if self.tags:
+            fields.extend(self.tags)
+        return "\t".join(fields)

@@ -1,0 +1,117 @@
+"""bbmap: k-mer-indexed banded-affine-DP read aligner (CLI front-end).
+
+reference: align2/BBMap.java:24 + sh/bbmap.sh. Flag-for-flag compatible for
+the core mapping flags; TPU-native execution under the hood.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+from typing import List, Optional
+
+import numpy as np
+
+from ..align.pipeline import BBMapAligner, emit_sam
+from ..core.batch import ReadBatch, batched
+from ..core.genome import build_genome
+from ..index.build import (analyze_index, build_index, genome_hash,
+                           load_index, save_index, set_fraction_to_exclude)
+from ..io import fastx
+from ..io import sam as samio
+from ..utils.args import Args
+
+
+def main(argv: List[str]) -> int:
+    args = Args.parse(argv)
+    ref = args.get("ref")
+    in1 = args.get("in", "in1") or (args.positional[0]
+                                    if args.positional else None)
+    in2 = args.get("in2")
+    out = args.get("out", "outm")
+    k = args.get_int("k", "keylen", default=13)
+    min_ratio = args.get_float("minratio", default=0.56)
+    minid = args.get("minid", "minidentity")
+    if minid is not None:
+        from ..core.constants import min_id_to_min_ratio
+        min_ratio = min_id_to_min_ratio(float(minid))
+    nodisk = args.get_bool("nodisk", default=False)
+    ambig = args.get("ambig", "ambiguous", default="best")
+    maxindel = args.get_int("maxindel", default=16000)
+    batch_size = args.get_int("batchsize", default=4096)
+    interleaved = args.get_bool("interleaved", "int", default=False)
+
+    if ref is None or in1 is None:
+        print("Usage: bbmap ref=<fasta> in=<reads> [in2=] out=<sam>",
+              file=sys.stderr)
+        return 1
+
+    t0 = time.time()
+    genome = build_genome(ref)
+    sys.stderr.write(f"Loaded Reference:\t{time.time()-t0:.3f} seconds.\n")
+
+    t1 = time.time()
+    index = None
+    if not nodisk:
+        cache_dir = os.path.join(os.path.dirname(os.path.abspath(ref)),
+                                 "ref_tpu")
+        os.makedirs(cache_dir, exist_ok=True)
+        cache = os.path.join(cache_dir,
+                             f"index_{genome_hash(ref, k)}.npz")
+        if os.path.exists(cache):
+            index = load_index(cache)
+    if index is None:
+        index = build_index(genome, k)
+        analyze_index(index, set_fraction_to_exclude(genome.total_bases()))
+        if not nodisk:
+            save_index(index, cache)
+    sys.stderr.write(f"Generated Index:\t{time.time()-t1:.3f} seconds.\n")
+
+    aligner = BBMapAligner(genome, index, min_ratio=min_ratio,
+                           ambig_mode=ambig,
+                           chain_dist=min(400, maxindel) if maxindel > 0
+                           else 0)
+
+    out_fh = fastx.xopen(out, "wt") if out else None
+    if out_fh is not None and (out is None or out.endswith(".sam")
+                               or True):
+        for line in samio.sam_header(genome):
+            out_fh.write(line + "\n")
+
+    paired = in2 is not None or interleaved
+    n_reads = 0
+    n_mapped = 0
+    t2 = time.time()
+    reader = fastx.PairedReader(in1, in2, interleaved)
+    for chunk in batched(iter(reader), batch_size):
+        recs1 = [p[0] for p in chunk]
+        b1 = ReadBatch.from_records(recs1)
+        res1 = aligner.map_batch(b1)
+        if paired:
+            recs2 = [p[1] for p in chunk]
+            b2 = ReadBatch.from_records(recs2)
+            res2 = aligner.map_batch(b2)
+            lines = emit_sam(genome, b1, res1, res2, b2)
+            n_reads += 2 * len(recs1)
+            n_mapped += sum(r.mapped for r in res1)
+            n_mapped += sum(r.mapped for r in res2)
+        else:
+            lines = emit_sam(genome, b1, res1)
+            n_reads += len(recs1)
+            n_mapped += sum(r.mapped for r in res1)
+        if out_fh is not None:
+            out_fh.write("\n".join(lines) + "\n")
+    if out_fh is not None and out_fh not in (sys.stdout,):
+        out_fh.close()
+    dt = time.time() - t2
+    sys.stderr.write(
+        f"Mapped:\t{n_reads} reads\t{n_mapped} mapped "
+        f"({100.0*n_mapped/max(1,n_reads):.3f}%)\n"
+        f"Time:\t{dt:.3f} seconds.\t"
+        f"Reads/sec:\t{n_reads/max(dt,1e-9):.0f}\n")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))

@@ -1,0 +1,144 @@
+"""End-to-end mapping tests: synthetic reads from phiX through the full
+pipeline (SURVEY.md §4: synthetic-truth grading is the reference's test
+harness)."""
+
+import numpy as np
+import pytest
+
+from bbmap_tpu.align.pipeline import BBMapAligner, emit_sam
+from bbmap_tpu.core import constants as K
+from bbmap_tpu.core.batch import ReadBatch
+from bbmap_tpu.core.bases import COMP_ASCII
+from bbmap_tpu.core.genome import START_PADDING, build_genome
+from bbmap_tpu.index.build import analyze_index, build_index
+from bbmap_tpu.io.fastx import SeqRecord
+
+PHIX = "/root/reference/resources/phix174_ill.ref.fa.gz"
+
+
+@pytest.fixture(scope="module")
+def aligner():
+    g = build_genome(PHIX)
+    idx = build_index(g, 13)
+    analyze_index(idx, 0.0)
+    return BBMapAligner(g, idx)
+
+
+def _mkread(genome, start, length, strand=0, subs=(), rid="r"):
+    arr = genome.chroms[0][START_PADDING + start:
+                           START_PADDING + start + length].copy()
+    for pos in subs:
+        b = arr[pos]
+        arr[pos] = {ord("A"): ord("C"), ord("C"): ord("G"),
+                    ord("G"): ord("T"), ord("T"): ord("A")}[b]
+    if strand == 1:
+        arr = COMP_ASCII[arr][::-1]
+    return SeqRecord(rid, bytes(arr), b"I" * length)
+
+
+def test_exact_reads_map(aligner):
+    g = aligner.genome
+    recs = [_mkread(g, s, 100, rid=f"r{s}") for s in (0, 500, 1000, 3000)]
+    batch = ReadBatch.from_records(recs)
+    res = aligner.map_batch(batch)
+    for r, start in zip(res, (0, 500, 1000, 3000)):
+        assert r.mapped
+        assert r.strand == 0
+        assert r.start - START_PADDING == start
+        assert r.perfect
+        assert r.score == K.max_quality(100)
+        assert r.match == b"m" * 100
+
+
+def test_minus_strand(aligner):
+    g = aligner.genome
+    recs = [_mkread(g, 700, 100, strand=1)]
+    res = aligner.map_batch(ReadBatch.from_records(recs))
+    assert res[0].mapped and res[0].strand == 1
+    assert res[0].start - START_PADDING == 700
+    assert res[0].perfect
+
+
+def test_substitutions(aligner):
+    g = aligner.genome
+    recs = [_mkread(g, 1200, 100, subs=(30, 60))]
+    res = aligner.map_batch(ReadBatch.from_records(recs))
+    r = res[0]
+    assert r.mapped and not r.perfect
+    assert r.start - START_PADDING == 1200
+    assert r.match.count(b"S") == 2
+    assert r.match.count(b"m") == 98
+
+
+def test_deletion(aligner):
+    g = aligner.genome
+    # read skips 3 ref bases in the middle
+    a = g.chroms[0][START_PADDING + 2000:START_PADDING + 2050]
+    b = g.chroms[0][START_PADDING + 2053:START_PADDING + 2103]
+    read = bytes(np.concatenate([a, b]))
+    res = aligner.map_batch(ReadBatch.from_records(
+        [SeqRecord("del", read, b"I" * 100)]))
+    r = res[0]
+    assert r.mapped
+    assert r.start - START_PADDING == 2000
+    assert b"DDD" in r.match
+    assert r.stop - r.start == 102  # consumes 103 ref bases
+
+
+def test_insertion(aligner):
+    g = aligner.genome
+    a = g.chroms[0][START_PADDING + 2500:START_PADDING + 2550]
+    b = g.chroms[0][START_PADDING + 2550:START_PADDING + 2598]
+    read = bytes(a) + b"AC" + bytes(b)
+    res = aligner.map_batch(ReadBatch.from_records(
+        [SeqRecord("ins", read, b"I" * 100)]))
+    r = res[0]
+    assert r.mapped
+    assert r.start - START_PADDING == 2500
+    assert r.match.count(b"I") == 2
+
+
+def test_garbage_unmapped(aligner):
+    rng = np.random.default_rng(3)
+    read = bytes(rng.choice(np.frombuffer(b"ACGT", np.uint8), 100))
+    res = aligner.map_batch(ReadBatch.from_records(
+        [SeqRecord("junk", read, b"I" * 100)]))
+    assert not res[0].mapped
+
+
+def test_sam_emission(aligner):
+    g = aligner.genome
+    recs = [_mkread(g, 100, 100, rid="plus"),
+            _mkread(g, 300, 100, strand=1, rid="minus")]
+    batch = ReadBatch.from_records(recs)
+    res = aligner.map_batch(batch)
+    lines = emit_sam(g, batch, res)
+    f1 = lines[0].split("\t")
+    assert f1[0] == "plus" and f1[1] == "0"
+    assert f1[3] == "101"
+    assert f1[5] == "100="
+    assert int(f1[4]) > 30
+    assert "NM:i:0" in lines[0]
+    f2 = lines[1].split("\t")
+    assert f2[1] == "16" and f2[3] == "301"
+    # minus-strand SEQ is the reverse complement = original genome fwd
+    fwd = bytes(g.chroms[0][START_PADDING + 300:START_PADDING + 400])
+    assert f2[9].encode() == fwd
+
+
+def test_sam_paired(aligner):
+    g = aligner.genome
+    r1 = [_mkread(g, 1000, 100, rid="p/1")]
+    r2 = [_mkread(g, 1200, 100, strand=1, rid="p/2")]
+    b1 = ReadBatch.from_records(r1)
+    b2 = ReadBatch.from_records(r2)
+    res1 = aligner.map_batch(b1)
+    res2 = aligner.map_batch(b2)
+    lines = emit_sam(g, b1, res1, res2, b2)
+    f1 = lines[0].split("\t")
+    f2 = lines[1].split("\t")
+    assert int(f1[1]) & 0x1 and int(f1[1]) & 0x2 and int(f1[1]) & 0x40
+    assert int(f2[1]) & 0x80 and int(f2[1]) & 0x10
+    assert f1[6] == "=" and f2[6] == "="
+    assert f1[0] == "p" and f2[0] == "p"
+    assert int(f1[8]) == 300 and int(f2[8]) == -300
