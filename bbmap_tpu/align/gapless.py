@@ -1,0 +1,95 @@
+"""Gapless (no-indel) scoring and match generation, vectorized over a batch.
+
+Clone of the reference's scoreNoIndels / genMatchNoIndels semantics
+(reference: align2/MultiStateAligner11ts.java:1885-1975): run-length
+streak scoring where N positions contribute 0 points and do NOT interrupt
+the match/sub streak (mode and timeInMode persist across N runs).
+
+This is the reference's main DP-avoidance path: a site whose gapless score
+is >= maxImperfectScore cannot be beaten by any indel alignment, so the
+full DP is skipped (reference: align2/AbstractMapThread.java:1252).
+Vectorized here as run-length encoding over the N-filtered positions —
+one pass of numpy ops for an entire candidate batch.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+from ..core.constants import (POINTS_MATCH, POINTS_MATCH2, POINTS_NOCALL,
+                              POINTS_NOREF, POINTS_SUB_ARRAY)
+
+_N = ord("N")
+
+
+def score_no_indels_flat(reads: np.ndarray, lengths: np.ndarray,
+                         genome: np.ndarray,
+                         ref_starts: np.ndarray) -> np.ndarray:
+    """Score J gapless alignments.
+
+    reads: (J, Lmax) ASCII; lengths: (J,); genome: flat ASCII genome;
+    ref_starts: (J,) flat genome position aligned to read base 0.
+    Returns int32 scores. Positions outside the genome score POINTS_NOREF
+    (reference: :1902-1913)."""
+    J, Lmax = reads.shape
+    G = len(genome)
+    pos = ref_starts[:, None] + np.arange(Lmax)[None, :]
+    inb = (pos >= 0) & (pos < G)
+    refs = np.full((J, Lmax), _N, np.uint8)
+    refs[inb] = genome[pos[inb].astype(np.int64)]
+    valid = np.arange(Lmax)[None, :] < lengths[:, None]
+
+    c = reads
+    r = refs
+    is_match = (c == r) & (c != _N) & valid & inb
+    is_nocall = (c == _N) & valid
+    is_noref = (~is_match) & (~is_nocall) & (r == _N) & valid & inb
+    out_of_bounds = valid & ~inb
+    is_skip = is_nocall | is_noref | out_of_bounds
+    is_sub = valid & ~is_match & ~is_skip
+
+    # run-length scoring over the N-filtered subsequence of each row
+    flat_keep = (valid & ~is_skip)
+    kind = np.where(is_match, 0, 1)  # only meaningful where flat_keep
+
+    rows, cols = np.nonzero(flat_keep)
+    if len(rows) == 0:
+        return np.zeros(J, np.int32)
+    kinds = kind[rows, cols]
+    # run boundaries: row change or kind change
+    newrun = np.ones(len(rows), bool)
+    newrun[1:] = (rows[1:] != rows[:-1]) | (kinds[1:] != kinds[:-1])
+    run_id = np.cumsum(newrun) - 1
+    run_start = np.zeros(run_id[-1] + 1, np.int64)
+    run_start[run_id[newrun]] = np.nonzero(newrun)[0]
+    pos_in_run = np.arange(len(rows)) - run_start[run_id]
+
+    pts = np.where(
+        kinds == 0,
+        np.where(pos_in_run == 0, POINTS_MATCH, POINTS_MATCH2),
+        POINTS_SUB_ARRAY[np.minimum(pos_in_run + 1,
+                                    len(POINTS_SUB_ARRAY) - 1)])
+    scores = np.zeros(J, np.int64)
+    np.add.at(scores, rows, pts)
+    # NOCALL/NOREF points are 0 with default constants; kept for clarity
+    if POINTS_NOCALL:
+        scores += POINTS_NOCALL * is_nocall.sum(1)
+    if POINTS_NOREF:
+        scores += POINTS_NOREF * (is_noref.sum(1) + out_of_bounds.sum(1))
+    return scores.astype(np.int32)
+
+
+def gen_match_no_indels(read: np.ndarray, genome: np.ndarray,
+                        ref_start: int) -> bytes:
+    """reference: align2/MultiStateAligner11ts.genMatchNoIndels:1956-1972.
+    m/S/N per position; out-of-genome ref counts as N."""
+    L = len(read)
+    pos = ref_start + np.arange(L)
+    inb = (pos >= 0) & (pos < len(genome))
+    r = np.full(L, _N, np.uint8)
+    r[inb] = genome[pos[inb]]
+    out = np.where((read == _N) | (r == _N), ord("N"),
+                   np.where(read == r, ord("m"), ord("S"))).astype(np.uint8)
+    return bytes(out)

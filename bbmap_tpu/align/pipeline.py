@@ -97,13 +97,14 @@ class BBMapAligner:
                  min_ratio: float = MIN_RATIO,
                  max_candidates: int = 16,
                  chain_dist: int = 400,
-                 ambig_mode: str = "best"):
+                 ambig_mode: str = "best", maxindel: int = 16000):
         self.genome = genome
         self.index = index
         self.min_ratio = min_ratio
         self.max_candidates = max_candidates
         self.chain_dist = chain_dist
         self.ambig_mode = ambig_mode
+        self.maxindel = maxindel
         self.codes_ascii = self._genome_ascii()
         self.chrom_offsets = index.chrom_offsets
 
@@ -132,152 +133,201 @@ class BBMapAligner:
     def map_batch(self, batch: ReadBatch) -> List[MappedRead]:
         B = batch.size
         results = [MappedRead() for _ in range(B)]
-        k = self.index.k
-
-        # 1. seeding (host; device chain kernel is a later milestone)
-        cand_by_read: List[List[seed.Candidate]] = []
-        offs_cache: Dict[int, Optional[np.ndarray]] = {}
+        by_len: Dict[int, List[int]] = {}
         for i in range(B):
             L = int(batch.lengths[i])
-            if L < k:
-                cand_by_read.append([])
-                continue
-            if L not in offs_cache:
-                offs_cache[L] = seed.make_offsets(L, k)
-            offsets = offs_cache[L]
-            if offsets is None:
-                cand_by_read.append([])
-                continue
-            keys = seed.keys_at_offsets(batch.bases[i], offsets, k)
-            cand_by_read.append(seed.gather_candidates(
-                self.index, offsets, keys, L, i,
-                chain_dist=self.chain_dist,
-                max_candidates=self.max_candidates))
+            if L >= self.index.k:
+                by_len.setdefault(L, []).append(i)
+        for L, idxs in sorted(by_len.items()):
+            self._map_group(batch, L, np.asarray(idxs, np.int64), results)
+        return results
 
-        # 2. score all candidates with the wavefront DP, bucketed by (R, C)
-        rc_cache: Optional[np.ndarray] = None
-        jobs: List[Tuple[int, int, seed.Candidate, int, int]] = []
-        # (read_idx, cand_idx, cand, window_start, C)
-        for i, cands in enumerate(cand_by_read):
-            L = int(batch.lengths[i])
-            for ci, c in enumerate(cands):
-                pad = SLOW_ALIGN_PADDING
-                wstart = c.start - pad
-                wlen = (c.stop - c.start + 1) + 2 * pad
-                # round window length up within the R-bucket to limit
-                # compilation count
-                wlen = L + 2 * pad + _round_up(c.spread, 32)
-                jobs.append((i, ci, c, wstart, wlen))
+    def _map_group(self, batch: ReadBatch, L: int, idxs: np.ndarray,
+                   results: List[MappedRead]) -> None:
+        from ..core.bases import COMP_ASCII
+        from . import gapless
 
-        scores = self._run_score_jobs(batch, jobs)
-        jobs_by_read: Dict[int, List[Tuple[tuple, int]]] = {}
-        for j, job in enumerate(jobs):
-            jobs_by_read.setdefault(job[0], []).append((job, scores[j]))
+        sub = batch.bases[idxs][:, :L]
+        cs = seed.gather_candidates_batch(
+            self.index, sub, L, chain_dist=self.chain_dist,
+            max_candidates=self.max_candidates)
+        if cs is None or len(cs) == 0:
+            return
+        n = len(cs)
+        rc_sub = COMP_ASCII[sub][:, ::-1]
+        cand_reads = np.where(cs.strand[:, None] == 0,
+                              sub[cs.read_idx], rc_sub[cs.read_idx])
 
-        # 3. per-read selection with clearzone ambiguity
-        winners: List[Tuple[int, seed.Candidate, int, int, int]] = []
-        # (read_idx, cand, window_start, C, score)
-        for i in range(B):
-            L = int(batch.lengths[i])
-            my = jobs_by_read.get(i)
-            if not my:
-                continue
-            max_sw = K.max_quality(L)
-            min_score = int(max_sw * self.min_ratio)
-            # sort: score desc, then strand, then start (deterministic
-            # tie-break, reference SiteScore comparator semantics)
-            my.sort(key=lambda t: (-t[1], t[0][2].strand, t[0][2].start))
-            (ri, ci, cand, wstart, wlen), best = my[0]
+        # gapless fast path: sites whose no-indel score can't be beaten by
+        # any indel alignment skip the DP entirely
+        # (reference: align2/AbstractMapThread.java:1252)
+        g_scores = gapless.score_no_indels_flat(
+            cand_reads, np.full(n, L, np.int64), self.codes_ascii,
+            cs.best_diag)
+        max_imp = K.max_imperfect_score(L)
+        max_sw_q = K.max_quality(L)
+        slow = g_scores.astype(np.int64)
+        needs_dp = np.zeros(n, bool)
+        if self.maxindel > 0:
+            # DP only sites that could still win: single-vote chains with a
+            # poor gapless score are index noise the reference prunes by
+            # quickScore before slow alignment (reference:
+            # align2/BBIndex.java prescan/trimByGreedy, BBMapThread
+            # scoreSlow minMsaLimit cutoffs)
+            plausible = (cs.votes >= 2) | (
+                g_scores >= int(max_sw_q * self.min_ratio))
+            needs_dp = (g_scores < max_imp) & plausible
+        dp_jobs = np.nonzero(needs_dp)[0]
+        wstart = cs.start - SLOW_ALIGN_PADDING
+        wlen = np.full(n, L + 2 * SLOW_ALIGN_PADDING, np.int64) + \
+            _round_up_vec(cs.spread, 64)
+        if len(dp_jobs):
+            dp_scores = self._dp_score(cand_reads, wstart, wlen, dp_jobs, L)
+            slow = slow.copy()
+            slow[dp_jobs] = dp_scores
+
+        # per-read selection with clearzone ambiguity
+        max_sw = K.max_quality(L)
+        min_score = int(max_sw * self.min_ratio)
+        order = np.lexsort((cs.start, cs.strand, -slow, cs.read_idx))
+        r_of = cs.read_idx[order]
+        boundaries = np.ones(n, bool)
+        boundaries[1:] = r_of[1:] != r_of[:-1]
+        first_of = np.nonzero(boundaries)[0]
+        winners: List[Tuple[int, int, int, int, int, bool]] = []
+        # (global_read, cand_idx, wstart, wlen, score, used_dp)
+        for gi, a in enumerate(first_of):
+            b = first_of[gi + 1] if gi + 1 < len(first_of) else n
+            cand_ids = order[a:b]
+            best_j = int(cand_ids[0])
+            best = int(slow[best_j])
             if best < min_score:
                 continue
+            read_local = int(r_of[a])
+            read_global = int(idxs[read_local])
             perfect = best >= max_sw
             ambiguous = False
-            if len(my) > 1:
+            if b - a > 1:
                 cz = clearzone_for(best, max_sw, perfect)
-                second = my[1][1]
-                if best - second < cz:
+                if best - int(slow[cand_ids[1]]) < cz:
                     ambiguous = True
-            res = results[i]
-            res.score = int(best)
+            res = results[read_global]
+            res.score = best
             res.perfect = perfect
             res.ambiguous = ambiguous
-            res.n_sites = sum(1 for t in my if t[1] >= min_score)
+            res.n_sites = int((slow[cand_ids] >= min_score).sum())
             if ambiguous and self.ambig_mode == "toss":
                 continue
             res.mapped = True
-            res.strand = cand.strand
-            winners.append((i, cand, wstart, wlen, int(best)))
+            res.strand = int(cs.strand[best_j])
+            winners.append((read_global, best_j, int(wstart[best_j]),
+                            int(wlen[best_j]), best, bool(needs_dp[best_j])))
 
-        # 4. traceback for winners
-        self._traceback_winners(batch, winners, results)
-        return results
+        # finalize winners: match strings + coordinates
+        self._finalize_winners(cand_reads, cs, winners, results, L)
 
-    def _read_for(self, batch: ReadBatch, i: int, strand: int) -> np.ndarray:
-        L = int(batch.lengths[i])
-        row = batch.bases[i, :L]
-        if strand == 0:
-            return row
-        from ..core.bases import COMP_ASCII
-        return COMP_ASCII[row][::-1]
-
-    def _run_score_jobs(self, batch, jobs) -> List[int]:
-        buckets: Dict[Tuple[int, int], List[int]] = {}
-        for j, (i, ci, c, wstart, wlen) in enumerate(jobs):
-            L = int(batch.lengths[i])
-            buckets.setdefault((L, wlen), []).append(j)
-        out = [0] * len(jobs)
-        for (R, C), idxs in buckets.items():
-            n = len(idxs)
-            np_pad = _bucket_pad(n)
-            reads = np.full((np_pad, R), ord("N"), np.uint8)
+    def _dp_score(self, cand_reads: np.ndarray, wstart: np.ndarray,
+                  wlen: np.ndarray, dp_jobs: np.ndarray,
+                  L: int) -> np.ndarray:
+        """Score DP-needing candidates, bucketed by window length."""
+        out = np.zeros(len(dp_jobs), np.int64)
+        buckets: Dict[int, List[int]] = {}
+        for t, j in enumerate(dp_jobs):
+            buckets.setdefault(int(wlen[j]), []).append(t)
+        for C, slots in buckets.items():
+            np_pad = _bucket_pad(len(slots))
+            reads = np.full((np_pad, L), ord("N"), np.uint8)
             refs = np.full((np_pad, C), ord("N"), np.uint8)
-            for slot, j in enumerate(idxs):
-                i, ci, c, wstart, wlen = jobs[j]
-                reads[slot] = self._read_for(batch, i, c.strand)
-                refs[slot] = self._window(wstart, C)
-            s, col, st = msa_jax.msa_score_batch(reads, refs, R, C)
+            for s_i, t in enumerate(slots):
+                j = int(dp_jobs[t])
+                reads[s_i] = cand_reads[j]
+                refs[s_i] = self._window(int(wstart[j]), C)
+            s, col, st = msa_jax.msa_score_batch(reads, refs, L, C)
             s = np.asarray(s)
-            for slot, j in enumerate(idxs):
-                out[j] = int(s[slot])
+            for s_i, t in enumerate(slots):
+                out[t] = int(s[s_i])
         return out
 
-    def _traceback_winners(self, batch, winners, results) -> None:
-        buckets: Dict[Tuple[int, int], List[int]] = {}
-        for w, (i, c, wstart, wlen, score) in enumerate(winners):
-            L = int(batch.lengths[i])
-            buckets.setdefault((L, wlen), []).append(w)
-        for (R, C), idxs in buckets.items():
-            np_pad = _bucket_pad(len(idxs))
-            reads = np.full((np_pad, R), ord("N"), np.uint8)
+    def _finalize_winners(self, cand_reads, cs, winners, results,
+                          L: int) -> None:
+        from . import gapless
+
+        gapless_winners = [w for w in winners if not w[5]]
+        dp_winners = [w for w in winners if w[5]]
+        for (read_global, j, ws, wl, score, _dp) in gapless_winners:
+            start_flat = int(cs.best_diag[j])
+            match = gapless.gen_match_no_indels(
+                cand_reads[j], self.codes_ascii, start_flat)
+            res = results[read_global]
+            res.match = match
+            chrom, loc = self._chrom_of(start_flat)
+            res.chrom = chrom
+            res.start = loc
+            res.stop = loc + L - 1
+        if dp_winners:
+            self._traceback_dp(cand_reads, dp_winners, results, L)
+
+    def _traceback_dp(self, cand_reads, dp_winners, results, L,
+                      depth: int = 0) -> None:
+        """Full DP + traceback for DP winners; re-align with a wider window
+        when the alignment is clipped at the window edge
+        (reference: align2/AbstractMapThread.java:1012 — extra padding of
+        80+SLOW_ALIGN_PADDING on retry)."""
+        buckets: Dict[int, List[int]] = {}
+        for w, rec in enumerate(dp_winners):
+            buckets.setdefault(rec[3], []).append(w)
+        retries = []
+        for C, idx_list in buckets.items():
+            np_pad = _bucket_pad(len(idx_list))
+            reads = np.full((np_pad, L), ord("N"), np.uint8)
             refs = np.full((np_pad, C), ord("N"), np.uint8)
-            for slot, w in enumerate(idxs):
-                i, c, wstart, wlen, score = winners[w]
-                reads[slot] = self._read_for(batch, i, c.strand)
-                refs[slot] = self._window(wstart, C)
-            waves, s, col, st = msa_jax.msa_full_batch(reads, refs, R, C)
+            for slot, w in enumerate(idx_list):
+                read_global, j, ws, wl, score, _dp = dp_winners[w]
+                reads[slot] = cand_reads[j]
+                refs[slot] = self._window(ws, C)
+            waves, s, col, st = msa_jax.msa_full_batch(reads, refs, L, C)
             waves = np.asarray(waves)
-            s = np.asarray(s)
             col = np.asarray(col)
             st = np.asarray(st)
-            for slot, w in enumerate(idxs):
-                i, c, wstart, wlen, score = winners[w]
-                packed = msa_jax.waves_to_packed(waves[slot], R, C)
+            for slot, w in enumerate(idx_list):
+                read_global, j, ws, wl, score, _dp = dp_winners[w]
+                packed = msa_jax.waves_to_packed(waves[slot], L, C)
                 match = msa_ref.traceback(
-                    reads[slot], refs[slot], packed, R, int(col[slot]),
+                    reads[slot], refs[slot], packed, L, int(col[slot]),
                     int(st[slot]))
+                clipped_left = match[:1] in (b"I", b"X")
+                clipped_right = match[-1:] in (b"I", b"Y")
+                if (clipped_left or clipped_right) and depth < 2:
+                    extra = (80 if self.maxindel > 0 else 20) \
+                        + SLOW_ALIGN_PADDING
+                    new_ws = ws - (extra if clipped_left else 0)
+                    new_wl = wl + extra * (int(clipped_left)
+                                           + int(clipped_right))
+                    retries.append((read_global, j, new_ws,
+                                    _round_up(new_wl, 64), score, True))
+                    continue
                 ref_consumed = sum(1 for ch in match if ch in b"mSDN-")
-                flat_start = wstart + int(col[slot]) - ref_consumed
-                flat_stop = wstart + int(col[slot]) - 1
+                flat_start = ws + int(col[slot]) - ref_consumed
+                flat_stop = ws + int(col[slot]) - 1
                 chrom, loc = self._chrom_of(flat_start)
-                res = results[i]
+                res = results[read_global]
                 res.match = match
                 res.chrom = chrom
                 res.start = loc
                 res.stop = loc + (flat_stop - flat_start)
+                # the wider retry window may have found a better alignment;
+                # use the fill's own score for the final record
+                res.score = int(np.asarray(s)[slot])
+        if retries:
+            self._traceback_dp(cand_reads, retries, results, L, depth + 1)
 
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+def _round_up_vec(x: np.ndarray, m: int) -> np.ndarray:
+    return ((x.astype(np.int64) + m - 1) // m) * m
 
 
 # ---------------------------------------------------------------------------

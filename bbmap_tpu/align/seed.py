@@ -179,3 +179,151 @@ def gather_candidates(index: KmerIndex, offsets: np.ndarray,
                 spread=spread))
     cands.sort(key=lambda c: (-c.votes, c.strand, c.start))
     return cands[:max_candidates]
+
+
+# ---------------------------------------------------------------------------
+# Vectorized whole-batch seeding (numpy) — no per-read Python loops.
+# Same candidate semantics as gather_candidates, built from flat arrays:
+# CSR expansion of per-key site lists -> lexsort by (read, strand, diagonal)
+# -> chain segmentation -> per-chain votes and majority diagonal.
+# ---------------------------------------------------------------------------
+
+@dataclass
+class CandidateSet:
+    """Columnar candidate table for one uniform-length read batch."""
+    read_idx: np.ndarray    # (n,) int32
+    strand: np.ndarray      # (n,) int8
+    start: np.ndarray       # (n,) int64 min diagonal (chain start)
+    stop: np.ndarray        # (n,) int64 max diag + read_len - 1
+    votes: np.ndarray       # (n,) int32 distinct seed offsets in chain
+    spread: np.ndarray      # (n,) int32 diagonal spread
+    best_diag: np.ndarray   # (n,) int64 majority diagonal (gapless start)
+
+    def __len__(self):
+        return len(self.read_idx)
+
+
+def keys_batch(bases: np.ndarray, offsets: np.ndarray, k: int) -> np.ndarray:
+    """(B, L) ASCII -> (B, nk) int64 keys, -1 where undefined."""
+    B = bases.shape[0]
+    nk = len(offsets)
+    keys = np.zeros((B, nk), np.int64)
+    bad = np.zeros((B, nk), bool)
+    for j in range(k):
+        c = BASE_TO_NUMBER[bases[:, offsets + j]].astype(np.int64)
+        bad |= c < 0
+        keys = (keys << 2) | (c & 3)
+    keys[bad] = -1
+    return keys
+
+
+def gather_candidates_batch(index: KmerIndex, bases: np.ndarray,
+                            read_len: int,
+                            chain_dist: int = 400,
+                            max_candidates: int = 16,
+                            max_list_length: Optional[int] = None
+                            ) -> Optional[CandidateSet]:
+    """Candidates for a whole batch of uniform-length reads."""
+    k = index.k
+    B = bases.shape[0]
+    if max_list_length is None:
+        max_list_length = index.max_usable_length
+    offsets = make_offsets(read_len, k)
+    if offsets is None:
+        return None
+    nk = len(offsets)
+    kp = keys_batch(bases, offsets, k)                   # (B, nk)
+    km = reverse_complement_key(np.where(kp < 0, 0, kp), k)
+    km[kp < 0] = -1
+    off_p = offsets.astype(np.int64)
+    off_m = (read_len - (offsets + k)).astype(np.int64)
+
+    keys_all = np.stack([kp, km], axis=1)                # (B, 2, nk)
+    offadj = np.stack([np.broadcast_to(off_p, (B, nk)),
+                       np.broadcast_to(off_m, (B, nk))], axis=1)
+    valid = keys_all >= 0
+    safe_keys = np.where(valid, keys_all, 0)
+    s0 = index.starts[safe_keys]
+    cnt = (index.starts[safe_keys + 1] - s0)
+    cnt = np.where(valid & (cnt <= max_list_length), cnt, 0).astype(np.int64)
+
+    flat_cnt = cnt.ravel()
+    total = int(flat_cnt.sum())
+    if total == 0:
+        return None
+    flat_s0 = s0.ravel()
+    flat_off = offadj.ravel()
+    # CSR expansion: element e of the H hits belongs to flat slot
+    # slot_of[e], with rank r = e - first_of_slot
+    reps = flat_cnt
+    slot_of = np.repeat(np.arange(len(reps)), reps)
+    first = np.concatenate([[0], np.cumsum(reps)[:-1]])
+    rank = np.arange(total) - first[slot_of]
+    site = index.sites[flat_s0[slot_of] + rank].astype(np.int64)
+    diag = site - flat_off[slot_of]
+    hit_read = (slot_of // (2 * nk)).astype(np.int64)
+    hit_strand = ((slot_of // nk) % 2).astype(np.int8)
+    hit_key = (slot_of % nk).astype(np.int32)
+
+    order = np.lexsort((diag, hit_strand, hit_read))
+    diag = diag[order]
+    hit_read = hit_read[order]
+    hit_strand = hit_strand[order]
+    hit_key = hit_key[order]
+
+    new_chain = np.ones(total, bool)
+    if total > 1:
+        same_group = (hit_read[1:] == hit_read[:-1]) & \
+            (hit_strand[1:] == hit_strand[:-1])
+        new_chain[1:] = (~same_group) | (np.diff(diag) > chain_dist)
+    chain_id = np.cumsum(new_chain) - 1
+    n_chains = int(chain_id[-1]) + 1
+
+    c_first = np.nonzero(new_chain)[0]
+    c_last = np.concatenate([c_first[1:] - 1, [total - 1]])
+    c_start = diag[c_first]
+    c_stop_diag = diag[c_last]
+    c_read = hit_read[c_first]
+    c_strand = hit_strand[c_first]
+
+    # votes: distinct key offsets per chain
+    vorder = np.lexsort((hit_key, chain_id))
+    vk = hit_key[vorder]
+    vc = chain_id[vorder]
+    vnew = np.ones(total, bool)
+    vnew[1:] = (vc[1:] != vc[:-1]) | (vk[1:] != vk[:-1])
+    votes = np.bincount(vc[vnew], minlength=n_chains).astype(np.int32)
+
+    # majority diagonal per chain (hits already diag-sorted within chain)
+    dnew = np.ones(total, bool)
+    dnew[1:] = new_chain[1:] | (diag[1:] != diag[:-1])
+    dfirst = np.nonzero(dnew)[0]
+    dcount = np.diff(np.concatenate([dfirst, [total]]))
+    dchain = chain_id[dfirst]
+    # first max within each chain: stable order by (chain, -count)
+    morder = np.lexsort((dfirst, -dcount, dchain))
+    mchain = dchain[morder]
+    mfirstflag = np.ones(len(morder), bool)
+    mfirstflag[1:] = mchain[1:] != mchain[:-1]
+    best_diag = np.zeros(n_chains, np.int64)
+    best_diag[mchain[mfirstflag]] = diag[dfirst[morder[mfirstflag]]]
+
+    # cap candidates per read: rank chains by (read, -votes, strand, start)
+    corder = np.lexsort((c_start, c_strand, -votes, c_read))
+    cr = c_read[corder]
+    rnew = np.ones(n_chains, bool)
+    rnew[1:] = cr[1:] != cr[:-1]
+    rfirst = np.zeros(n_chains, np.int64)
+    rfirst[np.nonzero(rnew)[0]] = np.nonzero(rnew)[0]
+    np.maximum.accumulate(rfirst, out=rfirst)
+    rrank = np.arange(n_chains) - rfirst
+    keep = corder[rrank < max_candidates]
+
+    return CandidateSet(
+        read_idx=c_read[keep].astype(np.int32),
+        strand=c_strand[keep],
+        start=c_start[keep],
+        stop=c_stop_diag[keep] + read_len - 1,
+        votes=votes[keep],
+        spread=(c_stop_diag[keep] - c_start[keep]).astype(np.int32),
+        best_diag=best_diag[keep])

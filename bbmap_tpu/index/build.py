@@ -64,14 +64,18 @@ def rolling_keys(codes: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
 
 def reverse_complement_key(keys: np.ndarray, k: int) -> np.ndarray:
     """rc of 2-bit packed keys (reference:
-    dna/AminoAcid.reverseComplementBinaryFast)."""
-    keys = np.asarray(keys, np.int64)
-    out = np.zeros_like(keys)
-    x = ~keys  # complement each 2-bit base (A<->T, C<->G is bitwise not)
-    for _ in range(k):
-        out = (out << 2) | (x & 3)
-        x >>= 2
-    return out & ((1 << (2 * k)) - 1)
+    dna/AminoAcid.reverseComplementBinaryFast). Complement is bitwise NOT
+    (A=00<->T=11, C=01<->G=10); base order reverses by reversing 2-bit
+    groups — done branch-free with swap/byteswap so it vectorizes over
+    arbitrarily large key arrays (needed for whole-keyspace analysis)."""
+    scalar = np.isscalar(keys) or np.ndim(keys) == 0
+    x = (~np.asarray(keys, np.int64)).astype(np.uint32)
+    x = ((x & 0x33333333) << 2) | ((x >> 2) & 0x33333333)
+    x = ((x & 0x0F0F0F0F) << 4) | ((x >> 4) & 0x0F0F0F0F)
+    x = x.byteswap()  # reverse the 4 bytes of each 32-bit value
+    x = x >> (32 - 2 * k)
+    out = x.astype(np.int64)
+    return int(out) if scalar else out
 
 
 def build_index(genome: Genome, k: int = 13) -> KmerIndex:

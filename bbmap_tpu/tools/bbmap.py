@@ -16,8 +16,9 @@ import numpy as np
 from ..align.pipeline import BBMapAligner, emit_sam
 from ..core.batch import ReadBatch, batched
 from ..core.genome import build_genome
-from ..index.build import (analyze_index, build_index, genome_hash,
-                           load_index, save_index, set_fraction_to_exclude)
+from ..core.genome import genome_hash
+from ..index.build import (analyze_index, build_index, load_index,
+                           save_index, set_fraction_to_exclude)
 from ..io import fastx
 from ..io import sam as samio
 from ..utils.args import Args
