@@ -285,15 +285,14 @@ class BBMapAligner:
                 read_global, j, ws, wl, score, _dp = dp_winners[w]
                 reads[slot] = cand_reads[j]
                 refs[slot] = self._window(ws, C)
-            waves, s, col, st = msa_jax.msa_full_batch(reads, refs, L, C)
-            waves = np.asarray(waves)
+            prevs, s, col, st = msa_jax.msa_trace_batch(reads, refs, L, C)
+            prevs = np.asarray(prevs)
             col = np.asarray(col)
             st = np.asarray(st)
             for slot, w in enumerate(idx_list):
                 read_global, j, ws, wl, score, _dp = dp_winners[w]
-                packed = msa_jax.waves_to_packed(waves[slot], L, C)
-                match = msa_ref.traceback(
-                    reads[slot], refs[slot], packed, L, int(col[slot]),
+                match = msa_jax.traceback_prevs(
+                    reads[slot], refs[slot], prevs[slot], int(col[slot]),
                     int(st[slot]))
                 clipped_left = match[:1] in (b"I", b"X")
                 clipped_right = match[-1:] in (b"I", b"Y")

@@ -17,9 +17,14 @@ int32 vectors indexed by r. Dependencies:
 Boundary: row 0 is score 0 (free ref start); col 0 (r == d) carries the
 cumulative insertion penalty (reference ctor :84-112).
 
-`msa_score` is the fillLimited/fillUnlimited analog (score + argmax col +
-state, no traceback storage). `msa_full` additionally emits every wave so
-the host (or a JAX walk) can run traceback2 semantics.
+Three drivers share the wave step:
+- ``msa_score_*``  — score-only; the scan carries a per-state running
+  last-row maximum, so nothing but (score, col, state) leaves the device
+  (the fillLimited analog).
+- ``msa_trace_*``  — additionally emits 2-bit prev-state codes per cell
+  (6 bits/cell packed in uint8), the traceback2 walk's entire input, at
+  1/24 the bytes of the packed planes.
+- ``msa_full_*``   — emits raw packed waves (testing only).
 """
 
 from __future__ import annotations
@@ -32,9 +37,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.constants import (
-    BADoff, BARRIER_D1, BARRIER_I1, GAPC, LIMIT_FOR_COST_3, LIMIT_FOR_COST_4,
-    LIMIT_FOR_COST_5, MASK5, MAX_TIME, MODE_DEL, MODE_INS, MODE_MS,
-    POINTSoff_DEL, POINTSoff_DEL2, POINTSoff_DEL3, POINTSoff_DEL4,
+    BADoff, BARRIER_D1, BARRIER_I1, GAPC, GAPLEN, LIMIT_FOR_COST_3,
+    LIMIT_FOR_COST_4, LIMIT_FOR_COST_5, MASK5, MAX_TIME, MODE_DEL, MODE_INS,
+    MODE_MS, POINTSoff_DEL, POINTSoff_DEL2, POINTSoff_DEL3, POINTSoff_DEL4,
     POINTSoff_DEL5, POINTSoff_DEL_REF_N, POINTSoff_GAP, POINTSoff_INS,
     POINTSoff_INS2, POINTSoff_INS3, POINTSoff_INS4, POINTSoff_INS_ARRAY,
     POINTSoff_MATCH, POINTSoff_MATCH2, POINTSoff_NOCALL, POINTSoff_SUB,
@@ -95,18 +100,21 @@ def _ins0_column(R: int) -> np.ndarray:
     return col.astype(np.int32)
 
 
-def _wave_step(R: int, C: int, read1, read0, ref_rev_pad, carry, d):
-    """One anti-diagonal. carry = (wave_{d-1}, wave_{d-2}) each (3, R+1).
-    Returns new carry and the wave (3, R+1)."""
-    prev1, prev2 = carry  # waves d-1 and d-2
+@functools.lru_cache(maxsize=64)
+def _ins0_np(R: int):
+    return _ins0_column(R)
 
+
+def _wave_step(R: int, C: int, read1, read0, ref_rev_pad, prev1, prev2, d):
+    """One anti-diagonal. prev1/prev2 = waves d-1, d-2, each (3, R+1).
+    Returns (wave (3, R+1) int32, prevs (R+1,) uint8 packed 2-bit
+    prev-state codes per state)."""
     r_idx = jax.lax.broadcasted_iota(I32, (R + 1, 1), 0).reshape(R + 1)
     c_idx = d - r_idx  # column of each lane on this wave
 
     # reference window chars for this wave: ref1[r] = ref[c-1] = ref[d-r-1]
-    # ref_rev_pad is ref reversed then padded with sentinel '!' on both sides
-    # by (R+1); ref[j] for j in [0, C) sits at ref_rev_pad[C - 1 - j + (R+1)].
-    # ref1[r] = ref[d-r-1] -> ref_rev_pad[C - d + r + R + 1]
+    # ref_rev_pad is ref reversed, padded with sentinel '!' by (R+1) on both
+    # sides; ref1[r] -> ref_rev_pad[C - d + r + R + 1]
     start = C - d + R + 1
     ref_slice = jax.lax.dynamic_slice(ref_rev_pad, (start,), (R + 2,))
     ref1 = ref_slice[:R + 1].astype(I32)
@@ -119,7 +127,7 @@ def _wave_step(R: int, C: int, read1, read0, ref_rev_pad, carry, d):
     prev_match = jnp.logical_and(call0 == ref0, ref0 != _N)
     gap = ref1 == GAPC
 
-    # gather dependencies (vector shifts, not gathers)
+    # dependencies as vector shifts
     ms_dd = jnp.roll(prev2[MODE_MS], 1)   # (r-1) of wave d-2
     del_dd = jnp.roll(prev2[MODE_DEL], 1)
     ins_dd = jnp.roll(prev2[MODE_INS], 1)
@@ -134,14 +142,12 @@ def _wave_step(R: int, C: int, read1, read0, ref_rev_pad, carry, d):
     # ---- MS ----
     s_diag, s_del, s_ins = _score(ms_dd), _score(del_dd), _score(ins_dd)
     streak = _time(ms_dd)
-    # match case
     m_ms = s_diag + jnp.where(prev_match, POINTSoff_MATCH2, POINTSoff_MATCH)
     m_d = s_del + POINTSoff_MATCH
     m_i = s_ins + POINTSoff_MATCH
     m_best = jnp.maximum(m_ms, jnp.maximum(m_d, m_i))
     m_from_ms = jnp.logical_and(m_ms >= m_d, m_ms >= m_i)
     m_time = jnp.where(m_from_ms & prev_match, streak + 1, 1)
-    # mismatch case
     sub_pen = jnp.where(
         prev_match,
         jnp.where(streak <= 1, POINTSoff_SUBR, POINTSoff_SUB),
@@ -158,6 +164,12 @@ def _wave_step(R: int, C: int, read1, read0, ref_rev_pad, carry, d):
     ms_time = _clamp_time(jnp.where(match, m_time, x_time))
     ms_val = jnp.where(gap, subfloor,
                        jnp.bitwise_or(ms_score, ms_time))
+    # traceback prev code (reference: traceback2 :1122-1133 — time>1 stays
+    # in state, else argmax of the diagonal predecessors, MS>=DEL>=INS)
+    ms_prev_arg = jnp.where(
+        jnp.logical_and(s_diag >= s_del, s_diag >= s_ins), MODE_MS,
+        jnp.where(s_del >= s_ins, MODE_DEL, MODE_INS)).astype(jnp.uint8)
+    ms_prev = jnp.where(ms_time > 1, jnp.uint8(MODE_MS), ms_prev_arg)
 
     # ---- DEL ----
     dstreak = _time(del_left)
@@ -172,6 +184,9 @@ def _wave_step(R: int, C: int, read1, read0, ref_rev_pad, carry, d):
     del_barrier = jnp.logical_or(r_idx < BARRIER_D1, r_idx > R - BARRIER_D1)
     del_val = jnp.where(del_barrier, subfloor,
                         jnp.bitwise_or(del_score, del_time))
+    del_prev_arg = jnp.where(_score(ms_left) >= _score(del_left),
+                             MODE_MS, MODE_DEL).astype(jnp.uint8)
+    del_prev = jnp.where(del_time > 1, jnp.uint8(MODE_DEL), del_prev_arg)
 
     # ---- INS ----
     istreak = _time(ins_up)
@@ -187,106 +202,119 @@ def _wave_step(R: int, C: int, read1, read0, ref_rev_pad, carry, d):
             jnp.logical_and(r_idx > R - BARRIER_I1, c_idx < C - 1)))
     ins_val = jnp.where(ins_barrier, subfloor,
                         jnp.bitwise_or(ins_score, ins_time))
+    ins_prev_arg = jnp.where(_score(ms_up) >= _score(ins_up),
+                             MODE_MS, MODE_INS).astype(jnp.uint8)
+    ins_prev = jnp.where(ins_time > 1, jnp.uint8(MODE_INS), ins_prev_arg)
 
     wave = jnp.stack([ms_val, del_val, ins_val])
 
     # boundary overrides: r==0 (row 0, c>=1) -> 0 ; r==d (col 0) -> INS0[r]
-    ins0 = _INS0_CACHE(R)
+    ins0 = jnp.asarray(_ins0_np(R))
     is_row0 = r_idx == 0
     is_col0 = r_idx == d
     bound = jnp.where(is_row0, 0, jnp.where(is_col0, ins0, 0))
     use_bound = jnp.logical_or(is_row0, is_col0)
     wave = jnp.where(use_bound[None, :], bound[None, :], wave)
-    # cells outside the matrix (c<0 or c>C) -> BADoff (inert)
     invalid = jnp.logical_or(c_idx < 0, c_idx > C)
     wave = jnp.where(invalid[None, :], jnp.int32(BADoff), wave)
 
-    return (wave, prev1), wave
-
-
-@functools.lru_cache(maxsize=64)
-def _ins0_np(R: int):
-    return _ins0_column(R)
-
-
-def _INS0_CACHE(R: int):
-    return jnp.asarray(_ins0_np(R))
+    prevs = (ms_prev | (del_prev << 2) | (ins_prev << 4)).astype(jnp.uint8)
+    return wave, prevs
 
 
 def _init_carry(R: int):
-    """Wave 0 is the single cell (0,0)=0; wave -1 is all-inert."""
     w0 = np.full((3, R + 1), BADoff, np.int32)
     w0[:, 0] = 0  # cell (0, 0)
     wm1 = np.full((3, R + 1), BADoff, np.int32)
     return jnp.asarray(w0), jnp.asarray(wm1)
 
 
-def _prep_read(read_codes_ascii, R):
-    """read1[r] = read[r-1]; read0[r] = read[r-2] (sentinels '?' as in
-    reference :656-659)."""
-    read = read_codes_ascii.astype(I32)
+def _prep_read(read_ascii, R):
+    read = read_ascii.astype(I32)
     q = jnp.full((1,), ord("?"), I32)
-    read1 = jnp.concatenate([q, read])         # length R+1
-    read0 = jnp.concatenate([q, q, read[:-1]])  # length R+1
+    read1 = jnp.concatenate([q, read])          # read1[r] = read[r-1]
+    read0 = jnp.concatenate([q, q, read[:-1]])  # read0[r] = read[r-2]
     return read1, read0
 
 
-def _prep_ref(ref_ascii, R, C):
+def _prep_ref(ref_ascii, R):
     pad = jnp.full((R + 1,), ord("!"), I32)
     return jnp.concatenate([pad, ref_ascii.astype(I32)[::-1], pad])
 
 
-def _last_row_packed(waves, R, C):
-    """Extract last-row packed cells: (R, c) lives on wave d=R+c.
-    waves: (R+C, 3, R+1) of wave index d-1 (scan over d=1..R+C).
-    Returns (3, C) packed for cols 1..C."""
-    idx = jnp.arange(C) + R  # wave number d=R+c for c=1..C; ys index d-1
-    return waves[idx, :, R].T  # (3, C)
+def _update_best(best, wave, d, R):
+    """Track per-state running max over last-row cells (strict >, so the
+    first/lowest column wins ties, matching the reference's scan order,
+    :857-878)."""
+    best_scores, best_cols = best
+    val = _score(wave[:, R])  # (3,) last-row lane
+    col = d - R
+    on_last = jnp.logical_and(col >= 1, col <= 10 ** 9)
+    take = jnp.logical_and(on_last, val > best_scores)
+    best_scores = jnp.where(take, val, best_scores)
+    best_cols = jnp.where(take, col, best_cols)
+    return best_scores, best_cols
+
+
+def _finish_best(best):
+    """Combine per-state bests in state-major order (ties -> lowest
+    state), exactly the reference's final scan."""
+    best_scores, best_cols = best
+    # first index of max in order MS, DEL, INS
+    state = jnp.argmax(best_scores)  # argmax returns first max
+    return (best_scores[state] >> SCOREOFFSET, best_cols[state],
+            state.astype(I32))
+
+
+def _scan(read, ref, R: int, C: int, want_prevs: bool,
+          want_waves: bool = False):
+    read1, read0 = _prep_read(read, R)
+    ref_rev_pad = _prep_ref(ref, R)
+    w0, wm1 = _init_carry(R)
+    best0 = (jnp.full((3,), -(2 ** 31) + 1, I32), jnp.zeros((3,), I32))
+
+    def step(carry, d):
+        prev1, prev2, best = carry
+        wave, prevs = _wave_step(R, C, read1, read0, ref_rev_pad,
+                                 prev1, prev2, d)
+        best = _update_best(best, wave, d, R)
+        ys = ()
+        if want_prevs:
+            ys = prevs
+        if want_waves:
+            ys = wave
+        return (wave, prev1, best), ys
+
+    carry, ys = jax.lax.scan(step, (w0, wm1, best0),
+                             jnp.arange(1, R + C + 1))
+    score, col, state = _finish_best(carry[2])
+    return ys, score, col, state
 
 
 def msa_score_single(read, ref, R: int, C: int):
-    """Score one read vs one ref window. read: (R,) uint8 ascii codes;
-    ref: (C,) uint8 ascii. Returns (max_score_unpacked, max_col, max_state).
-    Tie-break matches the reference's state-major, column-minor first-max
-    scan (reference :857-878)."""
-    read1, read0 = _prep_read(read, R)
-    ref_rev_pad = _prep_ref(ref, R, C)
-    carry = _init_carry(R)
-    step = functools.partial(_wave_step, R, C, read1, read0, ref_rev_pad)
-    carry, waves = jax.lax.scan(step, carry, jnp.arange(1, R + C + 1))
-    last = _last_row_packed(waves, R, C)  # (3, C)
-    scores = _score(last)
-    flat = scores.reshape(-1)  # state-major then col — matches scan order
-    best = jnp.argmax(flat)    # argmax returns FIRST max: correct tie-break
-    max_state = best // C
-    max_col = best % C + 1
-    max_score = flat[best].astype(jnp.int32) >> SCOREOFFSET
-    return max_score, max_col, max_state
+    _, score, col, state = _scan(read, ref, R, C, False)
+    return score, col, state
+
+
+def msa_trace_single(read, ref, R: int, C: int):
+    """Returns (prevs (R+C, R+1) uint8, score, col, state)."""
+    return _scan(read, ref, R, C, True)
 
 
 def msa_full_single(read, ref, R: int, C: int):
-    """Like msa_score_single but also returns all waves for traceback:
-    (R+C, 3, R+1) packed int32."""
-    read1, read0 = _prep_read(read, R)
-    ref_rev_pad = _prep_ref(ref, R, C)
-    carry = _init_carry(R)
-    step = functools.partial(_wave_step, R, C, read1, read0, ref_rev_pad)
-    carry, waves = jax.lax.scan(step, carry, jnp.arange(1, R + C + 1))
-    last = _last_row_packed(waves, R, C)
-    scores = _score(last)
-    flat = scores.reshape(-1)
-    best = jnp.argmax(flat)
-    max_state = best // C
-    max_col = best % C + 1
-    max_score = flat[best].astype(jnp.int32) >> SCOREOFFSET
-    return waves, max_score, max_col, max_state
+    """Testing: returns raw packed waves (R+C, 3, R+1)."""
+    return _scan(read, ref, R, C, False, want_waves=True)
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3))
 def msa_score_batch(reads, refs, R: int, C: int):
-    """Batched score-only DP. reads: (B, R) uint8; refs: (B, C) uint8.
-    Returns (scores, cols, states) each (B,)."""
     return jax.vmap(lambda rd, rf: msa_score_single(rd, rf, R, C))(
+        reads, refs)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def msa_trace_batch(reads, refs, R: int, C: int):
+    return jax.vmap(lambda rd, rf: msa_trace_single(rd, rf, R, C))(
         reads, refs)
 
 
@@ -296,16 +324,69 @@ def msa_full_batch(reads, refs, R: int, C: int):
         reads, refs)
 
 
+def traceback_prevs(read: np.ndarray, ref: np.ndarray, prevs: np.ndarray,
+                    col: int, state: int) -> bytes:
+    """Host walk over device-produced prev-state codes — identical output
+    to the oracle traceback (reference: traceback2 :1102-1232).
+    prevs[d-1, r] holds the packed codes of cell (r, c=d-r)."""
+    R, C = len(read), len(ref)
+    row = R
+    out = bytearray()
+    gaps = 0
+    while row > 0 and col > 0:
+        code = int(prevs[row + col - 1, row])
+        prev = (code >> (2 * state)) & 3
+        if state == MODE_MS:
+            c, r = int(read[row - 1]), int(ref[col - 1])
+            if c == r:
+                out.append(ord("m"))
+            elif not _defined(c) or not _defined(r):
+                out.append(ord("N"))
+            else:
+                out.append(ord("S"))
+            row -= 1
+            col -= 1
+        elif state == MODE_DEL:
+            if ref[col - 1] == GAPC:
+                out.append(ord("-"))
+                gaps += 1
+            else:
+                out.append(ord("D"))
+            col -= 1
+        else:
+            if col >= C:
+                out.append(ord("Y"))
+            else:
+                out.append(ord("I"))
+            row -= 1
+        state = prev
+    while row > 0:
+        out.append(ord("X"))
+        row -= 1
+    out.reverse()
+    if gaps == 0:
+        return bytes(out)
+    out3 = bytearray()
+    for ch in out:
+        if ch != GAPC:
+            out3.append(ch)
+        else:
+            out3.extend(b"D" * GAPLEN)
+    return bytes(out3)
+
+
+def _defined(c: int) -> bool:
+    return c in (ord("A"), ord("C"), ord("G"), ord("T"), ord("U"))
+
+
 def waves_to_packed(waves: np.ndarray, R: int, C: int) -> np.ndarray:
     """Host-side: wave layout (R+C, 3, R+1) -> matrix layout
-    (3, R+1, C+1) for the oracle traceback walk. Cell (s, r, c) lives on
-    wave d=r+c (ys index d-1) at lane r."""
+    (3, R+1, C+1) for the oracle traceback walk (testing)."""
     out = np.full((3, R + 1, C + 1), BADoff, np.int64)
     ins0 = _ins0_np(R)
     out[:, 0, :] = 0
     for r in range(R + 1):
         out[:, r, 0] = ins0[r]
-    d = np.add.outer(np.arange(R + 1), np.arange(C + 1))  # r+c
     for r in range(1, R + 1):
         cs = np.arange(1, C + 1)
         out[:, r, 1:] = waves[r + cs - 1, :, r].T

@@ -107,3 +107,16 @@ def test_constants():
     assert K.POINTS_SUB_ARRAY[6] == -25
     # identity->ratio spot value (reference default minratio 0.56 ~ 76% id)
     assert 0.55 < K.min_id_to_min_ratio(0.76) < 0.60
+
+
+@pytest.mark.parametrize("case", CASES[:6])
+def test_traceback_prevs_matches_oracle(rng, case):
+    read, ref = make_case(rng, **case)
+    R, C = len(read), len(ref)
+    opacked, (rows, ocol, ostate, oscore) = msa_ref.fill_unlimited(read, ref)
+    prevs, score, col, state = msa_jax.msa_trace_single(read, ref, R, C)
+    assert int(score) == oscore and int(col) == ocol and int(state) == ostate
+    m_o = msa_ref.traceback(read, ref, opacked, rows, ocol, ostate)
+    m_p = msa_jax.traceback_prevs(read, ref, np.asarray(prevs),
+                                  int(col), int(state))
+    assert m_o == m_p
