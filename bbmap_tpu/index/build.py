@@ -69,11 +69,13 @@ def reverse_complement_key(keys: np.ndarray, k: int) -> np.ndarray:
     groups — done branch-free with swap/byteswap so it vectorizes over
     arbitrarily large key arrays (needed for whole-keyspace analysis)."""
     scalar = np.isscalar(keys) or np.ndim(keys) == 0
-    x = (~np.asarray(keys, np.int64)).astype(np.uint32)
-    x = ((x & 0x33333333) << 2) | ((x >> 2) & 0x33333333)
-    x = ((x & 0x0F0F0F0F) << 4) | ((x >> 4) & 0x0F0F0F0F)
-    x = x.byteswap()  # reverse the 4 bytes of each 32-bit value
-    x = x >> (32 - 2 * k)
+    x = (~np.asarray(keys, np.int64)).astype(np.uint64)
+    x = ((x & np.uint64(0x3333333333333333)) << np.uint64(2)) | \
+        ((x >> np.uint64(2)) & np.uint64(0x3333333333333333))
+    x = ((x & np.uint64(0x0F0F0F0F0F0F0F0F)) << np.uint64(4)) | \
+        ((x >> np.uint64(4)) & np.uint64(0x0F0F0F0F0F0F0F0F))
+    x = x.byteswap()  # reverse the 8 bytes of each 64-bit value
+    x = x >> np.uint64(64 - 2 * k)
     out = x.astype(np.int64)
     return int(out) if scalar else out
 

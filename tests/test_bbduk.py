@@ -1,0 +1,120 @@
+"""BBDuk engine tests: k-mer matching, hdist, ktrim, qtrim, kmask."""
+
+import numpy as np
+import pytest
+
+from bbmap_tpu.core.batch import ReadBatch
+from bbmap_tpu.index import kmerset
+from bbmap_tpu.io.fastx import SeqRecord
+from bbmap_tpu.tools.bbduk import BBDuk, optimal_trim_points
+
+ADAPTER = b"AGATCGGAAGAGCACACGTCTGAACTCCAGTCAC"
+
+
+def _recs(seqs, qual=None):
+    return [SeqRecord(f"r{i}", s,
+                      qual if qual is not None else b"I" * len(s), i)
+            for i, s in enumerate(seqs)]
+
+
+def _rand(n, seed=0):
+    rng = np.random.default_rng(seed)
+    return bytes(rng.choice(np.frombuffer(b"ACGT", np.uint8), n))
+
+
+def test_kmer_set_contains():
+    ks = kmerset.build_kmer_set([ADAPTER], k=23, mask_middle=False)
+    kmers, valid = kmerset.rolling_kmers_batch(
+        np.frombuffer(ADAPTER, np.uint8)[None, :], 23)
+    vals = ks.to_values(kmers[0], 23)
+    assert ks.contains(vals).all()
+    # random kmers miss
+    junk = np.frombuffer(_rand(50, 5), np.uint8)
+    jk, _ = kmerset.rolling_kmers_batch(junk[None, :], 23)
+    assert not ks.contains(ks.to_values(jk[0], 23)).any()
+
+
+def test_rcomp_canonical():
+    from bbmap_tpu.core.bases import reverse_complement_ascii
+    ks = kmerset.build_kmer_set([ADAPTER], k=23)
+    rc = bytes(reverse_complement_ascii(np.frombuffer(ADAPTER, np.uint8)))
+    kmers, _ = kmerset.rolling_kmers_batch(
+        np.frombuffer(rc, np.uint8)[None, :], 23)
+    assert ks.contains(ks.to_values(kmers[0], 23)).all()
+
+
+def test_hdist():
+    mutant = bytearray(ADAPTER)
+    mutant[10] = ord("A") if mutant[10] != ord("A") else ord("C")
+    ks0 = kmerset.build_kmer_set([ADAPTER], k=23, hdist=0,
+                                 mask_middle=False)
+    ks1 = kmerset.build_kmer_set([ADAPTER], k=23, hdist=1,
+                                 mask_middle=False)
+    kmers, _ = kmerset.rolling_kmers_batch(
+        np.frombuffer(bytes(mutant), np.uint8)[None, :], 23)
+    v = ks1.to_values(kmers[0], 23)
+    assert ks1.contains(v).any()
+    v0 = ks0.to_values(kmers[0], 23)
+    # without expansion most mutant-containing kmers miss
+    assert v0.shape == v.shape
+
+
+def test_filter_mode():
+    clean = _rand(100, 1)
+    dirty = _rand(40, 2) + ADAPTER + _rand(26, 3)
+    duk = BBDuk([ADAPTER], ["a"], k=23, ktrim="f")
+    batch = ReadBatch.from_records(_recs([clean, dirty]))
+    keep, recs, matched = duk.process_batch(batch)
+    assert list(keep) == [True, False]
+    assert list(matched) == [False, True]
+
+
+def test_ktrim_r():
+    prefix = _rand(60, 4)
+    read = prefix + ADAPTER + _rand(6, 5)
+    duk = BBDuk([ADAPTER], ["a"], k=23, ktrim="r")
+    batch = ReadBatch.from_records(_recs([read]))
+    keep, recs, matched = duk.process_batch(batch)
+    assert keep[0]
+    assert recs[0].bases == prefix
+
+
+def test_ktrim_l():
+    suffix = _rand(60, 6)
+    read = _rand(6, 7) + ADAPTER + suffix
+    duk = BBDuk([ADAPTER], ["a"], k=23, ktrim="l")
+    batch = ReadBatch.from_records(_recs([read]))
+    keep, recs, matched = duk.process_batch(batch)
+    assert keep[0]
+    assert recs[0].bases == suffix
+
+
+def test_kmask():
+    read = _rand(30, 8) + ADAPTER + _rand(30, 9)
+    duk = BBDuk([ADAPTER], ["a"], k=23, kmask="N")
+    batch = ReadBatch.from_records(_recs([read]))
+    keep, recs, matched = duk.process_batch(batch)
+    assert keep[0]
+    b = recs[0].bases
+    assert b[:30] == read[:30]
+    assert b[30:30 + len(ADAPTER)] == b"N" * len(ADAPTER)
+    assert b[30 + len(ADAPTER):] == read[30 + len(ADAPTER):]
+
+
+def test_qtrim():
+    seq = _rand(50, 10)
+    qual = bytes([2 + 33] * 10 + [35 + 33] * 30 + [2 + 33] * 10)
+    duk = BBDuk([], [], k=23, qtrim="rl", trimq=10)
+    batch = ReadBatch.from_records([SeqRecord("q", seq, qual, 0)])
+    keep, recs, matched = duk.process_batch(batch)
+    assert recs[0].bases == seq[10:40]
+
+
+def test_mink_tip_trim():
+    # adapter prefix of 12 bases at the read's right tip
+    prefix = _rand(80, 11)
+    read = prefix + ADAPTER[:12]
+    duk = BBDuk([ADAPTER], ["a"], k=23, mink=8, ktrim="r")
+    batch = ReadBatch.from_records(_recs([read]))
+    keep, recs, matched = duk.process_batch(batch)
+    assert recs[0].bases == prefix
