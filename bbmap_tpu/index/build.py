@@ -103,14 +103,14 @@ def analyze_index(index: KmerIndex,
     exclusion threshold (reference: align2/BBIndex.java:101-191
     analyzeIndex). Over-long lists are skipped at search time with staged
     re-admission (reference: BBIndex.find:421-440)."""
+    if fraction_to_exclude <= 0:
+        index.max_usable_length = 1 << 30
+        return
     lengths = np.diff(index.starts)
     rc = reverse_complement_key(np.arange(index.n_keys, dtype=np.int64),
                                 index.k)
     canonical = (lengths + lengths[rc]).astype(np.int64)
     index.counts_canonical = canonical.astype(np.int32)
-    if fraction_to_exclude <= 0:
-        index.max_usable_length = 1 << 30
-        return
     nz = canonical[canonical > 0]
     if len(nz) == 0:
         index.max_usable_length = 1 << 30
