@@ -93,3 +93,79 @@ def gen_match_no_indels(read: np.ndarray, genome: np.ndarray,
     out = np.where((read == _N) | (r == _N), ord("N"),
                    np.where(read == r, ord("m"), ord("S"))).astype(np.uint8)
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Device (JAX) gapless scorer — exact same semantics as
+# score_no_indels_flat, as a lax.scan over read positions with all
+# candidates in the vector lanes. One device call scores every candidate
+# of a batch group.
+# ---------------------------------------------------------------------------
+
+import functools as _functools
+
+import jax as _jax
+import jax.numpy as _jnp
+
+from ..core.constants import (LIMIT_FOR_COST_3 as _LIM3,
+                              POINTS_MATCH as _PM, POINTS_MATCH2 as _PM2,
+                              POINTS_SUB as _PS, POINTS_SUB2 as _PS2,
+                              POINTS_SUB3 as _PS3)
+
+_MODE_NONE, _MODE_MS, _MODE_SUB = 0, 1, 2
+
+
+@_functools.partial(_jax.jit, static_argnums=(2,))
+def score_no_indels_jax(reads, refs, L: int):
+    """reads, refs: (J, L) uint8 ASCII (refs pre-gathered at each
+    candidate's diagonal, out-of-genome positions as 'N').
+    Returns (J,) int32 scores. Reference: scoreNoIndels :1885-1952."""
+    J = reads.shape[0]
+
+    def step(carry, cr):
+        score, mode, t = carry
+        c, r = cr
+        is_match = (c == r) & (c != _N)
+        is_nocall = (c == _N)
+        is_noref = (~is_match) & (~is_nocall) & (r == _N)
+        is_sub = (~is_match) & (~is_nocall) & (~is_noref)
+
+        m_pts = _jnp.where(mode == _MODE_MS, _PM2, _PM)
+        new_t_m = _jnp.where(mode == _MODE_MS, t + 1, 0)
+        s_t = _jnp.where(mode == _MODE_SUB, t + 1, 0)
+        s_pts = _jnp.where(s_t + 1 > _LIM3, _PS3,
+                           _jnp.where(s_t + 1 > 1, _PS2, _PS))
+
+        score = score + _jnp.where(is_match, m_pts,
+                                   _jnp.where(is_sub, s_pts, 0))
+        new_mode = _jnp.where(is_match, _MODE_MS,
+                              _jnp.where(is_sub, _MODE_SUB, mode))
+        new_time = _jnp.where(is_match, new_t_m,
+                              _jnp.where(is_sub, s_t, t))
+        return (score, new_mode, new_time), None
+
+    init = (_jnp.zeros(J, _jnp.int32), _jnp.full(J, _MODE_NONE, _jnp.int32),
+            _jnp.zeros(J, _jnp.int32))
+    xs = (reads.T.astype(_jnp.int32), refs.T.astype(_jnp.int32))
+    (score, _, _), _ = _jax.lax.scan(step, init, xs)
+    return score
+
+
+def gather_ref_rows(genome: np.ndarray, ref_starts: np.ndarray,
+                    L: int) -> np.ndarray:
+    """(J,) flat starts -> (J, L) ASCII ref rows, 'N' outside."""
+    J = len(ref_starts)
+    pos = ref_starts[:, None] + np.arange(L)[None, :]
+    inb = (pos >= 0) & (pos < len(genome))
+    out = np.full((J, L), _N, np.uint8)
+    out[inb] = genome[pos[inb].astype(np.int64)]
+    return out
+
+
+def gen_match_no_indels_batch(reads: np.ndarray,
+                              refs: np.ndarray) -> np.ndarray:
+    """(J, L) reads/refs -> (J, L) match symbols (m/S/N), vectorized
+    (reference: genMatchNoIndels:1956-1972)."""
+    return np.where((reads == _N) | (refs == _N), ord("N"),
+                    np.where(reads == refs, ord("m"),
+                             ord("S"))).astype(np.uint8)

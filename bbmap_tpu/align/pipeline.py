@@ -160,10 +160,20 @@ class BBMapAligner:
 
         # gapless fast path: sites whose no-indel score can't be beaten by
         # any indel alignment skip the DP entirely
-        # (reference: align2/AbstractMapThread.java:1252)
-        g_scores = gapless.score_no_indels_flat(
-            cand_reads, np.full(n, L, np.int64), self.codes_ascii,
-            cs.best_diag)
+        # (reference: align2/AbstractMapThread.java:1252). Scored on device
+        # (one lax.scan over L with all candidates in the lanes), padded to
+        # power-of-two job counts to bound recompilation.
+        refs_g = gapless.gather_ref_rows(self.codes_ascii, cs.best_diag, L)
+        n_pad = _bucket_pad(n)
+        if n_pad != n:
+            reads_p = np.full((n_pad, L), ord("N"), np.uint8)
+            refs_p = np.full((n_pad, L), ord("N"), np.uint8)
+            reads_p[:n] = cand_reads
+            refs_p[:n] = refs_g
+        else:
+            reads_p, refs_p = cand_reads, refs_g
+        g_scores = np.asarray(
+            gapless.score_no_indels_jax(reads_p, refs_p, L))[:n]
         max_imp = K.max_imperfect_score(L)
         max_sw_q = K.max_quality(L)
         slow = g_scores.astype(np.int64)
@@ -224,7 +234,7 @@ class BBMapAligner:
                             int(wlen[best_j]), best, bool(needs_dp[best_j])))
 
         # finalize winners: match strings + coordinates
-        self._finalize_winners(cand_reads, cs, winners, results, L)
+        self._finalize_winners(cand_reads, refs_g, cs, winners, results, L)
 
     def _dp_score(self, cand_reads: np.ndarray, wstart: np.ndarray,
                   wlen: np.ndarray, dp_jobs: np.ndarray,
@@ -248,22 +258,28 @@ class BBMapAligner:
                 out[t] = int(s[s_i])
         return out
 
-    def _finalize_winners(self, cand_reads, cs, winners, results,
+    def _finalize_winners(self, cand_reads, refs_g, cs, winners, results,
                           L: int) -> None:
         from . import gapless
 
         gapless_winners = [w for w in winners if not w[5]]
         dp_winners = [w for w in winners if w[5]]
-        for (read_global, j, ws, wl, score, _dp) in gapless_winners:
-            start_flat = int(cs.best_diag[j])
-            match = gapless.gen_match_no_indels(
-                cand_reads[j], self.codes_ascii, start_flat)
-            res = results[read_global]
-            res.match = match
-            chrom, loc = self._chrom_of(start_flat)
-            res.chrom = chrom
-            res.start = loc
-            res.stop = loc + L - 1
+        if gapless_winners:
+            jlist = np.array([w[1] for w in gapless_winners], np.int64)
+            matches = gapless.gen_match_no_indels_batch(
+                cand_reads[jlist], refs_g[jlist])
+            starts_flat = cs.best_diag[jlist]
+            chroms = np.searchsorted(self.chrom_offsets, starts_flat,
+                                     side="right") - 1
+            chroms = np.clip(chroms, 0, len(self.chrom_offsets) - 2)
+            locs = starts_flat - self.chrom_offsets[chroms]
+            for t, (read_global, j, ws, wl, score, _dp) in enumerate(
+                    gapless_winners):
+                res = results[read_global]
+                res.match = bytes(matches[t])
+                res.chrom = int(chroms[t]) + 1
+                res.start = int(locs[t])
+                res.stop = int(locs[t]) + L - 1
         if dp_winners:
             self._traceback_dp(cand_reads, dp_winners, results, L)
 
