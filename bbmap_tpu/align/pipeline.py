@@ -84,6 +84,22 @@ def clearzone_for(score: int, max_sw: int, perfect: bool) -> int:
     return CLEARZONE1c
 
 
+def clearzone_vec(score: np.ndarray, max_sw: int,
+                  perfect: np.ndarray) -> np.ndarray:
+    """Vectorized clearzone_for (reference: align2/BBMapThread.java:508-525)."""
+    score = score.astype(np.float64)
+    cz1b_lim = max_sw * CZ1B_CUTOFF_SCALE - CZ1B_CUTOFF_FLAT
+    cz1c_lim = max_sw * CZ1C_CUTOFF_SCALE - CZ1C_CUTOFF_FLAT
+    hi = ((max_sw - score) * CLEARZONE1b
+          + (score - cz1b_lim) * CLEARZONE1) / max(max_sw - cz1b_lim, 1e-9)
+    mid = ((cz1b_lim - score) * CLEARZONE1c
+           + (score - cz1c_lim) * CLEARZONE1b) / max(cz1b_lim - cz1c_lim,
+                                                     1e-9)
+    cz = np.where(score > cz1b_lim, hi,
+                  np.where(score > cz1c_lim, mid, CLEARZONE1c))
+    return np.where(perfect, CLEARZONEP, cz.astype(np.int64))
+
+
 def _bucket_pad(n: int) -> int:
     """Pad job counts to powers of two (min 16) to bound recompilation."""
     p = 16
@@ -153,6 +169,18 @@ class BBMapAligner:
             max_candidates=self.max_candidates)
         if cs is None or len(cs) == 0:
             return
+        # drop single-vote noise chains for reads with a well-seeded site
+        # (the reference's greedy hit-list trimming / prescan skipping,
+        # align2/BBIndex.java:266,642)
+        maxv = np.zeros(len(idxs), np.int32)
+        np.maximum.at(maxv, cs.read_idx, cs.votes)
+        keep = (cs.votes >= 2) | (maxv[cs.read_idx] < 3)
+        if not keep.all():
+            cs = seed.CandidateSet(
+                read_idx=cs.read_idx[keep], strand=cs.strand[keep],
+                start=cs.start[keep], stop=cs.stop[keep],
+                votes=cs.votes[keep], spread=cs.spread[keep],
+                best_diag=cs.best_diag[keep])
         n = len(cs)
         rc_sub = COMP_ASCII[sub][:, ::-1]
         cand_reads = np.where(cs.strand[:, None] == 0,
@@ -196,7 +224,7 @@ class BBMapAligner:
             slow = slow.copy()
             slow[dp_jobs] = dp_scores
 
-        # per-read selection with clearzone ambiguity
+        # per-read selection with clearzone ambiguity, vectorized
         max_sw = K.max_quality(L)
         min_score = int(max_sw * self.min_ratio)
         order = np.lexsort((cs.start, cs.strand, -slow, cs.read_idx))
@@ -204,34 +232,42 @@ class BBMapAligner:
         boundaries = np.ones(n, bool)
         boundaries[1:] = r_of[1:] != r_of[:-1]
         first_of = np.nonzero(boundaries)[0]
+        best_j = order[first_of]
+        best = slow[best_j]
+        has_second = np.zeros(len(first_of), bool)
+        has_second[:-1] = np.diff(first_of) > 1
+        if len(first_of):
+            has_second[-1] = first_of[-1] + 1 < n
+        second = np.where(
+            has_second, slow[order[np.minimum(first_of + 1, n - 1)]],
+            np.int64(-(2 ** 31)))
+        mapped = best >= min_score
+        perfect = best >= max_sw
+        cz = clearzone_vec(best, max_sw, perfect)
+        ambiguous = has_second & (best - second < cz)
+        # n_sites per read (of retained candidates)
+        good_c = slow[order] >= min_score
+        grp = np.cumsum(boundaries) - 1
+        n_sites = np.bincount(grp[good_c], minlength=len(first_of))
+
         winners: List[Tuple[int, int, int, int, int, bool]] = []
         # (global_read, cand_idx, wstart, wlen, score, used_dp)
-        for gi, a in enumerate(first_of):
-            b = first_of[gi + 1] if gi + 1 < len(first_of) else n
-            cand_ids = order[a:b]
-            best_j = int(cand_ids[0])
-            best = int(slow[best_j])
-            if best < min_score:
-                continue
-            read_local = int(r_of[a])
-            read_global = int(idxs[read_local])
-            perfect = best >= max_sw
-            ambiguous = False
-            if b - a > 1:
-                cz = clearzone_for(best, max_sw, perfect)
-                if best - int(slow[cand_ids[1]]) < cz:
-                    ambiguous = True
+        toss = self.ambig_mode == "toss"
+        for gi in np.nonzero(mapped)[0]:
+            read_global = int(idxs[int(r_of[first_of[gi]])])
             res = results[read_global]
-            res.score = best
-            res.perfect = perfect
-            res.ambiguous = ambiguous
-            res.n_sites = int((slow[cand_ids] >= min_score).sum())
-            if ambiguous and self.ambig_mode == "toss":
+            res.score = int(best[gi])
+            res.perfect = bool(perfect[gi])
+            res.ambiguous = bool(ambiguous[gi])
+            res.n_sites = int(n_sites[gi])
+            if res.ambiguous and toss:
                 continue
             res.mapped = True
-            res.strand = int(cs.strand[best_j])
-            winners.append((read_global, best_j, int(wstart[best_j]),
-                            int(wlen[best_j]), best, bool(needs_dp[best_j])))
+            j = int(best_j[gi])
+            res.strand = int(cs.strand[j])
+            winners.append((read_global, j, int(wstart[j]),
+                            int(wlen[j]), int(best[gi]),
+                            bool(needs_dp[j])))
 
         # finalize winners: match strings + coordinates
         self._finalize_winners(cand_reads, refs_g, cs, winners, results, L)
