@@ -36,7 +36,11 @@ from . import seed
 # reference defaults (align2/BBMap.java:44-63, align2/AbstractMapThread.java)
 MIN_RATIO = 0.56
 SLOW_ALIGN_PADDING = 4
-MAX_PAIR_DIST = 32000
+MAX_PAIR_DIST = 32000            # reference: AbstractMapThread.java:2975
+AVERAGE_PAIR_DIST = 100          # initial value (:2948); the reference
+# updates a running average during the run — static here (determinism)
+OUTER_DIST_MULT = 14             # reference: AbstractMapThread.java:2991
+OUTER_DIST_DIV = 32
 # clearzone model (reference: align2/BBMapThread.java:38-57,114-134)
 CLEARZONEP = int(1.6 * K.POINTS_MATCH2)
 CLEARZONE1 = int(2.0 * K.POINTS_MATCH2)
@@ -158,8 +162,51 @@ class BBMapAligner:
             self._map_group(batch, L, np.asarray(idxs, np.int64), results)
         return results
 
+    def map_pairs(self, b1: ReadBatch, b2: ReadBatch
+                  ) -> Tuple[List[MappedRead], List[MappedRead]]:
+        """Pair-aware mapping: candidate sites of both mates boost each
+        other before selection (reference: AbstractMapThread
+        pairSiteScoresFinal:1919-2100), and proper-pair flags follow
+        canPair on the top sites (reference: BBMapThread.java:1188-1200).
+        Rescue (quickRescue) is a later milestone."""
+        B = b1.size
+        res1 = [MappedRead() for _ in range(B)]
+        res2 = [MappedRead() for _ in range(B)]
+        l1 = np.unique(b1.lengths)
+        l2 = np.unique(b2.lengths)
+        if len(l1) != 1 or len(l2) != 1:
+            return self.map_batch(b1), self.map_batch(b2)
+        L1, L2 = int(l1[0]), int(l2[0])
+        idxs = np.arange(B, dtype=np.int64)
+        g1 = self._score_candidates(b1, L1, idxs)
+        g2 = self._score_candidates(b2, L2, idxs)
+        boost1 = boost2 = None
+        if g1 is not None and g2 is not None:
+            boost1, boost2 = self._pair_boost(g1, g2)
+        w1 = self._select_group(g1, res1, boost1, paired=True) \
+            if g1 is not None else []
+        w2 = self._select_group(g2, res2, boost2, paired=True) \
+            if g2 is not None else []
+        self._set_pair_flags(res1, res2, L1, L2)
+        if g1 is not None:
+            self._finalize_winners(g1["cand_reads"], g1["refs_g"],
+                                   g1["cs"], w1, res1, L1)
+        if g2 is not None:
+            self._finalize_winners(g2["cand_reads"], g2["refs_g"],
+                                   g2["cs"], w2, res2, L2)
+        return res1, res2
+
     def _map_group(self, batch: ReadBatch, L: int, idxs: np.ndarray,
                    results: List[MappedRead]) -> None:
+        g = self._score_candidates(batch, L, idxs)
+        if g is None:
+            return
+        winners = self._select_group(g, results, None, paired=False)
+        self._finalize_winners(g["cand_reads"], g["refs_g"], g["cs"],
+                               winners, results, L)
+
+    def _score_candidates(self, batch: ReadBatch, L: int,
+                          idxs: np.ndarray) -> Optional[dict]:
         from ..core.bases import COMP_ASCII
         from . import gapless
 
@@ -168,7 +215,7 @@ class BBMapAligner:
             self.index, sub, L, chain_dist=self.chain_dist,
             max_candidates=self.max_candidates)
         if cs is None or len(cs) == 0:
-            return
+            return None
         # drop single-vote noise chains for reads with a well-seeded site
         # (the reference's greedy hit-list trimming / prescan skipping,
         # align2/BBIndex.java:266,642)
@@ -223,36 +270,134 @@ class BBMapAligner:
             dp_scores = self._dp_score(cand_reads, wstart, wlen, dp_jobs, L)
             slow = slow.copy()
             slow[dp_jobs] = dp_scores
+        return dict(cs=cs, slow=slow, needs_dp=needs_dp, wstart=wstart,
+                    wlen=wlen, cand_reads=cand_reads, refs_g=refs_g,
+                    idxs=idxs, L=L)
 
-        # per-read selection with clearzone ambiguity, vectorized
+    def _pair_boost(self, g1: dict, g2: dict
+                    ) -> Tuple[np.ndarray, np.ndarray]:
+        """pairedScore for every cross-pair of mate candidates
+        (reference: AbstractMapThread.pairSiteScoresFinal:1919-2070)."""
+        cs1, cs2 = g1["cs"], g2["cs"]
+        s1, s2 = g1["slow"], g2["slow"]
+        L1, L2 = g1["L"], g2["L"]
+        B = len(g1["idxs"])
+        n1 = np.bincount(cs1.read_idx, minlength=B)
+        n2 = np.bincount(cs2.read_idx, minlength=B)
+        # candidates are read-sorted; start offset of each read's block
+        st1 = np.concatenate([[0], np.cumsum(n1)[:-1]])
+        st2 = np.concatenate([[0], np.cumsum(n2)[:-1]])
+        cross = n1 * n2
+        total = int(cross.sum())
+        boost1 = np.zeros(len(cs1.read_idx), np.int64)
+        boost2 = np.zeros(len(cs2.read_idx), np.int64)
+        if total == 0:
+            return boost1, boost2
+        cross_read = np.repeat(np.arange(B), cross)
+        t = np.arange(total) - np.repeat(
+            np.concatenate([[0], np.cumsum(cross)[:-1]]), cross)
+        j1 = (st1[cross_read] + t // n2[cross_read]).astype(np.int64)
+        j2 = (st2[cross_read] + t % n2[cross_read]).astype(np.int64)
+
+        a_start, a_stop = cs1.start[j1], cs1.stop[j1]
+        b_start, b_stop = cs2.start[j2], cs2.stop[j2]
+        strand1, strand2 = cs1.strand[j1], cs2.strand[j2]
+        # same chrom check on flat coords
+        ch1 = np.searchsorted(self.chrom_offsets, a_start, "right")
+        ch2 = np.searchsorted(self.chrom_offsets, b_start, "right")
+        opp = strand1 != strand2
+        inner = np.where(strand1 == 0, b_start - a_stop,
+                         a_start - b_stop)
+        outer = np.where(strand1 == 0, b_stop - a_start,
+                         a_stop - b_start)
+        # same-strand fallback distances (reference :2000-2016)
+        inner_ss = np.where(a_start <= b_start, b_start - a_stop,
+                            a_start - b_stop)
+        outer_ss = np.where(a_start <= b_start, b_stop - a_start,
+                            a_stop - b_start)
+        inner = np.where(opp, inner, inner_ss)
+        outer = np.where(opp, outer, outer_ss)
+
+        outer_limit = (max(L1, L2) * OUTER_DIST_MULT) // OUTER_DIST_DIV
+        ok = ((ch1 == ch2) & (outer >= outer_limit)
+              & (inner <= MAX_PAIR_DIST) & opp)
+        if not ok.any():
+            return boost1, boost2
+        expected_frag = AVERAGE_PAIR_DIST + L1 + L2
+        deviation = np.abs(AVERAGE_PAIR_DIST - inner)
+        mult1 = min(0.5, max(0.25, L1 / (4.0 * L2)))
+        mult2 = min(0.5, max(0.25, L2 / (4.0 * L1)))
+        denom = max(100, 10 * expected_frag + 100)
+        sc1 = s1[j1]
+        sc2 = s2[j2]
+        p1 = sc1 + 1 + np.maximum(
+            1, (sc2 * mult1).astype(np.int64) - (deviation * sc2) // denom)
+        p2 = sc2 + 1 + np.maximum(
+            1, (sc1 * mult2).astype(np.int64) - (deviation * sc1) // denom)
+        np.maximum.at(boost1, j1[ok], p1[ok])
+        np.maximum.at(boost2, j2[ok], p2[ok])
+        return boost1, boost2
+
+    def _select_group(self, g: dict, results: List[MappedRead],
+                      boost: Optional[np.ndarray],
+                      paired: bool) -> List[tuple]:
+        """Vectorized per-read site selection with clearzone ambiguity
+        (reference: align2/BBMapThread.java:500-560 unpaired interpolated
+        clearzone; :1157-1183 paired stepwise clearzone)."""
+        cs = g["cs"]
+        slow = g["slow"]
+        idxs = g["idxs"]
+        L = g["L"]
+        n = len(cs)
+        scored = slow if boost is None else np.maximum(slow, boost)
         max_sw = K.max_quality(L)
         min_score = int(max_sw * self.min_ratio)
-        order = np.lexsort((cs.start, cs.strand, -slow, cs.read_idx))
+        if paired:
+            # reference: MINIMUM_ALIGNMENT_SCORE_RATIO_PAIRED
+            # (AbstractMapThread.java:106)
+            ratio_paired = max(self.min_ratio * 0.80,
+                               1 - (1 - self.min_ratio) * 1.4)
+            min_paired = int(max_sw * ratio_paired)
+        order = np.lexsort((cs.start, cs.strand, -scored, cs.read_idx))
         r_of = cs.read_idx[order]
         boundaries = np.ones(n, bool)
         boundaries[1:] = r_of[1:] != r_of[:-1]
         first_of = np.nonzero(boundaries)[0]
         best_j = order[first_of]
-        best = slow[best_j]
+        best = scored[best_j]
+        best_slow = slow[best_j]
         has_second = np.zeros(len(first_of), bool)
         has_second[:-1] = np.diff(first_of) > 1
         if len(first_of):
             has_second[-1] = first_of[-1] + 1 < n
         second = np.where(
-            has_second, slow[order[np.minimum(first_of + 1, n - 1)]],
+            has_second, scored[order[np.minimum(first_of + 1, n - 1)]],
             np.int64(-(2 ** 31)))
-        mapped = best >= min_score
-        perfect = best >= max_sw
-        cz = clearzone_vec(best, max_sw, perfect)
+        was_boosted = (boost is not None) & (best > best_slow)
+        if paired:
+            mapped = np.where(was_boosted, best_slow >= min_paired,
+                              best_slow >= min_score)
+        else:
+            mapped = best >= min_score
+        perfect = best_slow >= max_sw
+        if paired:
+            # stepwise clearzone (reference: BBMapThread.java:1157-1160)
+            cz1b_lim = max_sw * CZ1B_CUTOFF_SCALE - CZ1B_CUTOFF_FLAT
+            cz1c_lim = max_sw * CZ1C_CUTOFF_SCALE - CZ1C_CUTOFF_FLAT
+            cz = np.where(perfect, CLEARZONEP,
+                          np.where(best >= cz1b_lim, CLEARZONE1,
+                                   np.where(best >= cz1c_lim, CLEARZONE1b,
+                                            CLEARZONE1c)))
+        else:
+            cz = clearzone_vec(best, max_sw, perfect)
         ambiguous = has_second & (best - second < cz)
-        # n_sites per read (of retained candidates)
-        good_c = slow[order] >= min_score
+        good_c = scored[order] >= min_score
         grp = np.cumsum(boundaries) - 1
         n_sites = np.bincount(grp[good_c], minlength=len(first_of))
 
-        winners: List[Tuple[int, int, int, int, int, bool]] = []
-        # (global_read, cand_idx, wstart, wlen, score, used_dp)
+        winners: List[tuple] = []
         toss = self.ambig_mode == "toss"
+        wstart, wlen, needs_dp = g["wstart"], g["wlen"], g["needs_dp"]
         for gi in np.nonzero(mapped)[0]:
             read_global = int(idxs[int(r_of[first_of[gi]])])
             res = results[read_global]
@@ -265,12 +410,36 @@ class BBMapAligner:
             res.mapped = True
             j = int(best_j[gi])
             res.strand = int(cs.strand[j])
+            # provisional coordinates for pair-flag checks; finalize
+            # overwrites with traceback-accurate values
+            ch = int(np.searchsorted(self.chrom_offsets,
+                                     cs.start[j], "right"))
+            res.chrom = ch
+            res.start = int(cs.start[j]
+                            - self.chrom_offsets[ch - 1])
+            res.stop = res.start + L - 1
             winners.append((read_global, j, int(wstart[j]),
                             int(wlen[j]), int(best[gi]),
                             bool(needs_dp[j])))
+        return winners
 
-        # finalize winners: match strings + coordinates
-        self._finalize_winners(cand_reads, refs_g, cs, winners, results, L)
+    def _set_pair_flags(self, res1, res2, L1: int, L2: int) -> None:
+        """canPair on top sites (reference: BBMapThread.java:1188-1200,
+        AbstractMapThread.canPair:2098-2130)."""
+        outer_limit = (max(L1, L2) * OUTER_DIST_MULT) // OUTER_DIST_DIV
+        for r1, r2 in zip(res1, res2):
+            if not (r1.mapped and r2.mapped):
+                continue
+            if r1.chrom != r2.chrom or r1.strand == r2.strand:
+                continue
+            if r1.strand == 0:
+                inner = r2.start - r1.stop
+                outer = r2.stop - r1.start
+            else:
+                inner = r1.start - r2.stop
+                outer = r1.stop - r2.start
+            if outer >= outer_limit and inner <= MAX_PAIR_DIST:
+                r1.paired = r2.paired = True
 
     def _dp_score(self, cand_reads: np.ndarray, wstart: np.ndarray,
                   wlen: np.ndarray, dp_jobs: np.ndarray,
@@ -397,7 +566,8 @@ def emit_sam(genome: Genome, batch: ReadBatch,
     for i in range(B):
         r1, r2 = results[i], (results2[i] if paired_input else None)
         b1, b2 = batch, (batch2 if paired_input else None)
-        proper = _properly_paired(genome, r1, r2) if paired_input else False
+        proper = (r1.paired or _properly_paired(genome, r1, r2)) \
+            if paired_input else False
         if proper:
             r1.paired = r2.paired = True
         lines.append(_one_sam_line(genome, b1, i, r1, r2, 0, paired_input,

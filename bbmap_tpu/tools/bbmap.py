@@ -88,11 +88,10 @@ def main(argv: List[str]) -> int:
     for chunk in batched(iter(reader), batch_size):
         recs1 = [p[0] for p in chunk]
         b1 = ReadBatch.from_records(recs1)
-        res1 = aligner.map_batch(b1)
         if paired:
             recs2 = [p[1] for p in chunk]
             b2 = ReadBatch.from_records(recs2)
-            res2 = aligner.map_batch(b2)
+            res1, res2 = aligner.map_pairs(b1, b2)
             lines = emit_sam(genome, b1, res1, res2, b2)
             n_reads += 2 * len(recs1)
             n_mapped += sum(r.mapped for r in res1)

@@ -142,3 +142,20 @@ def test_sam_paired(aligner):
     assert f1[6] == "=" and f2[6] == "="
     assert f1[0] == "p" and f2[0] == "p"
     assert int(f1[8]) == 300 and int(f2[8]) == -300
+
+
+def test_map_pairs_boost_and_flags(aligner):
+    g = aligner.genome
+    # r2's true site is ambiguous-ish alone but pairing should resolve flags
+    r1 = [_mkread(g, 2000, 100, rid="q/1")]
+    r2 = [_mkread(g, 2150, 100, strand=1, rid="q/2")]
+    b1 = ReadBatch.from_records(r1)
+    b2 = ReadBatch.from_records(r2)
+    res1, res2 = aligner.map_pairs(b1, b2)
+    assert res1[0].mapped and res2[0].mapped
+    assert res1[0].paired and res2[0].paired
+    assert res1[0].start - START_PADDING == 2000
+    assert res2[0].start - START_PADDING == 2150
+    # paired score boost raises mapScore above the single-end slow score
+    from bbmap_tpu.core import constants as K
+    assert res1[0].score > K.max_quality(100)
