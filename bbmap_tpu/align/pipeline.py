@@ -117,7 +117,8 @@ class BBMapAligner:
                  min_ratio: float = MIN_RATIO,
                  max_candidates: int = 16,
                  chain_dist: int = 400,
-                 ambig_mode: str = "best", maxindel: int = 16000):
+                 ambig_mode: str = "best", maxindel: int = 16000,
+                 device_quickmap: bool = True):
         self.genome = genome
         self.index = index
         self.min_ratio = min_ratio
@@ -125,6 +126,10 @@ class BBMapAligner:
         self.chain_dist = chain_dist
         self.ambig_mode = ambig_mode
         self.maxindel = maxindel
+        # the flat int32 site space caps device quickmap at 1 Gbp genomes
+        self.device_quickmap = (device_quickmap
+                                and index.chrom_offsets[-1] < 2 ** 30)
+        self._qm_cache: Dict[int, object] = {}
         self.codes_ascii = self._genome_ascii()
         self.chrom_offsets = index.chrom_offsets
 
@@ -153,6 +158,11 @@ class BBMapAligner:
     def map_batch(self, batch: ReadBatch) -> List[MappedRead]:
         B = batch.size
         results = [MappedRead() for _ in range(B)]
+        lens = np.unique(batch.lengths)
+        if (self.device_quickmap and len(lens) == 1
+                and int(lens[0]) >= self.index.k):
+            self._map_batch_device(batch, int(lens[0]), results)
+            return results
         by_len: Dict[int, List[int]] = {}
         for i in range(B):
             L = int(batch.lengths[i])
@@ -161,6 +171,87 @@ class BBMapAligner:
         for L, idxs in sorted(by_len.items()):
             self._map_group(batch, L, np.asarray(idxs, np.int64), results)
         return results
+
+    # ---- device quickmap fast path ----
+    def _qm_run(self, batch: ReadBatch, L: int):
+        from . import quickmap_device
+        if L not in self._qm_cache:
+            self._qm_cache[L] = quickmap_device.build_quickmap(
+                self.index, L, chain_dist=self.chain_dist,
+                min_ratio=self.min_ratio)
+        qr = self._qm_cache[L](batch.bases[:, :L])
+        return {k: np.asarray(v) for k, v in qr._asdict().items()}
+
+    def _direct_fill(self, batch: ReadBatch, L: int, d: dict,
+                     results: List[MappedRead], direct: np.ndarray,
+                     scored: Optional[np.ndarray] = None,
+                     second: Optional[np.ndarray] = None) -> None:
+        """Fill results for reads settled by the device quickmap (gapless
+        winners). `scored`/`second` override raw scores for pair-boosted
+        selection."""
+        from ..core.bases import COMP_ASCII
+        from . import gapless
+        best = d["best_score"].astype(np.int64)
+        eff = best if scored is None else scored
+        snd = d["second_score"].astype(np.int64) if second is None \
+            else second
+        max_sw = K.max_quality(L)
+        min_score = int(max_sw * self.min_ratio)
+        if scored is not None:
+            # paired path: boosted sites use the relaxed paired ratio
+            # (reference: AbstractMapThread.java:106,
+            # removeLowQualitySitesPaired)
+            ratio_paired = max(self.min_ratio * 0.80,
+                               1 - (1 - self.min_ratio) * 1.4)
+            min_paired = int(max_sw * ratio_paired)
+            mapped = direct & np.where(eff > best, best >= min_paired,
+                                       best >= min_score)
+        else:
+            mapped = direct & (best >= min_score)
+        perfect = best >= max_sw
+        cz = clearzone_vec(eff, max_sw, perfect)
+        ambiguous = (snd > -(2 ** 29)) & (eff - snd < cz)
+        toss = self.ambig_mode == "toss"
+        idx = np.nonzero(mapped)[0]
+        if len(idx) == 0:
+            return
+        diags = d["best_diag"][idx].astype(np.int64)
+        strands = d["best_strand"][idx]
+        refs = gapless.gather_ref_rows(self.codes_ascii, diags, L)
+        sub = batch.bases[idx][:, :L]
+        rc = COMP_ASCII[sub][:, ::-1]
+        reads = np.where((strands == 0)[:, None], sub, rc)
+        matches = gapless.gen_match_no_indels_batch(reads, refs)
+        chroms = np.clip(np.searchsorted(self.chrom_offsets, diags,
+                                         side="right") - 1,
+                         0, len(self.chrom_offsets) - 2)
+        locs = diags - self.chrom_offsets[chroms]
+        for t, i in enumerate(idx):
+            res = results[i]
+            res.score = int(eff[i])
+            res.perfect = bool(perfect[i])
+            res.ambiguous = bool(ambiguous[i])
+            res.n_sites = int(d["n_good"][i])
+            if res.ambiguous and toss:
+                continue
+            res.mapped = True
+            res.strand = int(strands[t])
+            res.match = bytes(matches[t])
+            res.chrom = int(chroms[t]) + 1
+            res.start = int(locs[t])
+            res.stop = int(locs[t]) + L - 1
+
+    def _map_batch_device(self, batch: ReadBatch, L: int,
+                          results: List[MappedRead]) -> None:
+        d = self._qm_run(batch, L)
+        max_imp = K.max_imperfect_score(L)
+        best = d["best_score"].astype(np.int64)
+        escalate = best < max_imp if self.maxindel > 0 \
+            else np.zeros(len(best), bool)
+        self._direct_fill(batch, L, d, results, ~escalate)
+        idxs = np.nonzero(escalate)[0]
+        if len(idxs):
+            self._map_group(batch, L, idxs.astype(np.int64), results)
 
     def map_pairs(self, b1: ReadBatch, b2: ReadBatch
                   ) -> Tuple[List[MappedRead], List[MappedRead]]:
@@ -177,6 +268,9 @@ class BBMapAligner:
         if len(l1) != 1 or len(l2) != 1:
             return self.map_batch(b1), self.map_batch(b2)
         L1, L2 = int(l1[0]), int(l2[0])
+        if self.device_quickmap and L1 >= self.index.k \
+                and L2 >= self.index.k:
+            return self._map_pairs_device(b1, b2, L1, L2, res1, res2)
         idxs = np.arange(B, dtype=np.int64)
         g1 = self._score_candidates(b1, L1, idxs)
         g2 = self._score_candidates(b2, L2, idxs)
@@ -194,6 +288,102 @@ class BBMapAligner:
         if g2 is not None:
             self._finalize_winners(g2["cand_reads"], g2["refs_g"],
                                    g2["cs"], w2, res2, L2)
+        return res1, res2
+
+    def _pair_boost_fixed(self, d1: dict, d2: dict, L1: int, L2: int
+                          ) -> Tuple[np.ndarray, np.ndarray]:
+        """pairSiteScoresFinal over the fixed (B, C, C) candidate cross
+        (device quickmap path). Same formula as _pair_boost."""
+        s1 = d1["cand_scores"].astype(np.int64)
+        s2 = d2["cand_scores"].astype(np.int64)
+        v1 = s1 > -(2 ** 29)
+        v2 = s2 > -(2 ** 29)
+        a_start = d1["cand_start"].astype(np.int64)
+        a_stop = a_start + d1["cand_spread"] + L1 - 1
+        b_start = d2["cand_start"].astype(np.int64)
+        b_stop = b_start + d2["cand_spread"] + L2 - 1
+        st1 = d1["cand_strand"]
+        st2 = d2["cand_strand"]
+        ch1 = np.searchsorted(self.chrom_offsets, a_start, "right")
+        ch2 = np.searchsorted(self.chrom_offsets, b_start, "right")
+        A = lambda x: x[:, :, None]
+        Bx = lambda x: x[:, None, :]
+        opp = A(st1) != Bx(st2)
+        inner = np.where(A(st1) == 0, Bx(b_start) - A(a_stop),
+                         A(a_start) - Bx(b_stop))
+        outer = np.where(A(st1) == 0, Bx(b_stop) - A(a_start),
+                         A(a_stop) - Bx(b_start))
+        outer_limit = (max(L1, L2) * OUTER_DIST_MULT) // OUTER_DIST_DIV
+        ok = (A(v1) & Bx(v2) & opp & (A(ch1) == Bx(ch2))
+              & (outer >= outer_limit) & (inner <= MAX_PAIR_DIST))
+        expected_frag = AVERAGE_PAIR_DIST + L1 + L2
+        deviation = np.abs(AVERAGE_PAIR_DIST - inner)
+        mult1 = min(0.5, max(0.25, L1 / (4.0 * L2)))
+        mult2 = min(0.5, max(0.25, L2 / (4.0 * L1)))
+        denom = max(100, 10 * expected_frag + 100)
+        p1 = A(s1) + 1 + np.maximum(
+            1, (Bx(s2) * mult1).astype(np.int64)
+            - (deviation * Bx(s2)) // denom)
+        p2 = Bx(s2) + 1 + np.maximum(
+            1, (A(s1) * mult2).astype(np.int64)
+            - (deviation * A(s1)) // denom)
+        neg = np.int64(-(2 ** 30))
+        boost1 = np.where(ok, p1, neg).max(axis=2)
+        boost2 = np.where(ok, p2, neg).max(axis=1)
+        return (np.maximum(boost1, neg), np.maximum(boost2, neg))
+
+    @staticmethod
+    def _repick(d: dict, scored: np.ndarray) -> Tuple[dict, np.ndarray,
+                                                      np.ndarray]:
+        """Re-select best/second candidate slots after pair boosting."""
+        order = np.argsort(-scored, axis=1, kind="stable")
+        o0 = order[:, 0:1]
+        o1 = order[:, 1:2]
+        take = lambda a, o: np.take_along_axis(a, o, axis=1)[:, 0]
+        new = dict(d)
+        new["best_score"] = take(d["cand_scores"], o0)
+        new["best_diag"] = take(d["cand_diag"], o0)
+        new["best_strand"] = take(d["cand_strand"], o0)
+        new["best_start"] = take(d["cand_start"], o0)
+        new["best_spread"] = take(d["cand_spread"], o0)
+        return new, take(scored, o0), take(scored, o1)
+
+    def _map_pairs_device(self, b1, b2, L1, L2, res1, res2):
+        d1 = self._qm_run(b1, L1)
+        d2 = self._qm_run(b2, L2)
+        b1m, b2m = self._pair_boost_fixed(d1, d2, L1, L2)
+        sc1 = np.maximum(d1["cand_scores"].astype(np.int64), b1m)
+        sc2 = np.maximum(d2["cand_scores"].astype(np.int64), b2m)
+        p1, eff1, snd1 = self._repick(d1, sc1)
+        p2, eff2, snd2 = self._repick(d2, sc2)
+        max_imp1 = K.max_imperfect_score(L1)
+        max_imp2 = K.max_imperfect_score(L2)
+        best1 = p1["best_score"].astype(np.int64)
+        best2 = p2["best_score"].astype(np.int64)
+        escalate = np.zeros(len(best1), bool)
+        if self.maxindel > 0:
+            escalate = (best1 < max_imp1) | (best2 < max_imp2)
+        direct = ~escalate
+        self._direct_fill(b1, L1, p1, res1, direct, eff1, snd1)
+        self._direct_fill(b2, L2, p2, res2, direct, eff2, snd2)
+        idxs = np.nonzero(escalate)[0].astype(np.int64)
+        if len(idxs):
+            g1 = self._score_candidates(b1, L1, idxs)
+            g2 = self._score_candidates(b2, L2, idxs)
+            hb1 = hb2 = None
+            if g1 is not None and g2 is not None:
+                hb1, hb2 = self._pair_boost(g1, g2)
+            w1 = self._select_group(g1, res1, hb1, paired=True) \
+                if g1 is not None else []
+            w2 = self._select_group(g2, res2, hb2, paired=True) \
+                if g2 is not None else []
+            if g1 is not None:
+                self._finalize_winners(g1["cand_reads"], g1["refs_g"],
+                                       g1["cs"], w1, res1, L1)
+            if g2 is not None:
+                self._finalize_winners(g2["cand_reads"], g2["refs_g"],
+                                       g2["cs"], w2, res2, L2)
+        self._set_pair_flags(res1, res2, L1, L2)
         return res1, res2
 
     def _map_group(self, batch: ReadBatch, L: int, idxs: np.ndarray,
