@@ -115,7 +115,7 @@ def build_quickmap(index: KmerIndex, L: int, chain_dist: int = 400,
 
     INVALID = jnp.int32(2 ** 30)
 
-    def quickmap(bases):
+    def quickmap(bases, starts_d, sites_d, genome_d):
         B = bases.shape[0]
         kp = _keys_from_ascii(bases, offsets_d, k)          # (B, nk)
         km = jnp.where(kp < 0, -1, _rc_keys(jnp.where(kp < 0, 0, kp), k))
@@ -251,7 +251,12 @@ def build_quickmap(index: KmerIndex, L: int, chain_dist: int = 400,
             cand_spread=cd_spread.astype(I32),
         )
 
-    return jax.jit(quickmap)
+    jitted = jax.jit(quickmap)
+
+    def run(bases):
+        return jitted(bases, starts_d, sites_d, genome_d)
+
+    return run
 
 
 _COMP_TABLE = np.arange(256, dtype=np.uint8)

@@ -75,3 +75,83 @@ def test_bbnorm_roundtrip(tmp_path):
                         "mindepth=1", "cells=65536"]) == 0
     n = sum(1 for l in open(out) if l.startswith("@dup"))
     assert n < 25  # ~10/50 kept
+
+
+def test_dedupe(tmp_path):
+    from bbmap_tpu.tools import dedupe
+    rng = np.random.default_rng(2)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    s1 = bytes(rng.choice(bases, 80))
+    s2 = bytes(rng.choice(bases, 80))
+    from bbmap_tpu.core.bases import COMP_ASCII
+    s1rc = bytes(COMP_ASCII[np.frombuffer(s1, np.uint8)][::-1])
+    inp = tmp_path / "d.fa"
+    inp.write_text(f">a\n{s1.decode()}\n>b\n{s2.decode()}\n"
+                   f">c\n{s1.decode()}\n>d\n{s1rc.decode()}\n")
+    out = tmp_path / "u.fa"
+    assert dedupe.main([f"in={inp}", f"out={out}"]) == 0
+    names = [l[1:].strip() for l in out.read_text().splitlines()
+             if l.startswith(">")]
+    assert names == ["a", "b"]
+
+
+def test_clumpify(tmp_path):
+    from bbmap_tpu.tools import clumpify
+    rng = np.random.default_rng(3)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    frag = bytes(rng.choice(bases, 200))
+    inp = tmp_path / "c.fq"
+    with open(inp, "wb") as fh:
+        # interleave reads from two loci
+        for i in range(10):
+            a = frag[i:i + 100]
+            b = bytes(rng.choice(bases, 100))
+            fh.write(b"@a%d\n" % i + a + b"\n+\n" + b"I" * 100 + b"\n")
+            fh.write(b"@b%d\n" % i + b + b"\n+\n" + b"I" * 100 + b"\n")
+    out = tmp_path / "out.fq"
+    assert clumpify.main([f"in={inp}", f"out={out}"]) == 0
+    order = [l[1:2] for l in out.read_text().splitlines()
+             if l.startswith("@")]
+    # the 10 'a' overlapping reads should be adjacent after clumping
+    first_a = order.index(b"a"[0:1].decode())
+    assert order[first_a:first_a + 10] == ["a"] * 10
+
+
+def test_bbmask(tmp_path):
+    from bbmap_tpu.tools import bbmask
+    rng = np.random.default_rng(4)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    good = bytes(rng.choice(bases, 300))
+    low = b"AT" * 150
+    inp = tmp_path / "m.fa"
+    inp.write_text(f">x\n{good.decode()}{low.decode()}{good.decode()}\n")
+    out = tmp_path / "masked.fa"
+    assert bbmask.main([f"in={inp}", f"out={out}"]) == 0
+    seq = "".join(l.strip() for l in out.read_text().splitlines()[1:])
+    mid = seq[350:550]
+    assert mid.count("N") > 150
+    assert seq[:250].count("N") < 20
+
+
+def test_seal(tmp_path):
+    from bbmap_tpu.tools import seal as seal_mod
+    rng = np.random.default_rng(5)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    refa = bytes(rng.choice(bases, 500))
+    refb = bytes(rng.choice(bases, 500))
+    ref = tmp_path / "refs.fa"
+    ref.write_text(f">refA\n{refa.decode()}\n>refB\n{refb.decode()}\n")
+    inp = tmp_path / "reads.fq"
+    with open(inp, "wb") as fh:
+        for i in range(5):
+            fh.write(b"@ra%d\n" % i + refa[i * 20:i * 20 + 100]
+                     + b"\n+\n" + b"I" * 100 + b"\n")
+        for i in range(3):
+            fh.write(b"@rb%d\n" % i + refb[i * 30:i * 30 + 100]
+                     + b"\n+\n" + b"I" * 100 + b"\n")
+    stats = tmp_path / "stats.txt"
+    assert seal_mod.main([f"in={inp}", f"ref={ref}",
+                          f"stats={stats}"]) == 0
+    txt = stats.read_text()
+    assert "refA\t5" in txt
+    assert "refB\t3" in txt
