@@ -105,10 +105,13 @@ def _ins0_np(R: int):
     return _ins0_column(R)
 
 
-def _wave_step(R: int, C: int, read1, read0, ref_rev_pad, prev1, prev2, d):
+def _wave_step(R: int, C: int, read1, read0, ref_rev_pad, rtrue,
+               prev1, prev2, d):
     """One anti-diagonal. prev1/prev2 = waves d-1, d-2, each (3, R+1).
-    Returns (wave (3, R+1) int32, prevs (R+1,) uint8 packed 2-bit
-    prev-state codes per state)."""
+    R is the padded lane count; `rtrue` (scalar, may be traced) is the
+    read's actual row count, so one compiled shape serves mixed read
+    lengths. Returns (wave (3, R+1) int32, prevs (R+1,) uint8 packed
+    2-bit prev-state codes per state)."""
     r_idx = jax.lax.broadcasted_iota(I32, (R + 1, 1), 0).reshape(R + 1)
     c_idx = d - r_idx  # column of each lane on this wave
 
@@ -136,8 +139,9 @@ def _wave_step(R: int, C: int, read1, read0, ref_rev_pad, prev1, prev2, d):
     ms_up = jnp.roll(prev1[MODE_MS], 1)   # (r-1) of wave d-1
     ins_up = jnp.roll(prev1[MODE_INS], 1)
 
-    maxGain = (R - 1) * POINTSoff_MATCH2 + POINTSoff_MATCH
-    subfloor = jnp.int32(-2 * maxGain)
+    maxGain = (rtrue - 1) * POINTSoff_MATCH2 + POINTSoff_MATCH
+    subfloor = (-2 * maxGain).astype(I32) if hasattr(maxGain, 'astype') \
+        else jnp.int32(-2 * maxGain)
 
     # ---- MS ----
     s_diag, s_del, s_ins = _score(ms_dd), _score(del_dd), _score(ins_dd)
@@ -181,7 +185,8 @@ def _wave_step(R: int, C: int, read1, read0, ref_rev_pad, prev1, prev2, d):
     d_d = d_d + refn_adj
     del_score = jnp.maximum(d_ms, d_d)
     del_time = _clamp_time(jnp.where(d_ms >= d_d, 1, dstreak + 1))
-    del_barrier = jnp.logical_or(r_idx < BARRIER_D1, r_idx > R - BARRIER_D1)
+    del_barrier = jnp.logical_or(r_idx < BARRIER_D1,
+                                 r_idx > rtrue - BARRIER_D1)
     del_val = jnp.where(del_barrier, subfloor,
                         jnp.bitwise_or(del_score, del_time))
     del_prev_arg = jnp.where(_score(ms_left) >= _score(del_left),
@@ -199,7 +204,7 @@ def _wave_step(R: int, C: int, read1, read0, ref_rev_pad, prev1, prev2, d):
         gap,
         jnp.logical_or(
             jnp.logical_and(r_idx < BARRIER_I1, c_idx > 1),
-            jnp.logical_and(r_idx > R - BARRIER_I1, c_idx < C - 1)))
+            jnp.logical_and(r_idx > rtrue - BARRIER_I1, c_idx < C - 1)))
     ins_val = jnp.where(ins_barrier, subfloor,
                         jnp.bitwise_or(ins_score, ins_time))
     ins_prev_arg = jnp.where(_score(ms_up) >= _score(ins_up),
@@ -215,7 +220,8 @@ def _wave_step(R: int, C: int, read1, read0, ref_rev_pad, prev1, prev2, d):
     bound = jnp.where(is_row0, 0, jnp.where(is_col0, ins0, 0))
     use_bound = jnp.logical_or(is_row0, is_col0)
     wave = jnp.where(use_bound[None, :], bound[None, :], wave)
-    invalid = jnp.logical_or(c_idx < 0, c_idx > C)
+    invalid = jnp.logical_or(jnp.logical_or(c_idx < 0, c_idx > C),
+                             r_idx > rtrue)
     wave = jnp.where(invalid[None, :], jnp.int32(BADoff), wave)
 
     prevs = (ms_prev | (del_prev << 2) | (ins_prev << 4)).astype(jnp.uint8)
@@ -242,14 +248,14 @@ def _prep_ref(ref_ascii, R):
     return jnp.concatenate([pad, ref_ascii.astype(I32)[::-1], pad])
 
 
-def _update_best(best, wave, d, R):
+def _update_best(best, wave, d, rtrue, C):
     """Track per-state running max over last-row cells (strict >, so the
     first/lowest column wins ties, matching the reference's scan order,
-    :857-878)."""
+    :857-878). The last row is lane `rtrue` (may be traced)."""
     best_scores, best_cols = best
-    val = _score(wave[:, R])  # (3,) last-row lane
-    col = d - R
-    on_last = jnp.logical_and(col >= 1, col <= 10 ** 9)
+    val = _score(jnp.take(wave, rtrue, axis=1))  # (3,) last-row lane
+    col = d - rtrue
+    on_last = jnp.logical_and(col >= 1, col <= C)
     take = jnp.logical_and(on_last, val > best_scores)
     best_scores = jnp.where(take, val, best_scores)
     best_cols = jnp.where(take, col, best_cols)
@@ -267,7 +273,9 @@ def _finish_best(best):
 
 
 def _scan(read, ref, R: int, C: int, want_prevs: bool,
-          want_waves: bool = False):
+          want_waves: bool = False, rtrue=None):
+    if rtrue is None:
+        rtrue = R
     read1, read0 = _prep_read(read, R)
     ref_rev_pad = _prep_ref(ref, R)
     w0, wm1 = _init_carry(R)
@@ -275,9 +283,9 @@ def _scan(read, ref, R: int, C: int, want_prevs: bool,
 
     def step(carry, d):
         prev1, prev2, best = carry
-        wave, prevs = _wave_step(R, C, read1, read0, ref_rev_pad,
+        wave, prevs = _wave_step(R, C, read1, read0, ref_rev_pad, rtrue,
                                  prev1, prev2, d)
-        best = _update_best(best, wave, d, R)
+        best = _update_best(best, wave, d, rtrue, C)
         ys = ()
         if want_prevs:
             ys = prevs
@@ -391,3 +399,19 @@ def waves_to_packed(waves: np.ndarray, R: int, C: int) -> np.ndarray:
         cs = np.arange(1, C + 1)
         out[:, r, 1:] = waves[r + cs - 1, :, r].T
     return out
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4))
+def msa_score_batch_var(reads, refs, rows, R: int, C: int):
+    """Variable-row batched scoring: reads (B, R) padded with 'N' beyond
+    each read's true length rows[b]. One compile serves all lengths <= R."""
+    return jax.vmap(
+        lambda rd, rf, rt: _scan(rd, rf, R, C, False, rtrue=rt)[1:]
+    )(reads, refs, rows)
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4))
+def msa_trace_batch_var(reads, refs, rows, R: int, C: int):
+    return jax.vmap(
+        lambda rd, rf, rt: _scan(rd, rf, R, C, True, rtrue=rt)
+    )(reads, refs, rows)

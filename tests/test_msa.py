@@ -120,3 +120,39 @@ def test_traceback_prevs_matches_oracle(rng, case):
     m_p = msa_jax.traceback_prevs(read, ref, np.asarray(prevs),
                                   int(col), int(state))
     assert m_o == m_p
+
+
+def test_variable_rows_matches_exact(rng):
+    """Padded variable-row DP must equal exact-shape DP per read."""
+    R_pad, C = 48, 80
+    lens = [20, 33, 48, 41]
+    reads = np.full((4, R_pad), ord("N"), np.uint8)
+    refs = np.zeros((4, C), np.uint8)
+    for i, L in enumerate(lens):
+        rd, rf = make_case(rng, L, C, nsubs=i)
+        reads[i, :L] = rd
+        refs[i] = rf
+    s, c, st = msa_jax.msa_score_batch_var(
+        reads, refs, np.array(lens, np.int32), R_pad, C)
+    for i, L in enumerate(lens):
+        se, ce, ste = msa_jax.msa_score_single(reads[i, :L], refs[i], L, C)
+        assert int(s[i]) == int(se)
+        assert int(c[i]) == int(ce)
+        assert int(st[i]) == int(ste)
+
+
+def test_variable_rows_trace(rng):
+    R_pad, C = 40, 64
+    L = 29
+    rd, rf = make_case(rng, L, C, nsubs=2, ndels=1)
+    reads = np.full((2, R_pad), ord("N"), np.uint8)
+    reads[0, :L] = rd
+    reads[1, :L] = rd
+    refs = np.stack([rf, rf])
+    prevs, s, c, st = msa_jax.msa_trace_batch_var(
+        reads, refs, np.array([L, L], np.int32), R_pad, C)
+    m = msa_jax.traceback_prevs(rd, rf, np.asarray(prevs[0]),
+                                int(c[0]), int(st[0]))
+    pe, se, ce, ste = msa_jax.msa_trace_single(rd, rf, L, C)
+    me = msa_jax.traceback_prevs(rd, rf, np.asarray(pe), int(ce), int(ste))
+    assert m == me and int(s[0]) == int(se)
