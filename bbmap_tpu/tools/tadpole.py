@@ -1,0 +1,158 @@
+"""tadpole: k-mer assembler (contig mode).
+
+reference: assemble/Tadpole.java:46 + Tadpole1.java:34 + sh/tadpole.sh.
+Contig building follows the reference walk (Tadpole1.contig build
+:158-278): seed at k-mers with count >= mincountseed, extend in both
+directions while the next k-mer is unique (exactly one of the four
+successors passes mincountextend) and unclaimed; branches and dead ends
+stop extension. The exact k-mer counts come from the sorted-array counter
+(tools/kmercountexact.py) instead of ways-partitioned hash tables; claim
+tracking replaces the reference's atomic ownership CAS (single stream).
+"""
+
+from __future__ import annotations
+
+import sys
+from typing import List, Optional, Set, Tuple
+
+import numpy as np
+
+from ..core.batch import ReadBatch, batched
+from ..index.build import reverse_complement_key
+from ..io import fastx
+from ..utils.args import Args
+from .kmercountexact import KmerCounter
+
+BASES = "ACGT"
+
+
+class KmerLookup:
+    def __init__(self, keys: np.ndarray, counts: np.ndarray, k: int):
+        self.keys = keys
+        self.counts = counts
+        self.k = k
+        self.mask = (1 << (2 * k)) - 1
+
+    def canonical(self, kmers: np.ndarray) -> np.ndarray:
+        return np.minimum(kmers,
+                          reverse_complement_key(kmers, self.k))
+
+    def count(self, kmers: np.ndarray) -> np.ndarray:
+        can = self.canonical(np.asarray(kmers, np.int64))
+        idx = np.searchsorted(self.keys, can)
+        idx = np.minimum(idx, max(0, len(self.keys) - 1))
+        hit = (self.keys[idx] == can) if len(self.keys) else \
+            np.zeros(len(can), bool)
+        return np.where(hit, self.counts[np.minimum(
+            idx, len(self.counts) - 1)], 0).astype(np.int64)
+
+
+def extend_right(lookup: KmerLookup, kmer: int, claimed: Set[int],
+                 min_extend: int, max_len: int) -> List[int]:
+    """Extend while the successor is unique; returns appended base codes."""
+    k = lookup.k
+    mask = lookup.mask
+    out: List[int] = []
+    cur = kmer
+    while len(out) < max_len:
+        nxt = ((cur << 2) & mask)
+        cands = np.array([nxt | b for b in range(4)], np.int64)
+        cnt = lookup.count(cands)
+        good = cnt >= min_extend
+        if good.sum() != 1:
+            break
+        b = int(np.argmax(good))
+        nk = int(cands[b])
+        can = int(lookup.canonical(np.array([nk]))[0])
+        if can in claimed:
+            break
+        claimed.add(can)
+        out.append(b)
+        cur = nk
+    return out
+
+
+def kmer_to_str(kmer: int, k: int) -> str:
+    return "".join(BASES[(kmer >> (2 * j)) & 3]
+                   for j in range(k - 1, -1, -1))
+
+
+def rc_str(s: str) -> str:
+    comp = {"A": "T", "C": "G", "G": "C", "T": "A"}
+    return "".join(comp[c] for c in reversed(s))
+
+
+def assemble(keys: np.ndarray, counts: np.ndarray, k: int,
+             min_seed: int = 3, min_extend: int = 2,
+             min_contig: int = 0, max_contig: int = 10_000_000
+             ) -> List[str]:
+    lookup = KmerLookup(keys, counts, k)
+    min_contig = max(min_contig, k + 1)
+    claimed: Set[int] = set()
+    contigs: List[str] = []
+    # seed in decreasing count order (reference multi-pass thresholds)
+    order = np.argsort(-counts, kind="stable")
+    for oi in order:
+        if counts[oi] < min_seed:
+            break
+        seed = int(keys[oi])
+        if seed in claimed:
+            continue
+        claimed.add(seed)
+        right = extend_right(lookup, seed, claimed, min_extend,
+                             max_contig)
+        # extend left = extend right from the rc seed
+        rc_seed = int(reverse_complement_key(
+            np.array([seed], np.int64), k)[0])
+        left = extend_right(lookup, rc_seed, claimed, min_extend,
+                            max_contig)
+        mid = kmer_to_str(seed, k)
+        right_s = "".join(BASES[b] for b in right)
+        left_s = rc_str("".join(BASES[b] for b in left))
+        contig = left_s + mid + right_s
+        if len(contig) >= min_contig:
+            contigs.append(contig)
+    contigs.sort(key=len, reverse=True)
+    return contigs
+
+
+def main(argv: List[str]) -> int:
+    args = Args.parse(argv)
+    in1 = args.get("in", "in1") or (args.positional[0]
+                                    if args.positional else None)
+    out = args.get("out", "outc")
+    k = args.get_int("k", default=31)
+    mode = args.get("mode", default="contig")
+    min_seed = args.get_int("mincountseed", "mcs", default=3)
+    min_extend = args.get_int("mincountextend", "mce", default=2)
+    min_contig = args.get_int("mincontig", "mincontiglen",
+                              default=max(100, k + 10))
+    if in1 is None or out is None:
+        print("Usage: tadpole in=<reads> out=<contigs.fa> k=31 "
+              "mode=contig", file=sys.stderr)
+        return 1
+    if mode != "contig":
+        print(f"mode={mode} not yet implemented (contig only)",
+              file=sys.stderr)
+        return 1
+    counter = KmerCounter(k)
+    n = 0
+    for chunk in batched(fastx.read_seqs(in1), 8192):
+        b = ReadBatch.from_records(chunk)
+        counter.add_batch(b.bases)
+        n += b.size
+    keys, counts = counter.finish()
+    contigs = assemble(keys, counts, k, min_seed, min_extend, min_contig)
+    with fastx.xopen(out, "wt") as fh:
+        for i, c in enumerate(contigs):
+            fh.write(f">contig_{i+1},length={len(c)}\n")
+            for j in range(0, len(c), 70):
+                fh.write(c[j:j + 70] + "\n")
+    total = sum(len(c) for c in contigs)
+    sys.stderr.write(f"Reads:\t{n}\nUnique kmers:\t{len(keys)}\n"
+                     f"Contigs:\t{len(contigs)}\tTotal length:\t{total}\n")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))

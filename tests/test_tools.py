@@ -155,3 +155,37 @@ def test_seal(tmp_path):
     txt = stats.read_text()
     assert "refA\t5" in txt
     assert "refB\t3" in txt
+
+
+def test_tadpole_assembles_genome(tmp_path):
+    from bbmap_tpu.tools import tadpole
+    rng = np.random.default_rng(6)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    genome = bytes(rng.choice(bases, 2000))
+    inp = tmp_path / "reads.fq"
+    with open(inp, "wb") as fh:
+        for i in range(0, 1900, 10):  # 20x tiling coverage
+            for rep in range(2):
+                fh.write(b"@r%d_%d\n" % (i, rep) + genome[i:i + 100]
+                         + b"\n+\n" + b"I" * 100 + b"\n")
+    out = tmp_path / "contigs.fa"
+    assert tadpole.main([f"in={inp}", f"out={out}", "k=31",
+                         "mincountseed=2", "mincountextend=2"]) == 0
+    contigs = []
+    cur = []
+    for line in out.read_text().splitlines():
+        if line.startswith(">"):
+            if cur:
+                contigs.append("".join(cur))
+            cur = []
+        else:
+            cur.append(line)
+    if cur:
+        contigs.append("".join(cur))
+    assert contigs, "no contigs assembled"
+    big = max(contigs, key=len)
+    # the dominant contig should reconstruct most of the genome
+    assert len(big) > 1500
+    gs = genome.decode()
+    from bbmap_tpu.tools.tadpole import rc_str
+    assert big in gs or rc_str(big) in gs
