@@ -25,6 +25,8 @@ from ..utils.args import Args
 
 
 def main(argv: List[str]) -> int:
+    from ..utils.jaxcfg import enable_compilation_cache
+    enable_compilation_cache()
     args = Args.parse(argv)
     ref = args.get("ref")
     in1 = args.get("in", "in1") or (args.positional[0]

@@ -46,6 +46,8 @@ def make_reads(genome, n_reads, L=150, err_rate=0.1, seed=11):
 
 
 def main():
+    from bbmap_tpu.utils.jaxcfg import enable_compilation_cache
+    enable_compilation_cache()
     t_setup = time.time()
     from bbmap_tpu.align.pipeline import BBMapAligner
     from bbmap_tpu.core.batch import ReadBatch

@@ -156,3 +156,34 @@ def test_variable_rows_trace(rng):
     pe, se, ce, ste = msa_jax.msa_trace_single(rd, rf, L, C)
     me = msa_jax.traceback_prevs(rd, rf, np.asarray(pe), int(ce), int(ste))
     assert m == me and int(s[0]) == int(se)
+
+
+def test_pallas_kernel_interpret(rng):
+    """Pallas DP kernel (interpret mode) must match the XLA scan."""
+    from jax.experimental import pallas as pl
+    import bbmap_tpu.ops.msa_pallas as mp
+    orig = mp.pl.pallas_call
+
+    def interp_call(*a, **k):
+        k["interpret"] = True
+        return orig(*a, **k)
+
+    mp.pl.pallas_call = interp_call
+    try:
+        R, C, B = 24, 40, 8
+        reads = np.full((B, R), ord("N"), np.uint8)
+        refs = np.stack([make_case(rng, R, C)[1] for _ in range(B)])
+        rows = np.zeros(B, np.int32)
+        for i in range(B):
+            L = int(rng.integers(12, R + 1))
+            rows[i] = L
+            off = int(rng.integers(0, C - L))
+            reads[i, :L] = refs[i, off:off + L]
+        s, c, st = mp.score_batch(reads, refs, rows, BB=8)
+        se, ce, ste = (np.asarray(x) for x in msa_jax.msa_score_batch_var(
+            reads, refs, rows, R, C))
+        assert np.array_equal(s, se)
+        assert np.array_equal(c, ce)
+        assert np.array_equal(st, ste)
+    finally:
+        mp.pl.pallas_call = orig
