@@ -99,6 +99,7 @@ def main(argv: List[str]) -> int:
             n_mapped += sum(r.mapped for r in res1)
             n_mapped += sum(r.mapped for r in res2)
         else:
+            res1 = aligner.map_batch(b1)
             lines = emit_sam(genome, b1, res1)
             n_reads += len(recs1)
             n_mapped += sum(r.mapped for r in res1)
