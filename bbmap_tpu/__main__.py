@@ -16,9 +16,12 @@ TOOLS = {
     "reformat": "bbmap_tpu.tools.reformat",
     "randomreads": "bbmap_tpu.tools.randomreads",
     "gradesam": "bbmap_tpu.tools.gradesam",
+    "samtoroc": "bbmap_tpu.tools.samtoroc",
+    "comparesam": "bbmap_tpu.tools.comparesam",
     "stats": "bbmap_tpu.tools.stats",
     "kmercountexact": "bbmap_tpu.tools.kmercountexact",
     "bbnorm": "bbmap_tpu.tools.bbnorm",
+    "khist": "bbmap_tpu.tools.kmercountexact",
     "dedupe": "bbmap_tpu.tools.dedupe",
     "clumpify": "bbmap_tpu.tools.clumpify",
     "bbmask": "bbmap_tpu.tools.bbmask",
@@ -26,6 +29,22 @@ TOOLS = {
     "tadpole": "bbmap_tpu.tools.tadpole",
     "seal": "bbmap_tpu.tools.seal",
     "mappacbio": "bbmap_tpu.tools.mappacbio",
+    "bbsplit": "bbmap_tpu.tools.bbsplit",
+    "loglog": "bbmap_tpu.tools.loglog",
+}
+
+# multi-command modules: tool name -> (module, function)
+SUBTOOLS = {
+    "mutategenome": ("bbmap_tpu.tools.synth", "mutategenome"),
+    "shred": ("bbmap_tpu.tools.synth", "shred"),
+    "makechimeras": ("bbmap_tpu.tools.synth", "makechimeras"),
+    "addadapters": ("bbmap_tpu.tools.synth", "addadapters"),
+    "fakereads": ("bbmap_tpu.tools.synth", "fakereads"),
+    "splitpairs": ("bbmap_tpu.tools.pairtools", "splitpairs"),
+    "bbsplitpairs": ("bbmap_tpu.tools.pairtools", "splitpairs"),
+    "repair": ("bbmap_tpu.tools.pairtools", "splitpairs"),
+    "filterbyname": ("bbmap_tpu.tools.pairtools", "filterbyname"),
+    "demuxbyname": ("bbmap_tpu.tools.pairtools", "demuxbyname"),
 }
 
 
@@ -35,11 +54,16 @@ def main() -> int:
         print("tools: " + ", ".join(sorted(TOOLS)))
         return 0
     tool = sys.argv[1].lower()
-    if tool not in TOOLS:
-        print(f"unknown tool {tool!r}; available: " + ", ".join(sorted(TOOLS)))
-        return 1
-    mod = importlib.import_module(TOOLS[tool])
-    return mod.main(sys.argv[2:])
+    if tool in TOOLS:
+        mod = importlib.import_module(TOOLS[tool])
+        return mod.main(sys.argv[2:])
+    if tool in SUBTOOLS:
+        modname, fn = SUBTOOLS[tool]
+        mod = importlib.import_module(modname)
+        return getattr(mod, fn)(sys.argv[2:])
+    print(f"unknown tool {tool!r}; available: "
+          + ", ".join(sorted(list(TOOLS) + list(SUBTOOLS))))
+    return 1
 
 
 if __name__ == "__main__":

@@ -82,6 +82,29 @@ def main(argv: List[str]) -> int:
         for line in samio.sam_header(genome):
             out_fh.write(line + "\n")
 
+    # histogram battery (reference: align2/ReadStats flags,
+    # docs/UsageGuide.txt:277-283) + per-scaffold stats
+    from ..utils.readstats import ReadStats
+    hist_flags = {h: args.get(h) for h in
+                  ("qhist", "lhist", "gchist", "ihist", "idhist",
+                   "indelhist", "mhist")}
+    stats = ReadStats() if any(hist_flags.values()) else None
+    scafstats_path = args.get("scafstats")
+    scaf_counts = {} if scafstats_path else None
+
+    def accumulate(batch, results):
+        if stats is not None:
+            stats.add_batch(batch.bases, batch.quality, batch.lengths)
+            for r in results:
+                if r.mapped and r.match is not None:
+                    stats.add_match(r.match)
+        if scaf_counts is not None:
+            for r in results:
+                if r.mapped:
+                    scaf, _ = genome.locate(r.chrom, r.start)
+                    scaf_counts[scaf.name] = \
+                        scaf_counts.get(scaf.name, 0) + 1
+
     paired = in2 is not None or interleaved
     n_reads = 0
     n_mapped = 0
@@ -98,16 +121,41 @@ def main(argv: List[str]) -> int:
             n_reads += 2 * len(recs1)
             n_mapped += sum(r.mapped for r in res1)
             n_mapped += sum(r.mapped for r in res2)
+            accumulate(b1, res1)
+            accumulate(b2, res2)
+            if stats is not None:
+                for r1m, r2m in zip(res1, res2):
+                    if r1m.paired:
+                        stats.add_insert(
+                            abs(max(r1m.stop, r2m.stop)
+                                - min(r1m.start, r2m.start)) + 1)
         else:
             res1 = aligner.map_batch(b1)
             lines = emit_sam(genome, b1, res1)
             n_reads += len(recs1)
             n_mapped += sum(r.mapped for r in res1)
+            accumulate(b1, res1)
         if out_fh is not None:
             out_fh.write("\n".join(lines) + "\n")
     if out_fh is not None and out_fh not in (sys.stdout,):
         out_fh.close()
     dt = time.time() - t2
+    if stats is not None:
+        writers = dict(qhist=stats.write_qhist, lhist=stats.write_lhist,
+                       gchist=stats.write_gchist, ihist=stats.write_ihist,
+                       idhist=stats.write_idhist,
+                       indelhist=stats.write_indelhist,
+                       mhist=stats.write_mhist)
+        for flag, path in hist_flags.items():
+            if path:
+                writers[flag](path)
+    if scaf_counts is not None:
+        with open(scafstats_path, "w") as fh:
+            fh.write("#name\tassignedReads\tassignedPct\n")
+            for name, cnt in sorted(scaf_counts.items(),
+                                    key=lambda kv: -kv[1]):
+                fh.write(f"{name}\t{cnt}\t"
+                         f"{100.0*cnt/max(1,n_reads):.4f}%\n")
     sys.stderr.write(
         f"Mapped:\t{n_reads} reads\t{n_mapped} mapped "
         f"({100.0*n_mapped/max(1,n_reads):.3f}%)\n"

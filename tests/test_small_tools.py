@@ -1,0 +1,142 @@
+"""Tests for the long-tail tools: samtoroc, comparesam, bbsplit, loglog,
+synth generators, pair tools, readstats."""
+
+import numpy as np
+import pytest
+
+from bbmap_tpu.io.fastx import SeqRecord, write_fastq
+
+BASES = np.frombuffer(b"ACGT", np.uint8)
+
+
+def _rand(n, seed):
+    rng = np.random.default_rng(seed)
+    return bytes(rng.choice(BASES, n))
+
+
+def test_loglog(tmp_path):
+    from bbmap_tpu.tools import loglog
+    inp = tmp_path / "r.fq"
+    rng = np.random.default_rng(0)
+    with open(inp, "wb") as fh:
+        for i in range(200):
+            s = bytes(rng.choice(BASES, 100))
+            fh.write(b"@r%d\n" % i + s + b"\n+\n" + b"I" * 100 + b"\n")
+    ll = loglog.LogLog()
+    from bbmap_tpu.index.kmerset import rolling_kmers_batch
+    import bbmap_tpu.core.batch as cb
+    from bbmap_tpu.io import fastx
+    recs = list(fastx.read_seqs(str(inp)))
+    b = cb.ReadBatch.from_records(recs)
+    kmers, valid = rolling_kmers_batch(b.bases, 31)
+    ll.add(kmers[valid].astype(np.int64))
+    est = ll.cardinality()
+    true = len(np.unique(kmers[valid]))
+    assert 0.85 * true < est < 1.15 * true
+
+
+def test_mutategenome(tmp_path):
+    from bbmap_tpu.tools.synth import mutategenome
+    inp = tmp_path / "g.fa"
+    seq = _rand(5000, 1)
+    inp.write_text(f">g\n{seq.decode()}\n")
+    out = tmp_path / "m.fa"
+    assert mutategenome([f"in={inp}", f"out={out}", "subrate=0.02",
+                         "seed=1"]) == 0
+    mseq = "".join(l.strip() for l in out.read_text().splitlines()[1:])
+    assert len(mseq) == 5000
+    diffs = sum(1 for a, b in zip(seq.decode(), mseq) if a != b)
+    assert 40 < diffs < 200
+
+
+def test_shred(tmp_path):
+    from bbmap_tpu.tools.synth import shred
+    inp = tmp_path / "g.fa"
+    inp.write_text(f">g\n{_rand(1200, 2).decode()}\n")
+    out = tmp_path / "s.fa"
+    assert shred([f"in={inp}", f"out={out}", "length=500"]) == 0
+    lens = [len(l.strip()) for l in out.read_text().splitlines()
+            if not l.startswith(">")]
+    assert sum(lens) == 1200
+
+
+def test_splitpairs(tmp_path):
+    from bbmap_tpu.tools.pairtools import splitpairs
+    inp = tmp_path / "i.fq"
+    recs = [SeqRecord("a/1", _rand(50, 3), b"I" * 50),
+            SeqRecord("b/1", _rand(50, 4), b"I" * 50),
+            SeqRecord("a/2", _rand(50, 5), b"I" * 50)]
+    write_fastq(str(inp), recs)
+    outp = tmp_path / "p.fq"
+    outs = tmp_path / "s.fq"
+    assert splitpairs([f"in={inp}", f"out={outp}", f"outs={outs}"]) == 0
+    p = [l for l in outp.read_text().splitlines() if l.startswith("@")]
+    s = [l for l in outs.read_text().splitlines() if l.startswith("@")]
+    assert len(p) == 2 and len(s) == 1
+    assert s[0] == "@b/1"
+
+
+def test_filterbyname(tmp_path):
+    from bbmap_tpu.tools.pairtools import filterbyname
+    inp = tmp_path / "i.fq"
+    write_fastq(str(inp), [SeqRecord("x", _rand(30, 6), b"I" * 30),
+                           SeqRecord("y", _rand(30, 7), b"I" * 30)])
+    out = tmp_path / "o.fq"
+    assert filterbyname([f"in={inp}", f"out={out}", "names=x",
+                         "include=t"]) == 0
+    names = [l for l in out.read_text().splitlines()
+             if l.startswith("@")]
+    assert names == ["@x"]
+
+
+def test_demuxbyname(tmp_path):
+    from bbmap_tpu.tools.pairtools import demuxbyname
+    inp = tmp_path / "i.fq"
+    write_fastq(str(inp), [SeqRecord("s1_read1", _rand(30, 8), b"I" * 30),
+                           SeqRecord("s2_read1", _rand(30, 9), b"I" * 30)])
+    pattern = str(tmp_path / "out_%.fq")
+    assert demuxbyname([f"in={inp}", f"out={pattern}",
+                        "names=s1,s2"]) == 0
+    assert (tmp_path / "out_s1.fq").exists()
+    assert (tmp_path / "out_s2.fq").exists()
+
+
+def test_readstats():
+    from bbmap_tpu.utils.readstats import ReadStats
+    rs = ReadStats()
+    bases = np.frombuffer(b"ACGT" * 25, np.uint8)[None, :]
+    qual = np.full((1, 100), 30, np.int8)
+    rs.add_batch(bases, qual, np.array([100]))
+    assert rs.lhist[100] == 1
+    assert rs.gchist[50] == 1
+    rs.add_match(b"m" * 98 + b"S" + b"I")
+    assert rs.idhist[98] == 1
+
+
+def test_bbsplit(tmp_path):
+    from bbmap_tpu.tools import bbsplit
+    rng = np.random.default_rng(10)
+    ra = bytes(rng.choice(BASES, 3000))
+    rb = bytes(rng.choice(BASES, 3000))
+    fa = tmp_path / "setA.fa"
+    fb = tmp_path / "setB.fa"
+    fa.write_text(f">sA\n{ra.decode()}\n")
+    fb.write_text(f">sB\n{rb.decode()}\n")
+    inp = tmp_path / "reads.fq"
+    with open(inp, "wb") as fh:
+        for i in range(4):
+            fh.write(b"@a%d\n" % i + ra[i * 100:i * 100 + 100]
+                     + b"\n+\n" + b"I" * 100 + b"\n")
+        for i in range(3):
+            fh.write(b"@b%d\n" % i + rb[i * 100:i * 100 + 100]
+                     + b"\n+\n" + b"I" * 100 + b"\n")
+    pattern = str(tmp_path / "out_%.fq")
+    stats = tmp_path / "refstats.txt"
+    assert bbsplit.main([f"ref={fa},{fb}", f"in={inp}",
+                         f"basename={pattern}",
+                         f"refstats={stats}"]) == 0
+    a_n = sum(1 for l in open(tmp_path / "out_setA.fq")
+              if l.startswith("@a"))
+    b_n = sum(1 for l in open(tmp_path / "out_setB.fq")
+              if l.startswith("@b"))
+    assert a_n == 4 and b_n == 3
