@@ -86,6 +86,48 @@ class SeqRecord:
 
 
 def read_fastq(path: str) -> Iterator[SeqRecord]:
+    """FASTQ reader; uses the native record scanner (csrc/bbio.cpp) when
+    available, else the pure-Python line loop."""
+    from . import native
+    if native.get_lib() is not None:
+        yield from _read_fastq_native(path)
+        return
+    yield from _read_fastq_py(path)
+
+
+def _read_fastq_native(path: str) -> Iterator[SeqRecord]:
+    from . import native
+    n = 0
+    tail = b""
+    with xopen(path, "rb") as fh:
+        while True:
+            chunk = fh.read(8 << 20)
+            if not chunk and not tail:
+                return
+            buf = tail + chunk
+            view = buf
+            base = 0
+            while True:
+                max_recs = max(1024, len(view) // 32)
+                res = native.fastq_scan(view[base:], max_recs)
+                offs, consumed = res
+                for h, hl, s, sl, _, _, q, ql in offs:
+                    yield SeqRecord(
+                        view[base + h:base + h + hl].decode(),
+                        view[base + s:base + s + sl],
+                        view[base + q:base + q + ql], n)
+                    n += 1
+                base += consumed
+                if consumed == 0 or len(offs) < max_recs:
+                    break
+            tail = buf[base:]
+            if not chunk:
+                if tail.strip():
+                    raise ValueError(f"{path}: truncated FASTQ tail")
+                return
+
+
+def _read_fastq_py(path: str) -> Iterator[SeqRecord]:
     n = 0
     with xopen(path, "rb") as fh:
         while True:

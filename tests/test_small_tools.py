@@ -140,3 +140,32 @@ def test_bbsplit(tmp_path):
     b_n = sum(1 for l in open(tmp_path / "out_setB.fq")
               if l.startswith("@b"))
     assert a_n == 4 and b_n == 3
+
+
+def test_native_fastq_matches_python(tmp_path):
+    from bbmap_tpu.io import fastx, native
+    if native.get_lib() is None:
+        pytest.skip("native lib unavailable")
+    inp = "/root/reference/resources/sample1.fq.gz"
+    a = list(fastx._read_fastq_native(inp))
+    b = list(fastx._read_fastq_py(inp))
+    assert len(a) == len(b) == 100
+    for x, y in zip(a, b):
+        assert x.id == y.id and x.bases == y.bases \
+            and x.quality == y.quality
+
+
+def test_native_revcomp():
+    from bbmap_tpu.io import native
+    import ctypes
+    lib = native.get_lib()
+    if lib is None:
+        pytest.skip("native lib unavailable")
+    mat = np.frombuffer(b"ACGTNNNN" + b"GGCCAANN", np.uint8) \
+        .reshape(2, 8).copy()
+    lens = np.array([4, 6], np.int32)
+    lib.revcomp_batch(mat.ctypes.data_as(
+        ctypes.POINTER(ctypes.c_ubyte)), 2, 8,
+        lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int)))
+    assert bytes(mat[0]) == b"ACGTNNNN"  # rc(ACGT) = ACGT
+    assert bytes(mat[1]) == b"TTGGCCNN"
