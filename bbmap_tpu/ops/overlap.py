@@ -160,3 +160,127 @@ def join_pairs(a_bases, a_qual, b_bases, b_qual, inserts,
             q = bytes(np.clip(quals, 0, 127).astype(np.uint8) + 33)
         out.append((bytes(bases), q))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Ratio mode — the reference's DEFAULT overlap scorer
+# (reference: jgi/BBMergeOverlapper.mateByOverlapRatioJava:280-436,
+# jgi/BBMerge.java:2339 useRatioMode=true). Inserts are scanned from
+# largest to smallest; candidate quality is the mismatch ratio
+# (bad+offset)/overlapLength with margin-based best/second tracking.
+# Decision state advances with vector ops across the pair batch.
+# ---------------------------------------------------------------------------
+
+def mate_by_overlap_ratio_batch(
+        a_bases: np.ndarray, b_bases: np.ndarray,
+        min_overlap0: int = 5, min_overlap: int = 8,
+        min_insert0: int = 26, min_insert: int = 35,
+        max_ratio: float = 0.09, min_second_ratio: float = 0.1,
+        margin: float = 5.5, offset: float = 0.55,
+        g_incr: float = 0.95, b_incr: float = 0.95
+        ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """b_bases already rc'd to read-1 orientation.
+    Returns (insert (B,), bad (B,) float->int, ambig (B,))."""
+    B, alen = a_bases.shape
+    blen = b_bases.shape[1]
+    min_overlap = max(4, min_overlap0, min_overlap)
+    min_overlap0 = int(np.clip(min_overlap0, 4, min_overlap))
+    min_length = min(alen, blen)
+    margin2 = (margin + offset) / min_length
+    _Nc = ord("N")
+
+    largest = alen + blen - min_overlap0
+    smallest = min_insert0
+
+    # precompute good/bad/olen per insert (full counting is
+    # decision-equivalent to the reference's early-exit, see the
+    # mismatch-mode proof above)
+    inserts = list(range(largest, smallest - 1, -1))
+    n_ins = len(inserts)
+    goods = np.zeros((n_ins, B), np.float32)
+    bads = np.zeros((n_ins, B), np.float32)
+    olens = np.zeros(n_ins, np.int32)
+    for t, insert in enumerate(inserts):
+        istart = 0 if insert <= blen else insert - blen
+        jstart = 0 if insert >= blen else blen - insert
+        olen = min(alen - istart, blen - jstart, insert)
+        if olen <= 0:
+            continue
+        olens[t] = olen
+        ai = a_bases[:, istart:istart + olen]
+        bj = b_bases[:, jstart:jstart + olen]
+        eq = ai == bj
+        nn = ai != _Nc
+        goods[t] = (eq & nn).sum(1) * g_incr
+        bads[t] = (~eq).sum(1) * b_incr
+
+    # findBestRatio pre-pass tightens maxRatio per pair
+    # (reference: findBestRatio — min achievable ratio)
+    valid_t = olens > 0
+    off32 = np.float32(offset)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        # float32 throughout — the reference computes ratios in Java
+        # floats, and mixing precisions here breaks the x == bestRatio
+        # boundary case
+        all_ratio = np.where(
+            valid_t[:, None],
+            (bads + off32) / np.maximum(olens[:, None], 1)
+            .astype(np.float32), np.float32(np.inf)).astype(np.float32)
+    # findBestRatio scans inserts in [min_insert, alen+blen-min_overlap]
+    fb_mask = np.array([min_insert <= ins <= alen + blen - min_overlap
+                        for ins in inserts])
+    x = np.min(np.where(fb_mask[:, None], all_ratio, np.inf), axis=0)
+    x = np.minimum(x, np.float32(max_ratio + 0.0001))
+    no_solution = x > np.float32(max_ratio)
+    max_ratio_v = np.minimum(np.float32(max_ratio), x).astype(np.float32)
+
+    best_insert = np.full(B, -1, np.int32)
+    best_bad = np.full(B, float(min_length), np.float32)
+    best_ratio = np.ones(B, np.float32)
+    second_ratio = np.ones(B, np.float32)
+    ambig = np.zeros(B, bool)
+    done = no_solution.copy()
+    early_neg = no_solution.copy()
+    extra_mult = 1.2
+
+    for t, insert in enumerate(inserts):
+        if not valid_t[t]:
+            continue
+        olen = float(olens[t])
+        good = goods[t]
+        bad = bads[t]
+        badlimit = extra_mult * (np.minimum(best_ratio, max_ratio_v)
+                                 * margin * olen) + 1.0
+        active = ~done
+        cond0 = active & (bad <= badlimit)
+        e1 = cond0 & (bad == 0) & (good > min_overlap0) \
+            & (good < min_overlap)
+        ambig = np.where(e1, True, ambig)
+        early_neg |= e1
+        done |= e1
+        ratio = ((bad + off32) / np.float32(olen)).astype(np.float32)
+        c2 = cond0 & ~e1 & (ratio < best_ratio * np.float32(margin))
+        new_ambig = (ratio * margin >= best_ratio) | (good < min_overlap)
+        ambig = np.where(c2, new_ambig, ambig)
+        improve = c2 & (ratio < best_ratio)
+        # shift best -> second on improvement
+        second_ratio = np.where(improve, best_ratio,
+                                second_ratio).astype(np.float32)
+        best_insert = np.where(improve, insert, best_insert)
+        best_bad = np.where(improve, bad, best_bad)
+        best_ratio = np.where(improve, ratio,
+                              best_ratio).astype(np.float32)
+        tie2 = c2 & ~improve & (ratio < second_ratio)
+        second_ratio = np.where(tie2, ratio,
+                                second_ratio).astype(np.float32)
+        f = c2 & ((ambig & (best_ratio < margin2))
+                  | (second_ratio < min_second_ratio))
+        early_neg |= f
+        done |= f
+        if done.all():
+            break
+
+    final_neg = early_neg | ((~ambig) & (best_ratio > max_ratio_v))
+    insert_out = np.where(final_neg, -1, best_insert)
+    return (insert_out.astype(np.int32),
+            best_bad.astype(np.int32), ambig)

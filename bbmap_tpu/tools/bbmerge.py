@@ -41,6 +41,8 @@ def apply_strictness(name: str, p: dict) -> None:
         p["max_mismatches0"] = p["max_mismatches"]
         p["min_overlap"] = {"xstrict": 14, "ustrict": 12, "vstrict": 12,
                             "strict": 11}[name]
+        p["ratio_margin"] = {"xstrict": 12.0, "ustrict": 12.0,
+                             "vstrict": 12.0, "strict": 7.5}[name]
     elif name in ("loose", "vloose", "uloose", "xloose"):
         p["margin"] = 2
         p["max_mismatches"] = {"loose": 4, "vloose": 5, "uloose": 6,
@@ -48,6 +50,8 @@ def apply_strictness(name: str, p: dict) -> None:
         p["max_mismatches0"] = p["max_mismatches"] + 2
         p["min_overlap"] = {"loose": 10, "vloose": 9, "uloose": 8,
                             "xloose": 7}[name]
+        p["ratio_margin"] = {"loose": 4.7, "vloose": 3.0, "uloose": 2.2,
+                             "xloose": 2.0}[name]
 
 
 class BBMerge:
@@ -56,7 +60,14 @@ class BBMerge:
                  margin=MISMATCH_MARGIN, max_mismatches=MAX_MISMATCHES,
                  max_mismatches0=MAX_MISMATCHES0, minq=MIN_QUALITY,
                  min_insert=MIN_INSERT, min_insert0: Optional[int] = None,
-                 qual_iters=QUAL_ITERS):
+                 qual_iters=QUAL_ITERS, use_ratio: bool = True,
+                 ratio_margin: float = 5.5, max_ratio: float = 0.09,
+                 min_second_ratio: float = 0.1, ratio_offset: float = 0.55):
+        self.use_ratio = use_ratio
+        self.ratio_margin = ratio_margin
+        self.max_ratio = max_ratio
+        self.min_second_ratio = min_second_ratio
+        self.ratio_offset = ratio_offset
         self.min_overlap = min_overlap
         self.min_overlap0 = min_overlap0
         self.margin = margin
@@ -90,6 +101,20 @@ class BBMerge:
 
         insert = np.full(B, -1, np.int32)
         ambig = np.zeros(B, bool)
+        if self.use_ratio:
+            # ratio mode is the reference default
+            # (jgi/BBMerge.java:2339; mateByOverlap_ratioMode:1615-1639)
+            red = 3  # MIN_OVERLAPPING_BASES_RATIO_REDUCTION
+            insert, bad, ambig = ov.mate_by_overlap_ratio_batch(
+                a_bases, b_bases_rc,
+                min_overlap0=MIN_OVERLAPPING_BASES_0 - red,
+                min_overlap=self.min_overlap - red,
+                min_insert0=self.min_insert0, min_insert=self.min_insert,
+                max_ratio=self.max_ratio,
+                min_second_ratio=self.min_second_ratio,
+                margin=self.ratio_margin, offset=self.ratio_offset)
+            return self._finish(b1, b2, a_bases, a_qual, b_bases_rc,
+                                b_qual_rc, insert, ambig)
         # QUAL_ITERS ladder (reference: :1652-1659): progressively wider
         # overlap requirement and lower quality gate
         have_q = a_qual is not None and b_qual_rc is not None
@@ -111,6 +136,11 @@ class BBMerge:
             ambig[found] = amb_i[found]
             todo &= ~found
 
+        return self._finish(b1, b2, a_bases, a_qual, b_bases_rc,
+                            b_qual_rc, insert, ambig)
+
+    def _finish(self, b1, b2, a_bases, a_qual, b_bases_rc, b_qual_rc,
+                insert, ambig):
         ok = (insert > 0) & ~ambig & (insert >= self.min_insert)
         self.ambiguous += int(((insert > 0) & ambig).sum())
         self.too_short += int(((insert > 0) & ~ambig
@@ -147,7 +177,14 @@ def main(argv: List[str]) -> int:
              max_mismatches0=args.get_int("mismatches0",
                                           default=MAX_MISMATCHES0),
              minq=args.get_int("minq", default=MIN_QUALITY),
-             min_insert=args.get_int("mininsert", default=MIN_INSERT))
+             min_insert=args.get_int("mininsert", default=MIN_INSERT),
+             use_ratio=args.get_bool("useratio", "ratio", "ratiomode",
+                                     default=True),
+             ratio_margin=args.get_float("ratiomargin", default=5.5),
+             max_ratio=args.get_float("maxratio", default=0.09),
+             min_second_ratio=args.get_float("minsecondratio",
+                                             default=0.1),
+             ratio_offset=args.get_float("ratiooffset", default=0.55))
     for preset in ("xstrict", "ustrict", "vstrict", "strict", "loose",
                    "vloose", "uloose", "xloose"):
         if args.get_bool(preset, default=False):

@@ -97,3 +97,31 @@ def test_merge_batch_end_to_end():
     for i in range(50):
         if ok[i]:
             assert len(joined[i][0]) == true_ins[i]
+
+
+def test_ratio_mode_end_to_end():
+    rng = np.random.default_rng(7)
+    recs1, recs2, true_ins = [], [], []
+    for i in range(50):
+        ins = int(rng.integers(110, 190))
+        frag, r1, r2 = make_pair(rng, ins, 100)
+        recs1.append(SeqRecord(f"p{i}", bytes(r1), b"?" * 100, i))
+        recs2.append(SeqRecord(f"p{i}", bytes(r2), b"?" * 100, i))
+        true_ins.append(ins)
+    m = BBMerge(use_ratio=True)
+    inserts, joined = m.merge_batch(ReadBatch.from_records(recs1),
+                                    ReadBatch.from_records(recs2))
+    ok = inserts > 0
+    assert ok.sum() >= 45
+    assert all(int(inserts[i]) == true_ins[i]
+               for i in range(50) if ok[i])
+
+
+def test_ratio_mode_rejects_random():
+    rng = np.random.default_rng(8)
+    r1 = [SeqRecord("x", bytes(rng.choice(BASES, 100)), b"?" * 100, 0)]
+    r2 = [SeqRecord("x", bytes(rng.choice(BASES, 100)), b"?" * 100, 0)]
+    m = BBMerge(use_ratio=True)
+    inserts, _ = m.merge_batch(ReadBatch.from_records(r1),
+                               ReadBatch.from_records(r2))
+    assert inserts[0] == -1
