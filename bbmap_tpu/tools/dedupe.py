@@ -30,13 +30,29 @@ def canonical_bytes(seq: bytes, absorb_rc: bool) -> bytes:
     return seq if seq <= rc else rc
 
 
+AFFIX_K = 31
+
+
 def dedupe_stream(records, absorb_rc: bool = True, subs: int = 0,
+                  edits: int = 0, absorb_containment: bool = False,
                   keep_first: bool = True):
-    """Yields (record, is_duplicate). With subs>0, sequences are bucketed
-    by (length, prefix16/suffix16 of canonical form) and compared within
-    buckets."""
+    """Yields (record, is_duplicate).
+
+    - exact/rc duplicates via canonical content hash
+    - subs>0 / edits>0: near-duplicate detection within same-length
+      buckets (hamming) or via banded edit distance
+      (reference: Dedupe banded-aligner verification)
+    - absorb_containment: shorter sequences absorbed when they are exact
+      substrings (either orientation) of a kept sequence, candidate pairs
+      found by affix (prefix/suffix k-mer) maps
+      (reference: jgi/Dedupe.java affix maps :95-117)
+    """
+    from ..ops.banded import banded_edit_distance
+
     seen: Dict[bytes, int] = {}
-    sub_buckets: Dict[Tuple[int, bytes], List[np.ndarray]] = {}
+    sub_buckets: Dict[int, List[np.ndarray]] = {}
+    kept_seqs: List[bytes] = []
+    affix: Dict[bytes, List[int]] = {}
     for rec in records:
         can = canonical_bytes(rec.bases, absorb_rc)
         h = hashlib.blake2b(can, digest_size=16).digest()
@@ -44,21 +60,59 @@ def dedupe_stream(records, absorb_rc: bool = True, subs: int = 0,
             yield rec, True
             continue
         dup = False
-        if subs > 0:
-            arr = np.frombuffer(can, np.uint8)
-            key = (len(can), b"")
-            bucket = sub_buckets.setdefault(key, [])
-            for other in bucket:
-                if len(other) == len(arr) and \
-                        int((other != arr).sum()) <= subs:
+        arr = np.frombuffer(can, np.uint8)
+        if subs > 0 or edits > 0:
+            for other in sub_buckets.get(len(can), []):
+                if edits > 0:
+                    if banded_edit_distance(other, arr, edits) <= edits:
+                        dup = True
+                        break
+                elif int((other != arr).sum()) <= subs:
                     dup = True
                     break
-            if not dup:
-                bucket.append(arr)
+            if edits > 0 and not dup:
+                # cross-length comparisons within the edit budget
+                for dl in range(1, edits + 1):
+                    for other in sub_buckets.get(len(can) - dl, []) \
+                            + sub_buckets.get(len(can) + dl, []):
+                        if banded_edit_distance(other, arr,
+                                                edits) <= edits:
+                            dup = True
+                            break
+                    if dup:
+                        break
+        if not dup and absorb_containment and len(can) >= AFFIX_K:
+            # containers index kmers every AFFIX_K positions; querying the
+            # first AFFIX_K offsets of this read guarantees one query hits
+            # an indexed container kmer for any containment offset
+            # (reads >= 2K-1; shorter reads also try the suffix kmer)
+            rc = bytes(COMP_ASCII[arr][::-1])
+            cands = set()
+            for off in range(0, min(AFFIX_K,
+                                    len(can) - AFFIX_K + 1)):
+                cands |= set(affix.get(can[off:off + AFFIX_K], []))
+                cands |= set(affix.get(rc[off:off + AFFIX_K], []))
+            cands |= set(affix.get(can[-AFFIX_K:], []))
+            cands |= set(affix.get(rc[-AFFIX_K:], []))
+            for ci in cands:
+                ks = kept_seqs[ci]
+                if len(ks) >= len(can) and (can in ks or rc in ks):
+                    dup = True
+                    break
         if dup:
             yield rec, True
         else:
             seen[h] = 1
+            if subs > 0 or edits > 0:
+                sub_buckets.setdefault(len(can), []).append(arr)
+            if absorb_containment and len(can) >= AFFIX_K:
+                idx = len(kept_seqs)
+                kept_seqs.append(can)
+                # index every AFFIX_K-th interior kmer + both affixes so
+                # shorter contained reads can find this container
+                for p in range(0, len(can) - AFFIX_K + 1, AFFIX_K):
+                    affix.setdefault(can[p:p + AFFIX_K], []).append(idx)
+                affix.setdefault(can[-AFFIX_K:], []).append(idx)
             yield rec, False
 
 
@@ -70,6 +124,9 @@ def main(argv: List[str]) -> int:
     outd = args.get("outd", "outduplicate")
     absorb_rc = args.get_bool("absorbrc", "rc", default=True)
     subs = args.get_int("subs", "s", "maxsubs", default=0)
+    edits = args.get_int("edits", "e", "maxedits", default=0)
+    absorb_containment = args.get_bool("absorbcontainment", "ac",
+                                       default=True)
     if in1 is None:
         print("Usage: dedupe in=<reads> out=<unique> [outd=] [subs=N]",
               file=sys.stderr)
@@ -91,7 +148,7 @@ def main(argv: List[str]) -> int:
 
     n = dups = 0
     for rec, is_dup in dedupe_stream(fastx.read_seqs(in1), absorb_rc,
-                                     subs):
+                                     subs, edits, absorb_containment):
         n += 1
         if is_dup:
             dups += 1

@@ -169,3 +169,63 @@ def test_native_revcomp():
         lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int)))
     assert bytes(mat[0]) == b"ACGTNNNN"  # rc(ACGT) = ACGT
     assert bytes(mat[1]) == b"TTGGCCNN"
+
+
+def test_banded_edit_distance():
+    from bbmap_tpu.ops.banded import banded_edit_distance
+    a = np.frombuffer(b"ACGTACGTAC", np.uint8)
+    assert banded_edit_distance(a, a, 3) == 0
+    b = a.copy(); b[4] = ord("T") if b[4] != ord("T") else ord("A")
+    assert banded_edit_distance(a, b, 3) == 1
+    c = np.frombuffer(b"ACGTCGTAC", np.uint8)  # deletion
+    assert banded_edit_distance(a, c, 3) == 1
+    d = np.frombuffer(b"TTTTTTTTTT", np.uint8)
+    assert banded_edit_distance(a, d, 3) > 3
+
+
+def test_dedupe_containment(tmp_path):
+    from bbmap_tpu.tools import dedupe
+    rng = np.random.default_rng(11)
+    big = bytes(rng.choice(BASES, 400))
+    contained = big[77:260]
+    other = bytes(rng.choice(BASES, 200))
+    inp = tmp_path / "c.fa"
+    inp.write_text(f">big\n{big.decode()}\n>sub\n{contained.decode()}\n"
+                   f">other\n{other.decode()}\n")
+    out = tmp_path / "u.fa"
+    assert dedupe.main([f"in={inp}", f"out={out}", "ac=t"]) == 0
+    names = [l[1:].strip() for l in out.read_text().splitlines()
+             if l.startswith(">")]
+    assert names == ["big", "other"]
+
+
+def test_dedupe_edits(tmp_path):
+    from bbmap_tpu.tools import dedupe
+    rng = np.random.default_rng(12)
+    s = bytes(rng.choice(BASES, 150))
+    s2 = bytearray(s); del s2[70]; s2.append(ord("A"))  # 1 del + tail
+    inp = tmp_path / "e.fa"
+    inp.write_text(f">a\n{s.decode()}\n>b\n{bytes(s2).decode()}\n")
+    out = tmp_path / "u.fa"
+    assert dedupe.main([f"in={inp}", f"out={out}", "edits=2",
+                        "ac=f"]) == 0
+    names = [l[1:].strip() for l in out.read_text().splitlines()
+             if l.startswith(">")]
+    assert names == ["a"]
+
+
+def test_calctruequality(tmp_path):
+    from bbmap_tpu.tools import calctruequality as ctq
+    sam = tmp_path / "m.sam"
+    with open(sam, "w") as fh:
+        fh.write("@HD\tVN:1.4\n@SQ\tSN:x\tLN:1000\n")
+        fh.write("r1\t0\tx\t1\t40\t50=\t*\t0\t0\t" + "A" * 50 + "\t"
+                 + "I" * 50 + "\n")
+        fh.write("r2\t0\tx\t1\t40\t20=1X29=\t*\t0\t0\t" + "A" * 50
+                 + "\t" + "I" * 50 + "\n")
+    counts, errors, n = ctq.tally_sam(str(sam))
+    assert n == 2
+    assert counts.sum() == 100
+    assert errors.sum() == 1
+    table = ctq.recalibration_table(counts, errors)
+    assert table.shape[0] == 51
