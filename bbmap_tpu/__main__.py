@@ -31,6 +31,13 @@ TOOLS = {
     "mappacbio": "bbmap_tpu.tools.mappacbio",
     "bbsplit": "bbmap_tpu.tools.bbsplit",
     "loglog": "bbmap_tpu.tools.loglog",
+    "sketch": "bbmap_tpu.tools.sketch",
+    "comparesketch": "bbmap_tpu.tools.sketch",
+    "bbcountunique": "bbmap_tpu.tools.bbcountunique",
+    "calctruequality": "bbmap_tpu.tools.calctruequality",
+    "rqcfilter": "bbmap_tpu.tools.rqcfilter",
+    "bbqc": "bbmap_tpu.tools.rqcfilter",
+    "bbduk2": "bbmap_tpu.tools.bbduk",
 }
 
 # multi-command modules: tool name -> (module, function)

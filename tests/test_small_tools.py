@@ -229,3 +229,47 @@ def test_calctruequality(tmp_path):
     assert errors.sum() == 1
     table = ctq.recalibration_table(counts, errors)
     assert table.shape[0] == 51
+
+
+def test_sketch_compare(tmp_path):
+    from bbmap_tpu.tools import sketch as sk
+    rng = np.random.default_rng(13)
+    g1 = bytes(rng.choice(BASES, 20000))
+    # g2 = g1 with 1% substitutions -> high ANI
+    g2 = bytearray(g1)
+    for _ in range(200):
+        p = int(rng.integers(0, len(g2)))
+        g2[p] = int(BASES[int(rng.integers(0, 4))])
+    g3 = bytes(rng.choice(BASES, 20000))
+    for name, g in (("g1", g1), ("g2", bytes(g2)), ("g3", g3)):
+        (tmp_path / f"{name}.fa").write_text(f">{name}\n{g.decode()}\n")
+    s1 = sk.sketch_file(str(tmp_path / "g1.fa"), 31, 2000)[0]
+    s2 = sk.sketch_file(str(tmp_path / "g2.fa"), 31, 2000)[0]
+    s3 = sk.sketch_file(str(tmp_path / "g3.fa"), 31, 2000)[0]
+    c12 = sk.compare(s1, s2)
+    c13 = sk.compare(s1, s3)
+    assert c12["wkid"] > 0.3
+    assert c13["wkid"] < 0.01
+    assert 0.95 < c12["ani"] <= 1.0
+    # save/load roundtrip
+    sk.save_sketch(s1, str(tmp_path / "s1.sketch"))
+    l1 = sk.load_sketch(str(tmp_path / "s1.sketch"))
+    assert np.array_equal(l1.hashes, s1.hashes)
+
+
+def test_rqcfilter(tmp_path):
+    from bbmap_tpu.tools import rqcfilter
+    rng = np.random.default_rng(14)
+    adapter = b"AGATCGGAAGAGCACACGTCTGAACTCCAGTCAC"
+    inp = tmp_path / "in.fq"
+    with open(inp, "wb") as fh:
+        for i in range(20):
+            s = bytes(rng.choice(BASES, 70)) + adapter[:30]
+            fh.write(b"@r%d\n" % i + s + b"\n+\n" + b"I" * 100 + b"\n")
+    out = tmp_path / "clean.fq.gz"
+    assert rqcfilter.main([f"in={inp}", f"out={out}",
+                           f"path={tmp_path}", "phix=f"]) == 0
+    from bbmap_tpu.io import fastx
+    recs = list(fastx.read_seqs(str(out)))
+    assert len(recs) == 20
+    assert all(len(r.bases) <= 72 for r in recs)  # adapters trimmed
