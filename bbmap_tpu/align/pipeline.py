@@ -284,10 +284,12 @@ class BBMapAligner:
         self._set_pair_flags(res1, res2, L1, L2)
         if g1 is not None:
             self._finalize_winners(g1["cand_reads"], g1["refs_g"],
-                                   g1["cs"], w1, res1, L1)
+                                   g1["cs"], w1, res1, L1,
+                                   g1.get("dp_cache"))
         if g2 is not None:
             self._finalize_winners(g2["cand_reads"], g2["refs_g"],
-                                   g2["cs"], w2, res2, L2)
+                                   g2["cs"], w2, res2, L2,
+                                   g2.get("dp_cache"))
         return res1, res2
 
     def _pair_boost_fixed(self, d1: dict, d2: dict, L1: int, L2: int
@@ -379,10 +381,12 @@ class BBMapAligner:
                 if g2 is not None else []
             if g1 is not None:
                 self._finalize_winners(g1["cand_reads"], g1["refs_g"],
-                                       g1["cs"], w1, res1, L1)
+                                       g1["cs"], w1, res1, L1,
+                                       g1.get("dp_cache"))
             if g2 is not None:
                 self._finalize_winners(g2["cand_reads"], g2["refs_g"],
-                                       g2["cs"], w2, res2, L2)
+                                       g2["cs"], w2, res2, L2,
+                                       g2.get("dp_cache"))
         self._set_pair_flags(res1, res2, L1, L2)
         return res1, res2
 
@@ -393,7 +397,7 @@ class BBMapAligner:
             return
         winners = self._select_group(g, results, None, paired=False)
         self._finalize_winners(g["cand_reads"], g["refs_g"], g["cs"],
-                               winners, results, L)
+                               winners, results, L, g.get("dp_cache"))
 
     def _score_candidates(self, batch: ReadBatch, L: int,
                           idxs: np.ndarray) -> Optional[dict]:
@@ -456,13 +460,15 @@ class BBMapAligner:
         wstart = cs.start - SLOW_ALIGN_PADDING
         wlen = np.full(n, L + 2 * SLOW_ALIGN_PADDING, np.int64) + \
             _round_up_vec(cs.spread, 64)
+        dp_cache: Dict[int, tuple] = {}
         if len(dp_jobs):
-            dp_scores = self._dp_score(cand_reads, wstart, wlen, dp_jobs, L)
+            dp_scores = self._dp_score(cand_reads, wstart, wlen, dp_jobs,
+                                       L, dp_cache)
             slow = slow.copy()
             slow[dp_jobs] = dp_scores
         return dict(cs=cs, slow=slow, needs_dp=needs_dp, wstart=wstart,
                     wlen=wlen, cand_reads=cand_reads, refs_g=refs_g,
-                    idxs=idxs, L=L)
+                    idxs=idxs, L=L, dp_cache=dp_cache)
 
     def _pair_boost(self, g1: dict, g2: dict
                     ) -> Tuple[np.ndarray, np.ndarray]:
@@ -632,9 +638,12 @@ class BBMapAligner:
                 r1.paired = r2.paired = True
 
     def _dp_score(self, cand_reads: np.ndarray, wstart: np.ndarray,
-                  wlen: np.ndarray, dp_jobs: np.ndarray,
-                  L: int) -> np.ndarray:
-        """Score DP-needing candidates, bucketed by window length."""
+                  wlen: np.ndarray, dp_jobs: np.ndarray, L: int,
+                  dp_cache: Optional[Dict[int, tuple]] = None
+                  ) -> np.ndarray:
+        """Score DP-needing candidates, bucketed by window length. One
+        trace-pass per bucket: scores AND prev-state codes come back
+        together, so winners need no second device call."""
         out = np.zeros(len(dp_jobs), np.int64)
         buckets: Dict[int, List[int]] = {}
         for t, j in enumerate(dp_jobs):
@@ -647,14 +656,21 @@ class BBMapAligner:
                 j = int(dp_jobs[t])
                 reads[s_i] = cand_reads[j]
                 refs[s_i] = self._window(int(wstart[j]), C)
-            s, col, st = msa_jax.msa_score_batch(reads, refs, L, C)
+            prevs, s, col, st = msa_jax.msa_trace_batch(reads, refs, L, C)
             s = np.asarray(s)
+            prevs = np.asarray(prevs)
+            col = np.asarray(col)
+            st = np.asarray(st)
             for s_i, t in enumerate(slots):
                 out[t] = int(s[s_i])
+                if dp_cache is not None:
+                    j = int(dp_jobs[t])
+                    dp_cache[j] = (prevs[s_i], int(col[s_i]),
+                                   int(st[s_i]), refs[s_i], C)
         return out
 
     def _finalize_winners(self, cand_reads, refs_g, cs, winners, results,
-                          L: int) -> None:
+                          L: int, dp_cache: Optional[dict] = None) -> None:
         from . import gapless
 
         gapless_winners = [w for w in winners if not w[5]]
@@ -676,18 +692,37 @@ class BBMapAligner:
                 res.start = int(locs[t])
                 res.stop = int(locs[t]) + L - 1
         if dp_winners:
-            self._traceback_dp(cand_reads, dp_winners, results, L)
+            self._traceback_dp(cand_reads, dp_winners, results, L,
+                               dp_cache=dp_cache)
 
     def _traceback_dp(self, cand_reads, dp_winners, results, L,
-                      depth: int = 0) -> None:
-        """Full DP + traceback for DP winners; re-align with a wider window
-        when the alignment is clipped at the window edge
-        (reference: align2/AbstractMapThread.java:1012 — extra padding of
+                      depth: int = 0, dp_cache: Optional[dict] = None
+                      ) -> None:
+        """Traceback for DP winners using the prev-state codes cached by
+        the score pass; re-align with a wider window when the alignment is
+        clipped at the window edge (reference:
+        align2/AbstractMapThread.java:1012 — extra padding of
         80+SLOW_ALIGN_PADDING on retry)."""
-        buckets: Dict[int, List[int]] = {}
+        cached = []
+        uncached = []
         for w, rec in enumerate(dp_winners):
-            buckets.setdefault(rec[3], []).append(w)
+            j = rec[1]
+            if depth == 0 and dp_cache is not None and j in dp_cache:
+                cached.append(w)
+            else:
+                uncached.append(w)
         retries = []
+        # cached winners: walk directly, no device call
+        for w in cached:
+            read_global, j, ws, wl, score, _dp = dp_winners[w]
+            prevs_j, col_j, st_j, refs_j, C = dp_cache[j]
+            match = msa_jax.traceback_prevs(
+                cand_reads[j], refs_j, prevs_j, col_j, st_j)
+            self._apply_dp_result(results, read_global, j, match, ws, wl,
+                                  col_j, score, retries, depth)
+        buckets: Dict[int, List[int]] = {}
+        for w in uncached:
+            buckets.setdefault(dp_winners[w][3], []).append(w)
         for C, idx_list in buckets.items():
             np_pad = _bucket_pad(len(idx_list))
             reads = np.full((np_pad, L), ord("N"), np.uint8)
@@ -698,6 +733,7 @@ class BBMapAligner:
                 refs[slot] = self._window(ws, C)
             prevs, s, col, st = msa_jax.msa_trace_batch(reads, refs, L, C)
             prevs = np.asarray(prevs)
+            s = np.asarray(s)
             col = np.asarray(col)
             st = np.asarray(st)
             for slot, w in enumerate(idx_list):
@@ -705,31 +741,37 @@ class BBMapAligner:
                 match = msa_jax.traceback_prevs(
                     reads[slot], refs[slot], prevs[slot], int(col[slot]),
                     int(st[slot]))
-                clipped_left = match[:1] in (b"I", b"X")
-                clipped_right = match[-1:] in (b"I", b"Y")
-                if (clipped_left or clipped_right) and depth < 2:
-                    extra = (80 if self.maxindel > 0 else 20) \
-                        + SLOW_ALIGN_PADDING
-                    new_ws = ws - (extra if clipped_left else 0)
-                    new_wl = wl + extra * (int(clipped_left)
-                                           + int(clipped_right))
-                    retries.append((read_global, j, new_ws,
-                                    _round_up(new_wl, 64), score, True))
-                    continue
-                ref_consumed = sum(1 for ch in match if ch in b"mSDN-")
-                flat_start = ws + int(col[slot]) - ref_consumed
-                flat_stop = ws + int(col[slot]) - 1
-                chrom, loc = self._chrom_of(flat_start)
-                res = results[read_global]
-                res.match = match
-                res.chrom = chrom
-                res.start = loc
-                res.stop = loc + (flat_stop - flat_start)
-                # the wider retry window may have found a better alignment;
-                # use the fill's own score for the final record
-                res.score = int(np.asarray(s)[slot])
+                self._apply_dp_result(results, read_global, j, match, ws,
+                                      wl, int(col[slot]), int(s[slot]),
+                                      retries, depth)
         if retries:
             self._traceback_dp(cand_reads, retries, results, L, depth + 1)
+
+    def _apply_dp_result(self, results, read_global, j, match, ws, wl,
+                         col, score, retries, depth) -> None:
+        """Set final coordinates/match from a traceback, or schedule a
+        wider-window retry when the alignment was clipped."""
+        clipped_left = match[:1] in (b"I", b"X")
+        clipped_right = match[-1:] in (b"I", b"Y")
+        if (clipped_left or clipped_right) and depth < 2:
+            extra = (80 if self.maxindel > 0 else 20) + SLOW_ALIGN_PADDING
+            new_ws = ws - (extra if clipped_left else 0)
+            new_wl = wl + extra * (int(clipped_left) + int(clipped_right))
+            retries.append((read_global, j, new_ws,
+                            _round_up(new_wl, 64), score, True))
+            return
+        ref_consumed = sum(1 for ch in match if ch in b"mSDN-")
+        flat_start = ws + col - ref_consumed
+        flat_stop = ws + col - 1
+        chrom, loc = self._chrom_of(flat_start)
+        res = results[read_global]
+        res.match = match
+        res.chrom = chrom
+        res.start = loc
+        res.stop = loc + (flat_stop - flat_start)
+        # a wider retry window may have found a better alignment; use the
+        # fill's own score for the final record
+        res.score = score
 
 
 def _round_up(x: int, m: int) -> int:
