@@ -118,7 +118,8 @@ class BBMapAligner:
                  max_candidates: int = 16,
                  chain_dist: int = 400,
                  ambig_mode: str = "best", maxindel: int = 16000,
-                 device_quickmap: bool = True):
+                 device_quickmap: bool = True, local: bool = False):
+        self.local = local
         self.genome = genome
         self.index = index
         self.min_ratio = min_ratio
@@ -765,6 +766,10 @@ class BBMapAligner:
         flat_stop = ws + col - 1
         chrom, loc = self._chrom_of(flat_start)
         res = results[read_global]
+        if self.local:
+            match, pre, post = samio.to_local_alignment(match)
+            loc += pre
+            flat_stop -= post
         res.match = match
         res.chrom = chrom
         res.start = loc
@@ -873,6 +878,9 @@ def _one_sam_line(genome, b, i, r, mate, fragnum, paired_input,
                 cigar = samio.match_to_cigar(r.match, a1, b1, scaflen)
         if r.ambiguous:
             tags.append("XT:A:R")
+        if samio.MAKE_MD_TAG and r.match is not None:
+            ref_win = genome.chroms[r.chrom - 1][r.start:r.stop + 1]
+            tags.append(samio.make_md_tag(r.match, ref_win))
         if samio.MAKE_NM_TAG and r.match is not None:
             nm = 0 if r.perfect else samio.calc_nm(r.match, cigar, L)
             tags.append(f"NM:i:{nm}")

@@ -28,6 +28,7 @@ INTRON_LIMIT = 2 ** 31 - 1
 SOFT_CLIP = True
 MAKE_NM_TAG = True
 MAKE_AM_TAG = True
+MAKE_MD_TAG = False
 PENALIZE_AMBIG = True
 
 BBMAP_VERSION_STRING = "36.19"  # tool-compatibility version the CLI reports
@@ -312,3 +313,111 @@ class SamRecord:
         if self.tags:
             fields.extend(self.tags)
         return "\t".join(fields)
+
+
+def make_md_tag(match: bytes, ref_window: np.ndarray) -> str:
+    """MD:Z tag from a long-form match string + the aligned ref bases
+    (reference: stream/SamLine.makeMdTag:1085-1182). ref_window holds the
+    ref bases consumed by the alignment (length = #mSDN symbols)."""
+    out = ["MD:Z:"]
+    count = 0
+    rpos = 0
+    in_del = False
+    for m in match:
+        ch = chr(m)
+        if ch in "ms":
+            count += 1
+            rpos += 1
+            in_del = False
+        elif ch in "SN":
+            out.append(str(count))
+            count = 0
+            out.append(chr(ref_window[rpos]))
+            rpos += 1
+            in_del = False
+        elif ch == "D":
+            if not in_del:
+                out.append(str(count))
+                count = 0
+                out.append("^")
+                in_del = True
+            out.append(chr(ref_window[rpos]))
+            rpos += 1
+        elif ch in "IXYC":
+            in_del = False
+        else:
+            in_del = False
+    out.append(str(count))
+    return "".join(out)
+
+
+def score_match_symbols(match: bytes) -> np.ndarray:
+    """Per-symbol score deltas of a long-form match string using the
+    exact affine tables (reference scoring semantics of
+    MultiStateAligner11ts; used for local-alignment conversion)."""
+    from ..core.constants import (POINTS_MATCH, POINTS_MATCH2,
+                                  POINTS_SUB_ARRAY, POINTS_INS_ARRAY,
+                                  del_streak_points)
+    deltas = np.zeros(len(match), np.int64)
+    prev = 0
+    streak = 0
+    for i, m in enumerate(match):
+        ch = chr(m)
+        if ch == "m":
+            deltas[i] = POINTS_MATCH2 if prev == ord("m") else POINTS_MATCH
+        elif ch in "SN":
+            streak = streak + 1 if prev == m else 1
+            if ch == "S":
+                deltas[i] = POINTS_SUB_ARRAY[min(streak,
+                                                 len(POINTS_SUB_ARRAY) - 1)]
+            else:
+                deltas[i] = 0
+        elif ch == "I":
+            streak = streak + 1 if prev == m else 1
+            deltas[i] = POINTS_INS_ARRAY[min(streak,
+                                             len(POINTS_INS_ARRAY) - 1)]
+        elif ch == "D":
+            streak = streak + 1 if prev == m else 0
+            deltas[i] = del_streak_points(streak if prev == m else 0)
+        else:
+            deltas[i] = 0
+        prev = m
+    return deltas
+
+
+def to_local_alignment(match: bytes) -> Tuple[bytes, int, int]:
+    """Global -> local: clip negative-scoring tips to 'C' soft-clips
+    (reference: stream/Read.toLocalAlignment, wired at
+    align2/BBMapThread.java:1337-1347). Returns (new match, ref bases
+    clipped at start, ref bases clipped at end)."""
+    deltas = score_match_symbols(match)
+    # maximal-scoring subarray (ties -> longest, i.e. earliest start)
+    best = -1
+    best_a = best_b = 0
+    run = 0
+    run_start = 0
+    for i, d in enumerate(deltas):
+        if run <= 0:
+            run = 0
+            run_start = i
+        run += int(d)
+        if run > best:
+            best = run
+            best_a, best_b = run_start, i + 1
+    if best <= 0:
+        return match, 0, 0
+    out = bytearray(match)
+    ref_pre = 0
+    for i in range(best_a):
+        if chr(match[i]) in "mSND":
+            ref_pre += 1
+        out[i] = ord("C") if chr(match[i]) not in "D" else ord("C")
+    ref_post = 0
+    for i in range(best_b, len(match)):
+        if chr(match[i]) in "mSND":
+            ref_post += 1
+        out[i] = ord("C")
+    # deletions cannot be soft-clipped (no read bases) — drop them
+    cleaned = bytes(ch for i, ch in enumerate(out)
+                    if not (ch == ord("C") and chr(match[i]) == "D"))
+    return cleaned, ref_pre, ref_post

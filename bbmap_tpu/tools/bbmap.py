@@ -44,6 +44,8 @@ def main(argv: List[str]) -> int:
     maxindel = args.get_int("maxindel", default=16000)
     batch_size = args.get_int("batchsize", default=4096)
     interleaved = args.get_bool("interleaved", "int", default=False)
+    samio.MAKE_MD_TAG = args.get_bool("mdtag", "md", default=False)
+    local = args.get_bool("local", default=False)
 
     if ref is None or in1 is None:
         print("Usage: bbmap ref=<fasta> in=<reads> [in2=] out=<sam>",
@@ -74,7 +76,7 @@ def main(argv: List[str]) -> int:
     aligner = BBMapAligner(genome, index, min_ratio=min_ratio,
                            ambig_mode=ambig,
                            chain_dist=min(400, maxindel) if maxindel > 0
-                           else 0)
+                           else 0, local=local)
 
     out_fh = fastx.xopen(out, "wt") if out else None
     if out_fh is not None and (out is None or out.endswith(".sam")

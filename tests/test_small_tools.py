@@ -273,3 +273,26 @@ def test_rqcfilter(tmp_path):
     recs = list(fastx.read_seqs(str(out)))
     assert len(recs) == 20
     assert all(len(r.bases) <= 72 for r in recs)  # adapters trimmed
+
+
+def test_md_tag():
+    from bbmap_tpu.io.sam import make_md_tag
+    ref = np.frombuffer(b"ACGTACGTAC", np.uint8)
+    assert make_md_tag(b"m" * 10, ref) == "MD:Z:10"
+    # sub at position 4 (ref base A)
+    assert make_md_tag(b"mmmmSmmmmm", ref) == "MD:Z:4A5"
+    # deletion of ref bases 5-6 (CG)
+    ref2 = np.frombuffer(b"ACGTACGTACGT", np.uint8)
+    assert make_md_tag(b"mmmmmDDmmmmm", ref2) == "MD:Z:5^CG5"
+
+
+def test_local_alignment_conversion():
+    from bbmap_tpu.io.sam import to_local_alignment
+    # clean interior, bad tips (S runs at both ends)
+    match = b"SS" + b"m" * 40 + b"SS"
+    out, pre, post = to_local_alignment(match)
+    assert out == b"CC" + b"m" * 40 + b"CC"
+    assert pre == 2 and post == 2
+    # all-match stays untouched
+    out, pre, post = to_local_alignment(b"m" * 30)
+    assert out == b"m" * 30 and pre == 0 and post == 0
