@@ -659,15 +659,21 @@ class BBMapAligner:
                 refs[s_i] = self._window(int(wstart[j]), C)
             prevs, s, col, st = msa_jax.msa_trace_batch(reads, refs, L, C)
             s = np.asarray(s)
-            prevs = np.asarray(prevs)
             col = np.asarray(col)
             st = np.asarray(st)
+            if dp_cache is not None:
+                # keep prevs ON DEVICE; traceback fetches only the winner
+                # rows (the full tensor is ~50KB/job and would dominate
+                # transfer time)
+                bufs = dp_cache.setdefault("__bufs__", [])
+                bk = len(bufs)
+                bufs.append(prevs)
             for s_i, t in enumerate(slots):
                 out[t] = int(s[s_i])
                 if dp_cache is not None:
                     j = int(dp_jobs[t])
-                    dp_cache[j] = (prevs[s_i], int(col[s_i]),
-                                   int(st[s_i]), refs[s_i], C)
+                    dp_cache[j] = (bk, s_i, int(col[s_i]),
+                                   int(st[s_i]), C)
         return out
 
     def _finalize_winners(self, cand_reads, refs_g, cs, winners, results,
@@ -713,14 +719,27 @@ class BBMapAligner:
             else:
                 uncached.append(w)
         retries = []
-        # cached winners: walk directly, no device call
-        for w in cached:
-            read_global, j, ws, wl, score, _dp = dp_winners[w]
-            prevs_j, col_j, st_j, refs_j, C = dp_cache[j]
-            match = msa_jax.traceback_prevs(
-                cand_reads[j], refs_j, prevs_j, col_j, st_j)
-            self._apply_dp_result(results, read_global, j, match, ws, wl,
-                                  col_j, score, retries, depth)
+        # cached winners: fetch only their prev rows from the device
+        # buffers (one sliced transfer per source buffer), then walk
+        if cached:
+            bufs = dp_cache["__bufs__"]
+            by_buf: Dict[int, List[int]] = {}
+            for w in cached:
+                bk = dp_cache[dp_winners[w][1]][0]
+                by_buf.setdefault(bk, []).append(w)
+            for bk, ws_list in by_buf.items():
+                rows = np.array([dp_cache[dp_winners[w][1]][1]
+                                 for w in ws_list])
+                fetched = np.asarray(bufs[bk][rows])
+                for t, w in enumerate(ws_list):
+                    read_global, j, ws, wl, score, _dp = dp_winners[w]
+                    _bk, _slot, col_j, st_j, C = dp_cache[j]
+                    refs_j = self._window(ws, C)
+                    match = msa_jax.traceback_prevs(
+                        cand_reads[j], refs_j, fetched[t], col_j, st_j)
+                    self._apply_dp_result(results, read_global, j, match,
+                                          ws, wl, col_j, score, retries,
+                                          depth)
         buckets: Dict[int, List[int]] = {}
         for w in uncached:
             buckets.setdefault(dp_winners[w][3], []).append(w)
