@@ -52,6 +52,9 @@ SUBTOOLS = {
     "repair": ("bbmap_tpu.tools.pairtools", "splitpairs"),
     "filterbyname": ("bbmap_tpu.tools.pairtools", "filterbyname"),
     "demuxbyname": ("bbmap_tpu.tools.pairtools", "demuxbyname"),
+    "sortsam": ("bbmap_tpu.tools.sorttools", "sortsam"),
+    "sortbyname": ("bbmap_tpu.tools.sorttools", "sortbyname"),
+    "grademerge": ("bbmap_tpu.tools.sorttools", "grademerge"),
 }
 
 

@@ -65,13 +65,60 @@ def optimal_trim_points(bases: np.ndarray, qual: Optional[np.ndarray],
                     axis=1)
 
 
+def read_min_entropy(bases: np.ndarray, length: int, k: int = 5,
+                     window: int = 50) -> float:
+    """Minimum windowed Shannon entropy of a read (reference: BBDukF
+    entropy filter; shares the BBMask entropy model)."""
+    from .bbmask import window_entropy_mask
+    seq = bases[:length]
+    if length < window:
+        window = max(k + 1, length)
+    # reuse the window scanner: any masked position => below threshold is
+    # checked by the caller with its own threshold, so compute the true
+    # minimum here instead
+    from ..core.bases import BASE_TO_NUMBER
+    codes = BASE_TO_NUMBER[seq].astype(np.int64)
+    m = length - k + 1
+    if m <= 0:
+        return 0.0
+    kmers = np.zeros(m, np.int64)
+    valid = np.ones(m, bool)
+    for j in range(k):
+        kmers = (kmers << 2) | (codes[j:m + j] & 3)
+        valid &= codes[j:m + j] >= 0
+    wk = window - k + 1
+    best = 1.0
+    counts = np.bincount(kmers[:wk][valid[:wk]], minlength=4 ** k)
+
+    def ent(c):
+        nz = c[c > 0]
+        if len(nz) == 0:
+            return 0.0
+        p_ = nz / nz.sum()
+        return float(-(p_ * np.log(p_)).sum() / np.log(min(wk, 4 ** k)))
+
+    best = ent(counts)
+    for w in range(1, length - window + 1):
+        old, new = w - 1, w + wk - 1
+        if valid[old]:
+            counts[kmers[old]] -= 1
+        if new < m and valid[new]:
+            counts[kmers[new]] += 1
+        e = ent(counts)
+        if e < best:
+            best = e
+    return best
+
+
 class BBDuk:
     def __init__(self, ref_seqs: List[bytes], names: List[str], k: int = 27,
                  mink: int = 0, hdist: int = 0, mask_middle: bool = True,
                  rcomp: bool = True, ktrim: str = "f",
                  kmask: Optional[str] = None, min_kmer_hits: int = 1,
                  qtrim: str = "f", trimq: int = 6, minlength: int = 10,
-                 forcetrimleft: int = 0, forcetrimright: int = -1):
+                 forcetrimleft: int = 0, forcetrimright: int = -1,
+                 entropy: float = -1.0):
+        self.entropy = entropy
         if mink > 0 and mink < k:
             mask_middle = False  # reference: BBDukF.java:620-622
         self.ks = kmerset.build_kmer_set(
@@ -177,6 +224,11 @@ class BBDuk:
 
         newlen = np.maximum(lengths - left, 0)
         keep &= newlen >= self.minlength
+        if self.entropy >= 0:
+            for i in range(B):
+                if keep[i] and read_min_entropy(
+                        bases[i], int(newlen[i])) < self.entropy:
+                    keep[i] = False
         self.bases_removed += int((batch.lengths - newlen).sum())
 
         out_records = []
@@ -237,6 +289,7 @@ def main(argv: List[str]) -> int:
     ftl = args.get_int("forcetrimleft", "ftl", default=0)
     ftr = args.get_int("forcetrimright", "ftr", default=-1)
     minkmerhits = args.get_int("minkmerhits", "mkh", default=1)
+    entropy = args.get_float("entropy", default=-1.0)
     stats = args.get("stats")
     interleaved = args.get_bool("interleaved", "int", default=False)
 
@@ -261,7 +314,7 @@ def main(argv: List[str]) -> int:
                 mask_middle=mask_middle, rcomp=rcomp, ktrim=ktrim,
                 kmask=kmask, min_kmer_hits=minkmerhits, qtrim=qtrim,
                 trimq=trimq, minlength=minlength, forcetrimleft=ftl,
-                forcetrimright=ftr)
+                forcetrimright=ftr, entropy=entropy)
 
     out_fh = fastx.xopen(out, "wb") if out else None
     out2_fh = fastx.xopen(out2, "wb") if out2 else None

@@ -164,6 +164,7 @@ def main(argv: List[str]) -> int:
     outu1 = args.get("outu", "outu1", "outunmerged")
     outu2 = args.get("outu2")
     ihist_path = args.get("ihist")
+    ecco = args.get_bool("ecco", "ecc", default=False)
     interleaved = args.get_bool("interleaved", "int",
                                 default=in2 is None)
 
@@ -218,6 +219,33 @@ def main(argv: List[str]) -> int:
         b1 = ReadBatch.from_records(recs1)
         b2 = ReadBatch.from_records(recs2)
         inserts, joined = merger.merge_batch(b1, b2)
+        if ecco:
+            # error-correct by overlap consensus without joining
+            # (reference: jgi/BBMerge errorCorrectWithInsert:1416)
+            from ..core.bases import COMP_ASCII
+            import numpy as _np
+            for i, rec in enumerate(recs1):
+                if inserts[i] > 0 and joined[i] is not None:
+                    jb = _np.frombuffer(joined[i][0], _np.uint8)
+                    jq = (_np.frombuffer(joined[i][1], _np.uint8) - 33
+                          if joined[i][1] else None)
+                    L1 = len(rec.bases)
+                    L2 = len(recs2[i].bases)
+                    nb1 = bytes(jb[:L1])
+                    nq1 = (bytes(jq[:L1] + 33) if jq is not None
+                           else rec.quality)
+                    tail = jb[max(0, len(jb) - L2):]
+                    nb2 = bytes(COMP_ASCII[tail][::-1])
+                    nq2 = (bytes((jq[max(0, len(jq) - L2):] + 33)[::-1])
+                           if jq is not None else recs2[i].quality)
+                    wfq(out_fh, rec.id, nb1, nq1)
+                    wfq(outu2_fh if outu2_fh else out_fh, recs2[i].id,
+                        nb2, nq2)
+                else:
+                    wfq(out_fh, rec.id, rec.bases, rec.quality)
+                    wfq(outu2_fh if outu2_fh else out_fh, recs2[i].id,
+                        recs2[i].bases, recs2[i].quality)
+            continue
         for i, rec in enumerate(recs1):
             if inserts[i] > 0 and joined[i] is not None:
                 wfq(out_fh, rec.id, joined[i][0], joined[i][1])

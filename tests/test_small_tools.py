@@ -296,3 +296,31 @@ def test_local_alignment_conversion():
     # all-match stays untouched
     out, pre, post = to_local_alignment(b"m" * 30)
     assert out == b"m" * 30 and pre == 0 and post == 0
+
+
+def test_bbduk_entropy_filter(tmp_path):
+    from bbmap_tpu.tools.bbduk import BBDuk
+    from bbmap_tpu.core.batch import ReadBatch
+    rng = np.random.default_rng(15)
+    good = bytes(rng.choice(BASES, 100))
+    low = b"ATATATATAT" * 10
+    duk = BBDuk([], [], entropy=0.5)
+    batch = ReadBatch.from_records(
+        [SeqRecord("g", good, b"I" * 100), SeqRecord("l", low, b"I" * 100)])
+    keep, recs, matched = duk.process_batch(batch)
+    assert list(keep) == [True, False]
+
+
+def test_sortsam(tmp_path):
+    from bbmap_tpu.tools.sorttools import sortsam
+    sam = tmp_path / "u.sam"
+    sam.write_text(
+        "@HD\tVN:1.4\n@SQ\tSN:a\tLN:100\n@SQ\tSN:b\tLN:100\n"
+        "r2\t0\tb\t5\t40\t10=\t*\t0\t0\tAAAAAAAAAA\tIIIIIIIIII\n"
+        "r1\t0\ta\t50\t40\t10=\t*\t0\t0\tAAAAAAAAAA\tIIIIIIIIII\n"
+        "r0\t0\ta\t10\t40\t10=\t*\t0\t0\tAAAAAAAAAA\tIIIIIIIIII\n")
+    out = tmp_path / "s.sam"
+    assert sortsam([f"in={sam}", f"out={out}"]) == 0
+    names = [l.split("\t")[0] for l in out.read_text().splitlines()
+             if not l.startswith("@")]
+    assert names == ["r0", "r1", "r2"]
