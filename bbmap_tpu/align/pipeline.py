@@ -642,9 +642,9 @@ class BBMapAligner:
                   wlen: np.ndarray, dp_jobs: np.ndarray, L: int,
                   dp_cache: Optional[Dict[int, tuple]] = None
                   ) -> np.ndarray:
-        """Score DP-needing candidates, bucketed by window length. One
-        trace-pass per bucket: scores AND prev-state codes come back
-        together, so winners need no second device call."""
+        """Score DP-needing candidates, bucketed by window length. The
+        fused fill+walk kernel returns match symbols directly, so no
+        per-winner device traffic remains (prev codes stay on device)."""
         out = np.zeros(len(dp_jobs), np.int64)
         buckets: Dict[int, List[int]] = {}
         for t, j in enumerate(dp_jobs):
@@ -657,23 +657,19 @@ class BBMapAligner:
                 j = int(dp_jobs[t])
                 reads[s_i] = cand_reads[j]
                 refs[s_i] = self._window(int(wstart[j]), C)
-            prevs, s, col, st = msa_jax.msa_trace_batch(reads, refs, L, C)
-            s = np.asarray(s)
+            sym, ln, gaps, sc, col, st = msa_jax.msa_align_batch(
+                reads, refs, L, C)
+            sc = np.asarray(sc)
+            sym = np.asarray(sym)
+            ln = np.asarray(ln)
+            gaps = np.asarray(gaps)
             col = np.asarray(col)
-            st = np.asarray(st)
-            if dp_cache is not None:
-                # keep prevs ON DEVICE; traceback fetches only the winner
-                # rows (the full tensor is ~50KB/job and would dominate
-                # transfer time)
-                bufs = dp_cache.setdefault("__bufs__", [])
-                bk = len(bufs)
-                bufs.append(prevs)
             for s_i, t in enumerate(slots):
-                out[t] = int(s[s_i])
+                out[t] = int(sc[s_i])
                 if dp_cache is not None:
                     j = int(dp_jobs[t])
-                    dp_cache[j] = (bk, s_i, int(col[s_i]),
-                                   int(st[s_i]), C)
+                    dp_cache[j] = (sym[s_i], int(ln[s_i]),
+                                   int(gaps[s_i]), int(col[s_i]))
         return out
 
     def _finalize_winners(self, cand_reads, refs_g, cs, winners, results,
@@ -705,41 +701,22 @@ class BBMapAligner:
     def _traceback_dp(self, cand_reads, dp_winners, results, L,
                       depth: int = 0, dp_cache: Optional[dict] = None
                       ) -> None:
-        """Traceback for DP winners using the prev-state codes cached by
-        the score pass; re-align with a wider window when the alignment is
-        clipped at the window edge (reference:
-        align2/AbstractMapThread.java:1012 — extra padding of
-        80+SLOW_ALIGN_PADDING on retry)."""
-        cached = []
+        """Apply cached device-walked matches for DP winners; re-align
+        with a wider window when the alignment is clipped at the window
+        edge (reference: align2/AbstractMapThread.java:1012 — extra
+        padding of 80+SLOW_ALIGN_PADDING on retry)."""
+        retries = []
         uncached = []
         for w, rec in enumerate(dp_winners):
             j = rec[1]
             if depth == 0 and dp_cache is not None and j in dp_cache:
-                cached.append(w)
+                read_global, j, ws, wl, score, _dp = rec
+                sym, ln, gaps, col = dp_cache[j]
+                match = msa_jax.finish_match(sym, ln, gaps)
+                self._apply_dp_result(results, read_global, j, match, ws,
+                                      wl, col, score, retries, depth)
             else:
                 uncached.append(w)
-        retries = []
-        # cached winners: fetch only their prev rows from the device
-        # buffers (one sliced transfer per source buffer), then walk
-        if cached:
-            bufs = dp_cache["__bufs__"]
-            by_buf: Dict[int, List[int]] = {}
-            for w in cached:
-                bk = dp_cache[dp_winners[w][1]][0]
-                by_buf.setdefault(bk, []).append(w)
-            for bk, ws_list in by_buf.items():
-                rows = np.array([dp_cache[dp_winners[w][1]][1]
-                                 for w in ws_list])
-                fetched = np.asarray(bufs[bk][rows])
-                for t, w in enumerate(ws_list):
-                    read_global, j, ws, wl, score, _dp = dp_winners[w]
-                    _bk, _slot, col_j, st_j, C = dp_cache[j]
-                    refs_j = self._window(ws, C)
-                    match = msa_jax.traceback_prevs(
-                        cand_reads[j], refs_j, fetched[t], col_j, st_j)
-                    self._apply_dp_result(results, read_global, j, match,
-                                          ws, wl, col_j, score, retries,
-                                          depth)
         buckets: Dict[int, List[int]] = {}
         for w in uncached:
             buckets.setdefault(dp_winners[w][3], []).append(w)
@@ -751,18 +728,19 @@ class BBMapAligner:
                 read_global, j, ws, wl, score, _dp = dp_winners[w]
                 reads[slot] = cand_reads[j]
                 refs[slot] = self._window(ws, C)
-            prevs, s, col, st = msa_jax.msa_trace_batch(reads, refs, L, C)
-            prevs = np.asarray(prevs)
-            s = np.asarray(s)
+            sym, ln, gaps, sc, col, st = msa_jax.msa_align_batch(
+                reads, refs, L, C)
+            sym = np.asarray(sym)
+            ln = np.asarray(ln)
+            gaps = np.asarray(gaps)
+            sc = np.asarray(sc)
             col = np.asarray(col)
-            st = np.asarray(st)
             for slot, w in enumerate(idx_list):
                 read_global, j, ws, wl, score, _dp = dp_winners[w]
-                match = msa_jax.traceback_prevs(
-                    reads[slot], refs[slot], prevs[slot], int(col[slot]),
-                    int(st[slot]))
+                match = msa_jax.finish_match(sym[slot], int(ln[slot]),
+                                             int(gaps[slot]))
                 self._apply_dp_result(results, read_global, j, match, ws,
-                                      wl, int(col[slot]), int(s[slot]),
+                                      wl, int(col[slot]), int(sc[slot]),
                                       retries, depth)
         if retries:
             self._traceback_dp(cand_reads, retries, results, L, depth + 1)

@@ -415,3 +415,93 @@ def msa_trace_batch_var(reads, refs, rows, R: int, C: int):
     return jax.vmap(
         lambda rd, rf, rt: _scan(rd, rf, R, C, True, rtrue=rt)
     )(reads, refs, rows)
+
+
+# ---------------------------------------------------------------------------
+# Fully-fused alignment: fill + in-device traceback walk. The prev-state
+# codes never leave the device; only the (R+C)-byte symbol strings and
+# scalars transfer. (reference: fillLimited + traceback2 as one unit)
+# ---------------------------------------------------------------------------
+
+_DEFINED_TABLE = np.zeros(256, np.bool_)
+for _c in b"ACGTU":
+    _DEFINED_TABLE[_c] = True
+
+
+def _walk_device(prevs, read, ref, col0, st0, R: int, C: int):
+    """Traceback walk on device. prevs: (R+C, R+1) uint8; returns
+    (symbols (R+C,) uint8 reversed order, out_len, gaps)."""
+    defined = jnp.asarray(_DEFINED_TABLE)
+    read_i = read.astype(I32)
+    ref_i = ref.astype(I32)
+
+    def step(carry, _):
+        row, col, st, outpos, out, gaps = carry
+        main = jnp.logical_and(row > 0, col > 0)
+        xpad = jnp.logical_and(row > 0, col <= 0)
+        code = prevs[jnp.clip(row + col - 1, 0, R + C - 1),
+                     jnp.clip(row, 0, R)].astype(I32)
+        prev = (code >> (2 * st)) & 3
+        c_ = read_i[jnp.maximum(row - 1, 0)]
+        r_ = ref_i[jnp.clip(col - 1, 0, C - 1)]
+        sym_ms = jnp.where(
+            c_ == r_, ord("m"),
+            jnp.where(jnp.logical_or(~defined[c_], ~defined[r_]),
+                      ord("N"), ord("S")))
+        sym_del = jnp.where(r_ == GAPC, ord("-"), ord("D"))
+        sym_ins = jnp.where(col >= C, ord("Y"), ord("I"))
+        sym = jnp.where(st == MODE_MS, sym_ms,
+                        jnp.where(st == MODE_DEL, sym_del, sym_ins))
+        sym = jnp.where(xpad, ord("X"), sym)
+        act = jnp.logical_or(main, xpad)
+        out = out.at[jnp.clip(outpos, 0, R + C - 1)].set(
+            jnp.where(act, sym, out[jnp.clip(outpos, 0, R + C - 1)]))
+        gaps = gaps + jnp.where(
+            jnp.logical_and(main, jnp.logical_and(st == MODE_DEL,
+                                                  r_ == GAPC)), 1, 0)
+        drow = jnp.where(jnp.logical_and(main, st != MODE_DEL), 1, 0) \
+            + jnp.where(xpad, 1, 0)
+        dcol = jnp.where(jnp.logical_and(main, st != MODE_INS), 1, 0) \
+            + jnp.where(xpad, 1, 0)
+        nst = jnp.where(main, prev, st)
+        return (row - drow, col - dcol, nst.astype(I32),
+                outpos + act.astype(I32), out, gaps), None
+
+    out0 = jnp.zeros(R + C, jnp.uint8)
+    carry0 = (jnp.int32(R), col0.astype(I32), st0.astype(I32),
+              jnp.int32(0), out0, jnp.int32(0))
+    (row, col, st, outpos, out, gaps), _ = jax.lax.scan(
+        step, carry0, None, length=R + C + 1)
+    return out, outpos, gaps
+
+
+def _align_single(read, ref, R: int, C: int, rtrue=None):
+    prevs, score, col, state = _scan(read, ref, R, C, True, rtrue=rtrue)
+    symbols, out_len, gaps = _walk_device(prevs, read, ref, col, state,
+                                          R, C)
+    return symbols, out_len, gaps, score, col, state
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def msa_align_batch(reads, refs, R: int, C: int):
+    """Fill + traceback in one device call. Returns (symbols (B, R+C)
+    uint8 in reverse order, lengths (B,), gaps (B,), scores, cols,
+    states)."""
+    return jax.vmap(lambda rd, rf: _align_single(rd, rf, R, C))(
+        reads, refs)
+
+
+def finish_match(symbols_row: np.ndarray, out_len: int,
+                 gaps: int) -> bytes:
+    """Host: reverse the walked symbols and expand GAPC placeholders
+    (reference: traceback2 :1205-1227)."""
+    out = bytes(symbols_row[:out_len][::-1])
+    if gaps == 0:
+        return out
+    res = bytearray()
+    for ch in out:
+        if ch == GAPC:
+            res.extend(b"D" * GAPLEN)
+        else:
+            res.append(ch)
+    return bytes(res)
