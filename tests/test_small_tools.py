@@ -324,3 +324,23 @@ def test_sortsam(tmp_path):
     names = [l.split("\t")[0] for l in out.read_text().splitlines()
              if not l.startswith("@")]
     assert names == ["r0", "r1", "r2"]
+
+
+def test_multihost_striping(tmp_path):
+    from bbmap_tpu.parallel import multihost
+    batches = list(range(10))
+    s0 = [b for _, b in multihost.stripe_batches(iter(batches), 0, 3)]
+    s1 = [b for _, b in multihost.stripe_batches(iter(batches), 1, 3)]
+    s2 = [b for _, b in multihost.stripe_batches(iter(batches), 2, 3)]
+    assert s0 == [0, 3, 6, 9] and s1 == [1, 4, 7] and s2 == [2, 5, 8]
+    # shard merge keeps one header
+    base = str(tmp_path / "out.sam")
+    for p in range(2):
+        with open(multihost.shard_path(base, p), "w") as fh:
+            fh.write("@HD\tVN:1.4\n")
+            fh.write(f"r{p}\t0\tx\t1\t40\t5=\t*\t0\t0\tAAAAA\tIIIII\n")
+    multihost.merge_shards(base, 2)
+    lines = open(base).read().splitlines()
+    assert lines[0].startswith("@HD")
+    assert sum(1 for l in lines if l.startswith("@")) == 1
+    assert "r0" in lines[1] and "r1" in lines[2]
