@@ -282,7 +282,6 @@ class BBMapAligner:
             if g1 is not None else []
         w2 = self._select_group(g2, res2, boost2, paired=True) \
             if g2 is not None else []
-        self._set_pair_flags(res1, res2, L1, L2)
         if g1 is not None:
             self._finalize_winners(g1["cand_reads"], g1["refs_g"],
                                    g1["cs"], w1, res1, L1,
@@ -291,6 +290,8 @@ class BBMapAligner:
             self._finalize_winners(g2["cand_reads"], g2["refs_g"],
                                    g2["cs"], w2, res2, L2,
                                    g2.get("dp_cache"))
+        self._rescue(b1, b2, L1, L2, res1, res2)
+        self._set_pair_flags(res1, res2, L1, L2)
         return res1, res2
 
     def _pair_boost_fixed(self, d1: dict, d2: dict, L1: int, L2: int
@@ -388,8 +389,78 @@ class BBMapAligner:
                 self._finalize_winners(g2["cand_reads"], g2["refs_g"],
                                        g2["cs"], w2, res2, L2,
                                        g2.get("dp_cache"))
+        self._rescue(b1, b2, L1, L2, res1, res2)
         self._set_pair_flags(res1, res2, L1, L2)
         return res1, res2
+
+    def _rescue(self, b1, b2, L1, L2, res1, res2) -> None:
+        """Mate rescue: brute gapless scan near the mapped anchor for an
+        unmapped mate (reference: AbstractMapThread.rescue:1144 /
+        quickRescue:2303 — strided mismatch count over candidate
+        offsets, ideal for vector compare)."""
+        from ..core.bases import COMP_ASCII
+        from . import gapless
+
+        jobs = []  # (pair_idx, which_missing)
+        for i, (r1, r2) in enumerate(zip(res1, res2)):
+            if r1.mapped and not r2.mapped:
+                jobs.append((i, 2))
+            elif r2.mapped and not r1.mapped:
+                jobs.append((i, 1))
+        if not jobs:
+            return
+        span = 1400  # scan half-width around the ideal mate position
+        for i, which in jobs:
+            anchor = res1[i] if which == 2 else res2[i]
+            bm = b2 if which == 2 else b1
+            Lm = L2 if which == 2 else L1
+            resm = res2 if which == 2 else res1
+            row = bm.bases[i, :Lm]
+            anchor_flat = int(self.chrom_offsets[anchor.chrom - 1]) \
+                + anchor.start
+            if anchor.strand == 0:
+                # mate expected downstream on minus strand
+                ideal = anchor_flat + AVERAGE_PAIR_DIST
+                mate_strand = 1
+                mate_read = COMP_ASCII[row][::-1]
+            else:
+                ideal = anchor_flat - AVERAGE_PAIR_DIST - Lm
+                mate_strand = 0
+                mate_read = row
+            lo = max(0, ideal - span)
+            hi = min(len(self.codes_ascii) - Lm, ideal + span)
+            if hi <= lo:
+                continue
+            offs = np.arange(lo, hi, dtype=np.int64)
+            # mismatch counts via shifted compares
+            g = self.codes_ascii
+            win = np.lib.stride_tricks.sliding_window_view(
+                g[lo:hi + Lm], Lm)[:len(offs)]
+            mism = (win != mate_read[None, :]).sum(1)
+            bidx = int(np.argmin(mism))
+            diag = int(offs[bidx])
+            score = int(gapless.score_no_indels_flat(
+                mate_read[None, :], np.array([Lm]), g,
+                np.array([diag]))[0])
+            max_sw = K.max_quality(Lm)
+            ratio_rescue = max(self.min_ratio * 0.60,
+                               1 - (1 - self.min_ratio) * 1.8)
+            if score < int(max_sw * ratio_rescue):
+                continue
+            rm = resm[i]
+            rm.mapped = True
+            rm.strand = mate_strand
+            rm.score = score
+            rm.perfect = score >= max_sw
+            rm.ambiguous = False
+            rm.n_sites = 1
+            chrom, loc = self._chrom_of(diag)
+            rm.chrom = chrom
+            rm.start = loc
+            rm.stop = loc + Lm - 1
+            refs = gapless.gather_ref_rows(g, np.array([diag]), Lm)
+            rm.match = bytes(gapless.gen_match_no_indels_batch(
+                mate_read[None, :], refs)[0])
 
     def _map_group(self, batch: ReadBatch, L: int, idxs: np.ndarray,
                    results: List[MappedRead]) -> None:

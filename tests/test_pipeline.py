@@ -159,3 +159,25 @@ def test_map_pairs_boost_and_flags(aligner):
     # paired score boost raises mapScore above the single-end slow score
     from bbmap_tpu.core import constants as K
     assert res1[0].score > K.max_quality(100)
+
+
+def test_mate_rescue(aligner):
+    g = aligner.genome
+    # r1 maps cleanly; r2 has so many errors its seeds all fail, but lies
+    # at the expected innie position -> rescue should place it
+    rng = np.random.default_rng(99)
+    r1 = _mkread(g, 3200, 100, rid="resc/1")
+    arr = g.chroms[0][START_PADDING + 3350:START_PADDING + 3450].copy()
+    # heavy scattered errors kill every 13-mer seed
+    for p in range(3, 100, 9):
+        arr[p] = {ord("A"): ord("C"), ord("C"): ord("G"),
+                  ord("G"): ord("T"), ord("T"): ord("A")}[arr[p]]
+    arr = COMP_ASCII[arr][::-1]
+    r2 = SeqRecord("resc/2", bytes(arr), b"I" * 100)
+    b1 = ReadBatch.from_records([r1])
+    b2 = ReadBatch.from_records([r2])
+    res1, res2 = aligner.map_pairs(b1, b2)
+    assert res1[0].mapped
+    assert res2[0].mapped, "mate should be rescued"
+    assert res2[0].start - START_PADDING == 3350
+    assert res2[0].strand == 1
