@@ -112,6 +112,18 @@ def _bucket_pad(n: int) -> int:
     return p
 
 
+DP_CHUNK = 1024      # fixed device batch for DP jobs — one compile ever
+GAPLESS_CHUNK = 8192  # fixed device batch for gapless scoring
+
+
+def _fixed_chunks(n: int, size: int):
+    """Yield (start, stop) covering [0, n) in fixed-size chunks; every
+    chunk is padded to exactly `size` by the caller, so the compiled
+    shapes never vary between batches."""
+    for a in range(0, max(n, 1), size):
+        yield a, min(a + size, n)
+
+
 class BBMapAligner:
     def __init__(self, genome: Genome, index: KmerIndex,
                  min_ratio: float = MIN_RATIO,
@@ -505,16 +517,15 @@ class BBMapAligner:
         # (one lax.scan over L with all candidates in the lanes), padded to
         # power-of-two job counts to bound recompilation.
         refs_g = gapless.gather_ref_rows(self.codes_ascii, cs.best_diag, L)
-        n_pad = _bucket_pad(n)
-        if n_pad != n:
-            reads_p = np.full((n_pad, L), ord("N"), np.uint8)
-            refs_p = np.full((n_pad, L), ord("N"), np.uint8)
-            reads_p[:n] = cand_reads
-            refs_p[:n] = refs_g
-        else:
-            reads_p, refs_p = cand_reads, refs_g
-        g_scores = np.asarray(
-            gapless.score_no_indels_jax(reads_p, refs_p, L))[:n]
+        g_scores = np.zeros(n, np.int32)
+        chunk = min(GAPLESS_CHUNK, _bucket_pad(n))
+        for a, b in _fixed_chunks(n, chunk):
+            reads_p = np.full((chunk, L), ord("N"), np.uint8)
+            refs_p = np.full((chunk, L), ord("N"), np.uint8)
+            reads_p[:b - a] = cand_reads[a:b]
+            refs_p[:b - a] = refs_g[a:b]
+            g_scores[a:b] = np.asarray(
+                gapless.score_no_indels_jax(reads_p, refs_p, L))[:b - a]
         max_imp = K.max_imperfect_score(L)
         max_sw_q = K.max_quality(L)
         slow = g_scores.astype(np.int64)
@@ -721,26 +732,27 @@ class BBMapAligner:
         for t, j in enumerate(dp_jobs):
             buckets.setdefault(int(wlen[j]), []).append(t)
         for C, slots in buckets.items():
-            np_pad = _bucket_pad(len(slots))
-            reads = np.full((np_pad, L), ord("N"), np.uint8)
-            refs = np.full((np_pad, C), ord("N"), np.uint8)
-            for s_i, t in enumerate(slots):
-                j = int(dp_jobs[t])
-                reads[s_i] = cand_reads[j]
-                refs[s_i] = self._window(int(wstart[j]), C)
-            sym, ln, gaps, sc, col, st = msa_jax.msa_align_batch(
-                reads, refs, L, C)
-            sc = np.asarray(sc)
-            sym = np.asarray(sym)
-            ln = np.asarray(ln)
-            gaps = np.asarray(gaps)
-            col = np.asarray(col)
-            for s_i, t in enumerate(slots):
-                out[t] = int(sc[s_i])
-                if dp_cache is not None:
+            chunk = min(DP_CHUNK, _bucket_pad(len(slots)))
+            for a, b in _fixed_chunks(len(slots), chunk):
+                reads = np.full((chunk, L), ord("N"), np.uint8)
+                refs = np.full((chunk, C), ord("N"), np.uint8)
+                for s_i, t in enumerate(slots[a:b]):
                     j = int(dp_jobs[t])
-                    dp_cache[j] = (sym[s_i], int(ln[s_i]),
-                                   int(gaps[s_i]), int(col[s_i]))
+                    reads[s_i] = cand_reads[j]
+                    refs[s_i] = self._window(int(wstart[j]), C)
+                sym, ln, gaps, sc, col, st = msa_jax.msa_align_batch(
+                    reads, refs, L, C)
+                sc = np.asarray(sc)
+                sym = np.asarray(sym)
+                ln = np.asarray(ln)
+                gaps = np.asarray(gaps)
+                col = np.asarray(col)
+                for s_i, t in enumerate(slots[a:b]):
+                    out[t] = int(sc[s_i])
+                    if dp_cache is not None:
+                        j = int(dp_jobs[t])
+                        dp_cache[j] = (sym[s_i], int(ln[s_i]),
+                                       int(gaps[s_i]), int(col[s_i]))
         return out
 
     def _finalize_winners(self, cand_reads, refs_g, cs, winners, results,
@@ -792,27 +804,28 @@ class BBMapAligner:
         for w in uncached:
             buckets.setdefault(dp_winners[w][3], []).append(w)
         for C, idx_list in buckets.items():
-            np_pad = _bucket_pad(len(idx_list))
-            reads = np.full((np_pad, L), ord("N"), np.uint8)
-            refs = np.full((np_pad, C), ord("N"), np.uint8)
-            for slot, w in enumerate(idx_list):
-                read_global, j, ws, wl, score, _dp = dp_winners[w]
-                reads[slot] = cand_reads[j]
-                refs[slot] = self._window(ws, C)
-            sym, ln, gaps, sc, col, st = msa_jax.msa_align_batch(
-                reads, refs, L, C)
-            sym = np.asarray(sym)
-            ln = np.asarray(ln)
-            gaps = np.asarray(gaps)
-            sc = np.asarray(sc)
-            col = np.asarray(col)
-            for slot, w in enumerate(idx_list):
-                read_global, j, ws, wl, score, _dp = dp_winners[w]
-                match = msa_jax.finish_match(sym[slot], int(ln[slot]),
-                                             int(gaps[slot]))
-                self._apply_dp_result(results, read_global, j, match, ws,
-                                      wl, int(col[slot]), int(sc[slot]),
-                                      retries, depth)
+            chunk = min(DP_CHUNK, _bucket_pad(len(idx_list)))
+            for a, b in _fixed_chunks(len(idx_list), chunk):
+                reads = np.full((chunk, L), ord("N"), np.uint8)
+                refs = np.full((chunk, C), ord("N"), np.uint8)
+                for slot, w in enumerate(idx_list[a:b]):
+                    read_global, j, ws, wl, score, _dp = dp_winners[w]
+                    reads[slot] = cand_reads[j]
+                    refs[slot] = self._window(ws, C)
+                sym, ln, gaps, sc, col, st = msa_jax.msa_align_batch(
+                    reads, refs, L, C)
+                sym = np.asarray(sym)
+                ln = np.asarray(ln)
+                gaps = np.asarray(gaps)
+                sc = np.asarray(sc)
+                col = np.asarray(col)
+                for slot, w in enumerate(idx_list[a:b]):
+                    read_global, j, ws, wl, score, _dp = dp_winners[w]
+                    match = msa_jax.finish_match(sym[slot], int(ln[slot]),
+                                                 int(gaps[slot]))
+                    self._apply_dp_result(results, read_global, j, match,
+                                          ws, wl, int(col[slot]),
+                                          int(sc[slot]), retries, depth)
         if retries:
             self._traceback_dp(cand_reads, retries, results, L, depth + 1)
 
