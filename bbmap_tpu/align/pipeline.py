@@ -112,7 +112,7 @@ def _bucket_pad(n: int) -> int:
     return p
 
 
-DP_CHUNK = 1024      # fixed device batch for DP jobs — one compile ever
+DP_CHUNK = 2048      # fixed device batch for DP jobs — one compile ever
 GAPLESS_CHUNK = 8192  # fixed device batch for gapless scoring
 
 
@@ -482,6 +482,106 @@ class BBMapAligner:
         winners = self._select_group(g, results, None, paired=False)
         self._finalize_winners(g["cand_reads"], g["refs_g"], g["cs"],
                                winners, results, L, g.get("dp_cache"))
+        if self.maxindel > self.chain_dist:
+            still = np.array([i for i in idxs if not results[i].mapped],
+                             np.int64)
+            if len(still):
+                self._long_indel_pass(batch, L, still, results)
+
+    def _long_indel_pass(self, batch: ReadBatch, L: int,
+                         idxs: np.ndarray,
+                         results: List[MappedRead]) -> None:
+        """Gap-compressed DP for reads whose alignment spans an indel
+        wider than the chain window (reference: makeGref gap compression,
+        SiteScore.gaps; SURVEY §5.7). Chains to ±maxindel, compresses gap
+        interiors to GAPC symbols, aligns, and translates coordinates
+        back through the column map."""
+        from ..core.bases import COMP_ASCII
+        from ..ops import gref as grefmod
+
+        k = self.index.k
+        offsets = seed.make_offsets(L, k)
+        if offsets is None:
+            return
+        max_sw = K.max_quality(L)
+        min_score = int(max_sw * self.min_ratio)
+        for i in idxs:
+            row = batch.bases[i, :L]
+            keys_p = seed.keys_at_offsets(row, offsets, k)
+            best = None
+            from ..index.build import reverse_complement_key
+            for strand in (0, 1):
+                if strand == 0:
+                    kk = keys_p
+                    off_adj = offsets.astype(np.int64)
+                else:
+                    kk = reverse_complement_key(
+                        np.where(keys_p < 0, 0, keys_p), k)
+                    kk = np.where(keys_p < 0, -1, kk)
+                    off_adj = (L - (offsets + k)).astype(np.int64)
+                diags = []
+                for t in range(len(kk)):
+                    key = int(kk[t])
+                    if key < 0:
+                        continue
+                    s0, s1 = self.index.starts[key], \
+                        self.index.starts[key + 1]
+                    if s1 - s0 == 0 or s1 - s0 > 64:
+                        continue
+                    diags.append(self.index.sites[s0:s1].astype(np.int64)
+                                 - off_adj[t])
+                if not diags:
+                    continue
+                dall = np.sort(np.concatenate(diags))
+                # largest chain within maxindel
+                breaks = np.nonzero(np.diff(dall) > self.maxindel)[0]
+                seg_a = np.concatenate([[0], breaks + 1])
+                seg_b = np.concatenate([breaks + 1, [len(dall)]])
+                sizes = seg_b - seg_a
+                t = int(np.argmax(sizes))
+                chain = dall[seg_a[t]:seg_b[t]]
+                if best is None or len(chain) > len(best[1]):
+                    best = (strand, chain)
+            if best is None:
+                continue
+            strand, chain = best
+            if len(chain) < 2:
+                continue
+            spread = int(chain[-1] - chain[0])
+            if spread < K.MINGAP:
+                continue  # narrow chains were already tried
+            segments = grefmod.chain_segments(chain, L,
+                                              pad=SLOW_ALIGN_PADDING)
+            grefw, c2r = grefmod.make_gref(self.codes_ascii, segments)
+            C = len(grefw)
+            if C < L or C > 8192:
+                continue
+            Cp = _round_up(C, 256)
+            gpad = np.full(Cp, ord("!"), np.uint8)
+            gpad[:C] = grefw
+            read = row if strand == 0 else COMP_ASCII[row][::-1]
+            sym, ln, gaps, sc, col, st = msa_jax.msa_align_batch(
+                read[None, :], gpad[None, :], L, Cp)
+            score = int(sc[0])
+            if score < min_score:
+                continue
+            match = msa_jax.finish_match(np.asarray(sym[0]), int(ln[0]),
+                                         int(gaps[0]))
+            max_col = int(col[0])
+            flat_stop = int(c2r[min(max_col, C) - 1])
+            ref_consumed = sum(1 for ch in match if ch in b"mSND")
+            flat_start = flat_stop - ref_consumed + 1
+            res = results[i]
+            res.mapped = True
+            res.strand = strand
+            res.score = score
+            res.perfect = False
+            res.n_sites = 1
+            chrom, loc = self._chrom_of(flat_start)
+            res.chrom = chrom
+            res.start = loc
+            res.stop = loc + ref_consumed - 1
+            res.match = match
 
     def _score_candidates(self, batch: ReadBatch, L: int,
                           idxs: np.ndarray) -> Optional[dict]:

@@ -65,7 +65,7 @@ def main():
     setup_s = time.time() - t_setup
 
     L = 150
-    batch_size = 16384
+    batch_size = 32768
     reads = make_reads(gbases, batch_size * 4, L=L)
 
     def run_batch(lo):

@@ -181,3 +181,19 @@ def test_mate_rescue(aligner):
     assert res2[0].mapped, "mate should be rescued"
     assert res2[0].start - START_PADDING == 3350
     assert res2[0].strand == 1
+
+
+def test_long_deletion_gap_compressed(aligner):
+    g = aligner.genome
+    # read spans a 2000 bp deletion: first 60 bases at 500, last 60 at 2560
+    a = g.chroms[0][START_PADDING + 500:START_PADDING + 560]
+    b = g.chroms[0][START_PADDING + 2560:START_PADDING + 2620]
+    read = bytes(np.concatenate([a, b]))
+    res = aligner.map_batch(ReadBatch.from_records(
+        [SeqRecord("longdel", read, b"I" * 120)]))
+    r = res[0]
+    assert r.mapped, "long-deletion read should map via gap compression"
+    assert r.start - START_PADDING == 500
+    assert r.stop - START_PADDING == 2619
+    assert r.match.count(b"D") == 2000
+    assert r.match.count(b"m") == 120
