@@ -69,6 +69,8 @@ class MappedRead:
     perfect: bool = False
     paired: bool = False    # proper-pair
     n_sites: int = 1
+    secondary: Optional[list] = None  # [(chrom, start, stop, strand,
+    #   score, match)] when secondary-site output is enabled
 
 
 def clearzone_for(score: int, max_sw: int, perfect: bool) -> int:
@@ -130,7 +132,10 @@ class BBMapAligner:
                  max_candidates: int = 16,
                  chain_dist: int = 400,
                  ambig_mode: str = "best", maxindel: int = 16000,
-                 device_quickmap: bool = True, local: bool = False):
+                 device_quickmap: bool = True, local: bool = False,
+                 print_secondary: bool = False, max_sites: int = 5):
+        self.print_secondary = print_secondary
+        self.max_sites = max_sites
         self.local = local
         self.genome = genome
         self.index = index
@@ -239,12 +244,33 @@ class BBMapAligner:
                                          side="right") - 1,
                          0, len(self.chrom_offsets) - 2)
         locs = diags - self.chrom_offsets[chroms]
+        sec_data = None
+        if self.print_secondary:
+            sec_data = (d["cand_scores"], d["cand_diag"],
+                        d["cand_strand"])
         for t, i in enumerate(idx):
             res = results[i]
             res.score = int(eff[i])
             res.perfect = bool(perfect[i])
             res.ambiguous = bool(ambiguous[i])
             res.n_sites = int(d["n_good"][i])
+            if sec_data is not None:
+                scs, dgs, sts = sec_data
+                secs = []
+                for c in range(1, min(self.max_sites + 1,
+                                      scs.shape[1])):
+                    sc_c = int(scs[i, c])
+                    if sc_c < min_score:
+                        break
+                    dd = int(dgs[i, c])
+                    ch = int(np.clip(np.searchsorted(
+                        self.chrom_offsets, dd, side="right") - 1, 0,
+                        len(self.chrom_offsets) - 2))
+                    lc = dd - int(self.chrom_offsets[ch])
+                    secs.append((ch + 1, lc, lc + L - 1,
+                                 int(sts[i, c]), sc_c, None))
+                if secs:
+                    res.secondary = secs
             if res.ambiguous and toss:
                 continue
             res.mapped = True
@@ -990,10 +1016,30 @@ def emit_sam(genome: Genome, batch: ReadBatch,
             r1.paired = r2.paired = True
         lines.append(_one_sam_line(genome, b1, i, r1, r2, 0, paired_input,
                                    proper))
+        _emit_secondary(genome, b1, i, r1, lines, paired_input, 0)
         if paired_input:
             lines.append(_one_sam_line(genome, b2, i, r2, r1, 1,
                                        paired_input, proper))
+            _emit_secondary(genome, b2, i, r2, lines, paired_input, 1)
     return lines
+
+
+def _emit_secondary(genome, b, i, r, lines, paired_input, fragnum):
+    """Secondary alignment lines: flag|0x100 with '*' seq/qual
+    (reference: stream/SamLine SECONDARY_ALIGNMENT_ASTERISKS:2427,
+    ReadStreamWriter OUTPUT_SAM_SECONDARY_ALIGNMENTS)."""
+    if not r.secondary:
+        return
+    L = int(b.lengths[i])
+    qname = b.ids[i].replace("\t", "_")
+    for (chrom, start, stop, strand, score, match) in r.secondary:
+        scaf, a1 = genome.locate(chrom, start)
+        flag = samio.make_flag(True, None, strand, None, paired_input,
+                               fragnum, False, secondary=True)
+        mapq = samio.to_mapq(score, L, True, False)
+        lines.append("\t".join([
+            qname, str(flag), scaf.name, str(max(1, a1 + 1)),
+            str(mapq), "*", "*", "0", "0", "*", "*"]))
 
 
 def _properly_paired(genome, r1, r2) -> bool:

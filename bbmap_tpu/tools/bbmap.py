@@ -46,6 +46,11 @@ def main(argv: List[str]) -> int:
     interleaved = args.get_bool("interleaved", "int", default=False)
     samio.MAKE_MD_TAG = args.get_bool("mdtag", "md", default=False)
     local = args.get_bool("local", default=False)
+    secondary = args.get_bool("secondary", default=False)
+    max_sites = args.get_int("maxsites", "sssr", default=5)
+    qtrim = (args.get("qtrim", default="f") or "f").lower()
+    trimq = args.get_int("trimq", default=6)
+    untrim = args.get_bool("untrim", default=False)
 
     if ref is None or in1 is None:
         print("Usage: bbmap ref=<fasta> in=<reads> [in2=] out=<sam>",
@@ -76,7 +81,9 @@ def main(argv: List[str]) -> int:
     aligner = BBMapAligner(genome, index, min_ratio=min_ratio,
                            ambig_mode=ambig,
                            chain_dist=min(400, maxindel) if maxindel > 0
-                           else 0, local=local)
+                           else 0, local=local,
+                           print_secondary=secondary,
+                           max_sites=max_sites)
 
     out_fh = fastx.xopen(out, "wt") if out else None
     if out_fh is not None and (out is None or out.endswith(".sam")
@@ -111,14 +118,79 @@ def main(argv: List[str]) -> int:
     n_reads = 0
     n_mapped = 0
     t2 = time.time()
+    do_qtrim = qtrim in ("r", "l", "rl", "t", "true")
+
+    def trim_records(recs):
+        """qtrim before mapping; returns (trimmed recs, (ltrim, orig))
+        per read for untrim (reference: align2/TrimRead.trim/untrim —
+        untrim restores bases and adjusts SAM pos with soft-clips)."""
+        if not do_qtrim:
+            return recs, None
+        from ..tools.bbduk import optimal_trim_points
+        out = []
+        info = []
+        for r in recs:
+            bb = np.frombuffer(r.bases, np.uint8)
+            qq = (np.frombuffer(r.quality, np.uint8).astype(np.int16)
+                  - 33).astype(np.int8) if r.quality else None
+            if qq is None:
+                out.append(r)
+                info.append((0, r))
+                continue
+            pts = optimal_trim_points(bb[None, :], qq[None, :],
+                                      np.array([len(bb)]), trimq)
+            lt = int(pts[0, 0]) if qtrim in ("l", "rl", "t", "true") \
+                else 0
+            rt = int(pts[0, 1]) if qtrim in ("r", "rl", "t", "true") \
+                else 0
+            lt = min(lt, len(bb))
+            rt = min(rt, len(bb) - lt)
+            if lt or rt:
+                nb = r.bases[lt:len(bb) - rt]
+                nq = r.quality[lt:len(bb) - rt]
+                out.append(fastx.SeqRecord(r.id, nb, nq, r.numeric_id))
+            else:
+                out.append(r)
+            info.append((lt, r))
+        return out, info
+
+    def apply_untrim(results, info):
+        if info is None or not untrim:
+            return
+        for res, (lt, orig) in zip(results, info):
+            if not res.mapped or res.match is None:
+                continue
+            L0 = len(orig.bases)
+            rt = L0 - lt - (len(res.match)
+                            - res.match.count(b"D"[0])
+                            - res.match.count(b"-"[0]))
+            rt = max(0, rt)
+            if lt == 0 and rt == 0:
+                continue
+            # minus-strand reads: trimming was applied in read orientation,
+            # clips swap ends in reference orientation
+            a, b_ = (lt, rt) if res.strand == 0 else (rt, lt)
+            res.match = b"C" * a + res.match + b"C" * b_
+            res.start -= a
+            res.stop += b_
+
     reader = fastx.PairedReader(in1, in2, interleaved)
     for chunk in batched(iter(reader), batch_size):
         recs1 = [p[0] for p in chunk]
+        recs1, info1 = trim_records(recs1)
         b1 = ReadBatch.from_records(recs1)
         if paired:
             recs2 = [p[1] for p in chunk]
+            recs2, info2 = trim_records(recs2)
             b2 = ReadBatch.from_records(recs2)
             res1, res2 = aligner.map_pairs(b1, b2)
+            if untrim:
+                apply_untrim(res1, info1)
+                apply_untrim(res2, info2)
+                b1 = ReadBatch.from_records([t[1] for t in info1]) \
+                    if info1 else b1
+                b2 = ReadBatch.from_records([t[1] for t in info2]) \
+                    if info2 else b2
             lines = emit_sam(genome, b1, res1, res2, b2)
             n_reads += 2 * len(recs1)
             n_mapped += sum(r.mapped for r in res1)
@@ -133,6 +205,10 @@ def main(argv: List[str]) -> int:
                                 - min(r1m.start, r2m.start)) + 1)
         else:
             res1 = aligner.map_batch(b1)
+            if untrim:
+                apply_untrim(res1, info1)
+                b1 = ReadBatch.from_records([t[1] for t in info1]) \
+                    if info1 else b1
             lines = emit_sam(genome, b1, res1)
             n_reads += len(recs1)
             n_mapped += sum(r.mapped for r in res1)
