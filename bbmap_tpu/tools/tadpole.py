@@ -116,6 +116,80 @@ def assemble(keys: np.ndarray, counts: np.ndarray, k: int,
     return contigs
 
 
+def extend_sequence(lookup: KmerLookup, seq: bytes, k: int,
+                    extend_len: int, min_extend: int = 2) -> bytes:
+    """Extend a sequence right/left while successors are unique
+    (reference: Tadpole mode=extend, extendLeft/extendRight)."""
+    import numpy as _np
+    from ..index.kmerset import rolling_kmers_batch
+    arr = _np.frombuffer(seq, _np.uint8)
+    if len(arr) < k:
+        return seq
+    claimed: Set[int] = set()
+    km, valid = rolling_kmers_batch(arr[None, :], k)
+    if not valid[0, -1]:
+        right = []
+    else:
+        right = extend_right(lookup, int(km[0, -1]), claimed,
+                             min_extend, extend_len)
+    from ..index.build import reverse_complement_key
+    if not valid[0, 0]:
+        left = []
+    else:
+        rc0 = int(reverse_complement_key(
+            _np.array([km[0, 0]], _np.int64), k)[0])
+        left = extend_right(lookup, rc0, claimed, min_extend, extend_len)
+    rs = "".join(BASES[b] for b in right)
+    ls = rc_str("".join(BASES[b] for b in left))
+    return ls.encode() + seq + rs.encode()
+
+
+def correct_read(lookup: KmerLookup, seq: bytes, k: int,
+                 min_count: int = 2) -> bytes:
+    """Simple k-mer spectrum error correction: for each position covered
+    only by weak k-mers, try the substitution that maximizes the minimum
+    covering k-mer count (reference: Tadpole mode=correct, pincer/tail
+    correction simplified)."""
+    import numpy as _np
+    from ..index.kmerset import rolling_kmers_batch
+    arr = bytearray(seq)
+    n = len(arr)
+    if n < k:
+        return seq
+
+    def covering_ok(a: bytearray) -> _np.ndarray:
+        km, valid = rolling_kmers_batch(
+            _np.frombuffer(bytes(a), _np.uint8)[None, :], k)
+        cnt = lookup.count(km[0])
+        return _np.where(valid[0], cnt, 0)
+
+    cnt = covering_ok(arr)
+    weak = cnt < min_count
+    if not weak.any():
+        return bytes(arr)
+    for pos in range(n):
+        lo = max(0, pos - k + 1)
+        hi = min(len(cnt), pos + 1)
+        if not weak[lo:hi].all():
+            continue
+        # every kmer covering pos is weak -> candidate error
+        orig = arr[pos]
+        best_base, best_min = orig, -1
+        for b in b"ACGT":
+            arr[pos] = b
+            c2 = covering_ok(arr)
+            m = int(c2[lo:hi].min()) if hi > lo else 0
+            if m > best_min:
+                best_min, best_base = m, b
+        if best_min >= min_count:
+            arr[pos] = best_base
+            cnt = covering_ok(arr)
+            weak = cnt < min_count
+        else:
+            arr[pos] = orig
+    return bytes(arr)
+
+
 def main(argv: List[str]) -> int:
     args = Args.parse(argv)
     in1 = args.get("in", "in1") or (args.positional[0]
@@ -131,17 +205,45 @@ def main(argv: List[str]) -> int:
         print("Usage: tadpole in=<reads> out=<contigs.fa> k=31 "
               "mode=contig", file=sys.stderr)
         return 1
-    if mode != "contig":
-        print(f"mode={mode} not yet implemented (contig only)",
-              file=sys.stderr)
-        return 1
+    extra = args.get("extra")  # separate kmer source for extend/correct
     counter = KmerCounter(k)
     n = 0
-    for chunk in batched(fastx.read_seqs(in1), 8192):
+    kmer_src = extra if (extra and mode in ("extend", "correct")) else in1
+    for chunk in batched(fastx.read_seqs(kmer_src), 8192):
         b = ReadBatch.from_records(chunk)
         counter.add_batch(b.bases)
         n += b.size
     keys, counts = counter.finish()
+    if mode in ("extend", "correct"):
+        lookup = KmerLookup(keys, counts, k)
+        extend_len = args.get_int("extendleft", "extendright", "el", "er",
+                                  default=100)
+        out_fh = fastx.xopen(out, "wb")
+        fmt = fastx.sniff_format(in1)
+        n2 = 0
+        for rec in fastx.read_seqs(in1):
+            if mode == "extend":
+                nb = extend_sequence(lookup, rec.bases, k, extend_len,
+                                     min_extend)
+                q = None
+            else:
+                nb = correct_read(lookup, rec.bases, k, min_extend)
+                q = rec.quality
+            n2 += 1
+            if fmt == "fasta":
+                out_fh.write(b">" + rec.id.encode() + b"\n" + nb + b"\n")
+            else:
+                qq = q if q is not None else b"I" * len(nb)
+                if len(qq) != len(nb):
+                    qq = b"I" * len(nb)
+                out_fh.write(b"@" + rec.id.encode() + b"\n" + nb
+                             + b"\n+\n" + qq + b"\n")
+        out_fh.close()
+        sys.stderr.write(f"Processed {n2} sequences (mode={mode}).\n")
+        return 0
+    if mode != "contig":
+        print(f"mode={mode} not implemented", file=sys.stderr)
+        return 1
     contigs = assemble(keys, counts, k, min_seed, min_extend, min_contig)
     with fastx.xopen(out, "wt") as fh:
         for i, c in enumerate(contigs):

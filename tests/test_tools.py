@@ -189,3 +189,45 @@ def test_tadpole_assembles_genome(tmp_path):
     gs = genome.decode()
     from bbmap_tpu.tools.tadpole import rc_str
     assert big in gs or rc_str(big) in gs
+
+
+def test_tadpole_correct(tmp_path):
+    from bbmap_tpu.tools import tadpole
+    rng = np.random.default_rng(21)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    genome = bytes(rng.choice(bases, 1000))
+    inp = tmp_path / "r.fq"
+    with open(inp, "wb") as fh:
+        for i in range(0, 900, 5):
+            fh.write(b"@c%d\n" % i + genome[i:i + 100] + b"\n+\n"
+                     + b"I" * 100 + b"\n")
+        # one read with an error in the middle
+        bad = bytearray(genome[400:500])
+        bad[50] = ord("A") if bad[50] != ord("A") else ord("C")
+        fh.write(b"@bad\n" + bytes(bad) + b"\n+\n" + b"I" * 100 + b"\n")
+    out = tmp_path / "ecc.fq"
+    assert tadpole.main([f"in={inp}", f"out={out}", "mode=correct",
+                         "k=31"]) == 0
+    from bbmap_tpu.io import fastx
+    recs = {r.id: r for r in fastx.read_seqs(str(out))}
+    assert recs["bad"].bases == genome[400:500]
+
+
+def test_tadpole_extend(tmp_path):
+    from bbmap_tpu.tools import tadpole
+    rng = np.random.default_rng(22)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    genome = bytes(rng.choice(bases, 800))
+    inp = tmp_path / "r.fq"
+    with open(inp, "wb") as fh:
+        for i in range(0, 700, 5):
+            fh.write(b"@e%d\n" % i + genome[i:i + 100] + b"\n+\n"
+                     + b"I" * 100 + b"\n")
+    frag = tmp_path / "frag.fa"
+    frag.write_text(f">f\n{genome[300:400].decode()}\n")
+    out = tmp_path / "ext.fa"
+    assert tadpole.main([f"in={frag}", f"extra={inp}", f"out={out}",
+                         "mode=extend", "el=50"]) == 0
+    seq = "".join(l.strip() for l in out.read_text().splitlines()[1:])
+    assert len(seq) == 200
+    assert seq.encode() == genome[250:450]
