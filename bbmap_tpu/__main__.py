@@ -53,6 +53,11 @@ SUBTOOLS = {
     "filterbyname": ("bbmap_tpu.tools.pairtools", "filterbyname"),
     "demuxbyname": ("bbmap_tpu.tools.pairtools", "demuxbyname"),
     "sortsam": ("bbmap_tpu.tools.sorttools", "sortsam"),
+    "callvariants": ("bbmap_tpu.tools.callvariants", "main"),
+    "applyvariants": ("bbmap_tpu.tools.callvariants", "applyvariants"),
+    "printtaxonomy": ("bbmap_tpu.tools.taxonomy", "printtaxonomy"),
+    "findancestor": ("bbmap_tpu.tools.taxonomy", "findancestor"),
+    "filterbytaxa": ("bbmap_tpu.tools.taxonomy", "filterbytaxa"),
     "sortbyname": ("bbmap_tpu.tools.sorttools", "sortbyname"),
     "grademerge": ("bbmap_tpu.tools.sorttools", "grademerge"),
 }

@@ -344,3 +344,65 @@ def test_multihost_striping(tmp_path):
     assert lines[0].startswith("@HD")
     assert sum(1 for l in lines if l.startswith("@")) == 1
     assert "r0" in lines[1] and "r1" in lines[2]
+
+
+def test_callvariants(tmp_path):
+    from bbmap_tpu.tools import callvariants as cv
+    ref = tmp_path / "r.fa"
+    seq = "ACGTACGTACGTACGTACGT" * 5
+    ref.write_text(f">s\n{seq}\n")
+    sam = tmp_path / "m.sam"
+    # 3 reads agreeing on a substitution at pos 11 (1-based)
+    with open(sam, "w") as fh:
+        fh.write(f"@HD\tVN:1.4\n@SQ\tSN:s\tLN:{len(seq)}\n")
+        read = seq[:30]
+        mut = read[:10] + "T" + read[11:]
+        for i in range(3):
+            fh.write(f"r{i}\t0\ts\t1\t40\t10=1X19=\t*\t0\t0\t{mut}\t"
+                     + "I" * 30 + "\n")
+    out = tmp_path / "vars.txt"
+    assert cv.main([f"in={sam}", f"ref={ref}", f"out={out}"]) == 0
+    lines = [l for l in out.read_text().splitlines()
+             if not l.startswith("#")]
+    assert len(lines) == 1
+    f = lines[0].split("\t")
+    assert f[0] == "s" and f[1] == "11" and f[2] == "SUB" \
+        and f[4] == "T" and f[5] == "3"
+    # apply back
+    out2 = tmp_path / "mut.fa"
+    assert cv.applyvariants([f"ref={ref}", f"vars={out}",
+                             f"out={out2}"]) == 0
+    mseq = "".join(l.strip() for l in out2.read_text().splitlines()[1:])
+    assert mseq[10] == "T"
+
+
+def test_taxonomy(tmp_path):
+    from bbmap_tpu.tools import taxonomy as tx
+    nodes = tmp_path / "nodes.dmp"
+    nodes.write_text(
+        "1\t|\t1\t|\tno rank\t|\n"
+        "2\t|\t1\t|\tsuperkingdom\t|\n"
+        "10\t|\t2\t|\tphylum\t|\n"
+        "11\t|\t10\t|\tgenus\t|\n"
+        "12\t|\t10\t|\tgenus\t|\n"
+        "20\t|\t1\t|\tsuperkingdom\t|\n")
+    names = tmp_path / "names.dmp"
+    names.write_text(
+        "1\t|\troot\t|\t\t|\tscientific name\t|\n"
+        "2\t|\tBacteria\t|\t\t|\tscientific name\t|\n"
+        "11\t|\tEscherichia\t|\t\t|\tscientific name\t|\n")
+    t = tx.TaxTree.load(str(nodes), str(names))
+    assert t.lineage(11) == [11, 10, 2, 1]
+    assert t.lca([11, 12]) == 10
+    assert t.lca([11, 20]) == 1
+    assert t.resolve("Escherichia") == 11
+    assert t.is_descendant(11, 2)
+    # filter
+    fa = tmp_path / "seqs.fa"
+    fa.write_text(">a tid|11 something\nACGT\n>b tid|20 other\nGGGG\n")
+    out = tmp_path / "f.fa"
+    assert tx.filterbytaxa([f"nodes={nodes}", f"in={fa}",
+                            f"out={out}", "taxa=2"]) == 0
+    names_out = [l[1:].split()[0] for l in out.read_text().splitlines()
+                 if l.startswith(">")]
+    assert names_out == ["a"]
