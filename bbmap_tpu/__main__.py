@@ -58,6 +58,14 @@ SUBTOOLS = {
     "printtaxonomy": ("bbmap_tpu.tools.taxonomy", "printtaxonomy"),
     "findancestor": ("bbmap_tpu.tools.taxonomy", "findancestor"),
     "filterbytaxa": ("bbmap_tpu.tools.taxonomy", "filterbytaxa"),
+    "filterbycoverage": ("bbmap_tpu.tools.covtools", "filterbycoverage"),
+    "kmercoverage": ("bbmap_tpu.tools.covtools", "kmercoverage"),
+    "crosscontaminate": ("bbmap_tpu.tools.covtools", "crosscontaminate"),
+    "shuffle": ("bbmap_tpu.tools.misc", "shuffle"),
+    "partition": ("bbmap_tpu.tools.misc", "partition"),
+    "translate6frames": ("bbmap_tpu.tools.misc", "translate6frames"),
+    "kcompress": ("bbmap_tpu.tools.misc", "kcompress"),
+    "bbwrap": ("bbmap_tpu.tools.misc", "bbwrap"),
     "sortbyname": ("bbmap_tpu.tools.sorttools", "sortbyname"),
     "grademerge": ("bbmap_tpu.tools.sorttools", "grademerge"),
 }

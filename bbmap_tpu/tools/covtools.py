@@ -1,0 +1,145 @@
+"""Coverage-based QC tools: filterbycoverage, kmercoverage, decontaminate.
+
+reference: jgi/FilterByCoverage.java, jgi/KmerCoverage.java,
+jgi/DecontaminateByNormalization.java (SURVEY §2.8 'Coverage-based').
+"""
+
+from __future__ import annotations
+
+import sys
+from typing import Dict, List
+
+import numpy as np
+
+from ..core.batch import ReadBatch, batched
+from ..index.kcount import KCountArray
+from ..io import fastx
+from ..utils.args import Args
+from .bbnorm import canonical_kmers, read_depths
+
+
+def filterbycoverage(argv: List[str]) -> int:
+    """Filter contigs by mapped coverage stats (reference:
+    jgi/FilterByCoverage.java — reads covstats from pileup)."""
+    args = Args.parse(argv)
+    inp = args.get("in")
+    cov = args.get("cov", "covstats")
+    out = args.get("out")
+    outd = args.get("outd", "outdirty")
+    mincov = args.get_float("mincov", "minc", default=5.0)
+    minpercent = args.get_float("minpercent", "minp", default=40.0)
+    minlen = args.get_int("minlen", "minl", default=0)
+    if None in (inp, cov, out):
+        print("Usage: filterbycoverage in=<contigs> cov=<covstats> "
+              "out=<clean> [outd=] mincov=5 minpercent=40",
+              file=sys.stderr)
+        return 1
+    stats: Dict[str, tuple] = {}
+    with open(cov) as fh:
+        for line in fh:
+            if line.startswith("#"):
+                continue
+            f = line.rstrip("\n").split("\t")
+            stats[f[0]] = (float(f[1]), float(f[3]))  # avg_fold, cov%
+    kept = removed = 0
+    out_fh = fastx.xopen(out, "wb")
+    outd_fh = fastx.xopen(outd, "wb") if outd else None
+    for rec in fastx.read_seqs(inp):
+        avg, pct = stats.get(rec.id, (0.0, 0.0))
+        ok = (avg >= mincov and pct >= minpercent
+              and len(rec.bases) >= minlen)
+        fh = out_fh if ok else outd_fh
+        if ok:
+            kept += 1
+        else:
+            removed += 1
+        if fh is not None:
+            fh.write(b">" + rec.id.encode() + b"\n" + rec.bases + b"\n")
+    out_fh.close()
+    if outd_fh:
+        outd_fh.close()
+    sys.stderr.write(f"Kept:\t{kept}\nRemoved:\t{removed}\n")
+    return 0
+
+
+def kmercoverage(argv: List[str]) -> int:
+    """Per-read k-mer depth annotation/histogram (reference:
+    jgi/KmerCoverage.java + kmercoverage.sh)."""
+    args = Args.parse(argv)
+    inp = args.get("in", "in1")
+    out = args.get("out")
+    hist_path = args.get("hist", "khist")
+    k = args.get_int("k", default=31)
+    cells = args.get_int("cells", default=1 << 26)
+    if inp is None:
+        print("Usage: kmercoverage in=<reads> [out=annotated.fq] "
+              "[hist=depth.txt]", file=sys.stderr)
+        return 1
+    kca = KCountArray(cells, cell_bits=16, hashes=2)
+    for chunk in batched(fastx.read_seqs(inp), 8192):
+        b = ReadBatch.from_records(chunk)
+        can, valid = canonical_kmers(b.bases, k)
+        if can.shape[1]:
+            kca.increment(can[valid])
+    hist = np.zeros(10001, np.int64)
+    out_fh = fastx.xopen(out, "wb") if out else None
+    for chunk in batched(fastx.read_seqs(inp), 8192):
+        b = ReadBatch.from_records(chunk)
+        depths = read_depths(kca, b.bases, k, 0.5)
+        np.add.at(hist, np.clip(depths, 0, 10000), 1)
+        if out_fh is not None:
+            for rec, d in zip(chunk, depths):
+                q = rec.quality if rec.quality is not None \
+                    else b"I" * len(rec.bases)
+                out_fh.write(b"@" + rec.id.encode()
+                             + f";cov={int(d)}".encode() + b"\n"
+                             + rec.bases + b"\n+\n" + q + b"\n")
+    if out_fh is not None:
+        out_fh.close()
+    if hist_path:
+        with open(hist_path, "w") as fh:
+            fh.write("#Depth\tReads\n")
+            for d in np.nonzero(hist)[0]:
+                fh.write(f"{d}\t{hist[d]}\n")
+    return 0
+
+
+def crosscontaminate(argv: List[str]) -> int:
+    """Blend reads between libraries at a given rate to fabricate
+    contamination test data (reference: jgi/CrossContaminate.java)."""
+    args = Args.parse(argv)
+    ins = (args.get("in") or "").split(",")
+    outs = (args.get("out") or "").split(",")
+    rate = args.get_float("rate", default=0.01)
+    seed = args.get_int("seed", default=0)
+    if len(ins) < 2 or len(ins) != len(outs):
+        print("Usage: crosscontaminate in=a.fq,b.fq out=a2.fq,b2.fq "
+              "rate=0.01", file=sys.stderr)
+        return 1
+    rng = np.random.default_rng(seed)
+    libs = [list(fastx.read_seqs(p)) for p in ins]
+    for i, out in enumerate(outs):
+        recs = []
+        for rec in libs[i]:
+            if rng.random() < rate and len(libs) > 1:
+                j = int(rng.integers(0, len(libs) - 1))
+                if j >= i:
+                    j += 1
+                donor = libs[j]
+                recs.append(donor[int(rng.integers(0, len(donor)))])
+            else:
+                recs.append(rec)
+        fastx.write_fastq(out, recs)
+    return 0
+
+
+TOOLS = dict(filterbycoverage=filterbycoverage,
+             kmercoverage=kmercoverage,
+             crosscontaminate=crosscontaminate)
+
+
+def main(argv: List[str]) -> int:
+    if not argv or argv[0] not in TOOLS:
+        print("coverage tools: " + ", ".join(TOOLS), file=sys.stderr)
+        return 1
+    return TOOLS[argv[0]](argv[1:])

@@ -406,3 +406,47 @@ def test_taxonomy(tmp_path):
     names_out = [l[1:].split()[0] for l in out.read_text().splitlines()
                  if l.startswith(">")]
     assert names_out == ["a"]
+
+
+def test_translate6frames(tmp_path):
+    from bbmap_tpu.tools.misc import translate6frames
+    inp = tmp_path / "g.fa"
+    inp.write_text(">x\nATGGCCTAA\n")  # M A *
+    out = tmp_path / "aa.fa"
+    assert translate6frames([f"in={inp}", f"out={out}"]) == 0
+    txt = out.read_text()
+    assert "MA*" in txt
+    assert txt.count(">") == 6
+
+
+def test_kcompress(tmp_path):
+    from bbmap_tpu.tools.misc import kcompress
+    rng = np.random.default_rng(30)
+    seq = bytes(rng.choice(BASES, 500))
+    inp = tmp_path / "r.fq"
+    with open(inp, "wb") as fh:
+        for rep in range(5):  # redundant copies
+            for i in range(0, 400, 20):
+                fh.write(b"@x%d_%d\n" % (rep, i) + seq[i:i + 100]
+                         + b"\n+\n" + b"I" * 100 + b"\n")
+    out = tmp_path / "kc.fa"
+    assert kcompress([f"in={inp}", f"out={out}", "k=31"]) == 0
+    total = sum(len(l.strip()) for l in out.read_text().splitlines()
+                if not l.startswith(">"))
+    # distinct sequence ~500bp; output should be compact, not 5x copies
+    assert 400 <= total <= 700
+
+
+def test_filterbycoverage(tmp_path):
+    from bbmap_tpu.tools.covtools import filterbycoverage
+    fa = tmp_path / "c.fa"
+    fa.write_text(">good\n" + "A" * 100 + "\n>bad\n" + "C" * 100 + "\n")
+    cov = tmp_path / "covstats.txt"
+    cov.write_text("#ID\tAvg_fold\tLength\tCovered_percent\n"
+                   "good\t20.0\t100\t99.0\nbad\t1.0\t100\t10.0\n")
+    out = tmp_path / "clean.fa"
+    assert filterbycoverage([f"in={fa}", f"cov={cov}",
+                             f"out={out}"]) == 0
+    names = [l[1:] for l in out.read_text().splitlines()
+             if l.startswith(">")]
+    assert names == ["good"]
