@@ -290,6 +290,8 @@ def main(argv: List[str]) -> int:
     ftr = args.get_int("forcetrimright", "ftr", default=-1)
     minkmerhits = args.get_int("minkmerhits", "mkh", default=1)
     entropy = args.get_float("entropy", default=-1.0)
+    tbo = args.get_bool("tbo", "trimbyoverlap", default=False)
+    tpe = args.get_bool("tpe", "trimpairsevenly", default=False)
     stats = args.get("stats")
     interleaved = args.get_bool("interleaved", "int", default=False)
 
@@ -340,6 +342,57 @@ def main(argv: List[str]) -> int:
             recs2 = [p[1] for p in chunk]
             b2 = ReadBatch.from_records(recs2)
             keep2, out2_recs, m2 = duk.process_batch(b2)
+            if tbo:
+                # trim-by-overlap: if the pair's insert is shorter than the
+                # read, everything past the insert is adapter
+                # (reference: BBDukF tbo -> BBMergeOverlapper)
+                from ..core.bases import COMP_ASCII
+                from ..ops import overlap as ov
+                import numpy as _np
+                l1 = max((len(r.bases) for r in out1_recs), default=0)
+                l2 = max((len(r.bases) for r in out2_recs), default=0)
+                if l1 and l2:
+                    a = _np.full((len(out1_recs), l1), ord("N"), _np.uint8)
+                    bb_ = _np.full((len(out2_recs), l2), ord("N"),
+                                   _np.uint8)
+                    for t, r in enumerate(out1_recs):
+                        a[t, :len(r.bases)] = _np.frombuffer(
+                            r.bases, _np.uint8)
+                    for t, r in enumerate(out2_recs):
+                        rcb = COMP_ASCII[_np.frombuffer(
+                            r.bases, _np.uint8)][::-1]
+                        bb_[t, :len(rcb)] = rcb
+                    ins, _bad, amb = ov.mate_by_overlap_ratio_batch(a, bb_)
+                    for t in range(len(out1_recs)):
+                        iv = int(ins[t])
+                        if 0 < iv and not amb[t]:
+                            r1t, r2t = out1_recs[t], out2_recs[t]
+                            if iv < len(r1t.bases):
+                                out1_recs[t] = fastx.SeqRecord(
+                                    r1t.id, r1t.bases[:iv],
+                                    r1t.quality[:iv] if r1t.quality
+                                    else None, r1t.numeric_id)
+                            if iv < len(r2t.bases):
+                                out2_recs[t] = fastx.SeqRecord(
+                                    r2t.id, r2t.bases[:iv],
+                                    r2t.quality[:iv] if r2t.quality
+                                    else None, r2t.numeric_id)
+            if tpe:
+                # trim pairs evenly to the shorter mate
+                # (reference: BBDukF trimPairsEvenly)
+                for t in range(len(out1_recs)):
+                    r1t, r2t = out1_recs[t], out2_recs[t]
+                    m = min(len(r1t.bases), len(r2t.bases))
+                    if len(r1t.bases) > m:
+                        out1_recs[t] = fastx.SeqRecord(
+                            r1t.id, r1t.bases[:m],
+                            r1t.quality[:m] if r1t.quality else None,
+                            r1t.numeric_id)
+                    if len(r2t.bases) > m:
+                        out2_recs[t] = fastx.SeqRecord(
+                            r2t.id, r2t.bases[:m],
+                            r2t.quality[:m] if r2t.quality else None,
+                            r2t.numeric_id)
             pair_keep = keep1 & keep2  # removeifeitherbad (reference default)
             for i in range(len(recs1)):
                 if pair_keep[i]:

@@ -118,3 +118,29 @@ def test_mink_tip_trim():
     batch = ReadBatch.from_records(_recs([read]))
     keep, recs, matched = duk.process_batch(batch)
     assert recs[0].bases == prefix
+
+
+def test_tbo_pair_overlap_trim(tmp_path):
+    """Short-insert pair: adapters past the insert are trimmed by overlap."""
+    from bbmap_tpu.tools import bbduk as bbduk_tool
+    from bbmap_tpu.core.bases import COMP_ASCII
+    rng = np.random.default_rng(31)
+    frag = rng.choice(np.frombuffer(b"ACGT", np.uint8), 80).astype(np.uint8)
+    adapter = ADAPTER[:20]
+    r1 = bytes(frag) + adapter  # insert 80, read 100
+    r2 = bytes(COMP_ASCII[frag][::-1]) + adapter
+    in1 = tmp_path / "r1.fq"
+    in2 = tmp_path / "r2.fq"
+    for path, seq in ((in1, r1), (in2, r2)):
+        with open(path, "wb") as fh:
+            fh.write(b"@p\n" + seq + b"\n+\n" + b"I" * len(seq) + b"\n")
+    o1 = tmp_path / "o1.fq"
+    o2 = tmp_path / "o2.fq"
+    assert bbduk_tool.main([f"in={in1}", f"in2={in2}", f"out={o1}",
+                            f"out2={o2}", "tbo=t"]) == 0
+    from bbmap_tpu.io import fastx
+    rec1 = next(iter(fastx.read_seqs(str(o1))))
+    rec2 = next(iter(fastx.read_seqs(str(o2))))
+    assert len(rec1.bases) == 80
+    assert len(rec2.bases) == 80
+    assert rec1.bases == bytes(frag)
