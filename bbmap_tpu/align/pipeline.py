@@ -290,7 +290,73 @@ class BBMapAligner:
         self._direct_fill(batch, L, d, results, ~escalate)
         idxs = np.nonzero(escalate)[0]
         if len(idxs):
-            self._map_group(batch, L, idxs.astype(np.int64), results)
+            self._escalate_from_device(batch, L,
+                                       idxs.astype(np.int64), d, results)
+
+    def _cs_from_device(self, d: dict, idxs: np.ndarray, L: int):
+        """Rebuild a host CandidateSet from the device quickmap's fixed
+        candidate table, restricted to the escalated reads — avoids
+        re-seeding those reads on the host."""
+        scs = d["cand_scores"][idxs]          # (n, C)
+        valid = scs > -(2 ** 29)
+        n_read, n_c = valid.shape
+        rloc = np.repeat(np.arange(n_read), n_c).reshape(n_read, n_c)
+        sel = valid.ravel()
+        if not sel.any():
+            return None, None
+        read_idx = rloc.ravel()[sel].astype(np.int32)
+        start = d["cand_start"][idxs].ravel()[sel].astype(np.int64)
+        spread = d["cand_spread"][idxs].ravel()[sel].astype(np.int32)
+        cs = seed.CandidateSet(
+            read_idx=read_idx,
+            strand=d["cand_strand"][idxs].ravel()[sel].astype(np.int8),
+            start=start,
+            stop=start + spread + L - 1,
+            votes=np.full(sel.sum(), 2, np.int32),
+            spread=spread,
+            best_diag=d["cand_diag"][idxs].ravel()[sel].astype(np.int64))
+        slow = scs.ravel()[sel].astype(np.int64)
+        return cs, slow
+
+    def _g_from_device(self, batch: ReadBatch, L: int, idxs: np.ndarray,
+                       d: dict) -> Optional[dict]:
+        """Group-scoring dict for escalated reads built from the device
+        quickmap candidates (seeding + gapless already done on device)."""
+        from ..core.bases import COMP_ASCII
+
+        cs, _gapless_scores = self._cs_from_device(d, idxs, L)
+        if cs is None:
+            return None
+        sub = batch.bases[idxs][:, :L]
+        rc_sub = COMP_ASCII[sub][:, ::-1]
+        cand_reads = np.where(cs.strand[:, None] == 0,
+                              sub[cs.read_idx], rc_sub[cs.read_idx])
+        n = len(cs)
+        needs_dp = np.ones(n, bool)  # all escalated candidates are < maxImp
+        wstart = cs.start - SLOW_ALIGN_PADDING
+        wlen = np.full(n, L + 2 * SLOW_ALIGN_PADDING, np.int64) + \
+            _round_up_vec(cs.spread, 64)
+        dp_cache: Dict[int, tuple] = {}
+        dp_scores = self._dp_score(cand_reads, wstart, wlen,
+                                   np.arange(n), L, dp_cache)
+        return dict(cs=cs, slow=dp_scores, needs_dp=needs_dp,
+                    wstart=wstart, wlen=wlen, cand_reads=cand_reads,
+                    refs_g=np.zeros((0, L), np.uint8), idxs=idxs, L=L,
+                    dp_cache=dp_cache)
+
+    def _escalate_from_device(self, batch: ReadBatch, L: int,
+                              idxs: np.ndarray, d: dict,
+                              results: List[MappedRead]) -> None:
+        g = self._g_from_device(batch, L, idxs, d)
+        if g is not None:
+            winners = self._select_group(g, results, None, paired=False)
+            self._finalize_winners(g["cand_reads"], g["refs_g"], g["cs"],
+                                   winners, results, L, g["dp_cache"])
+        if self.maxindel > self.chain_dist:
+            still = np.array([i for i in idxs if not results[i].mapped],
+                             np.int64)
+            if len(still):
+                self._long_indel_pass(batch, L, still, results)
 
     def map_pairs(self, b1: ReadBatch, b2: ReadBatch
                   ) -> Tuple[List[MappedRead], List[MappedRead]]:
@@ -410,8 +476,8 @@ class BBMapAligner:
         self._direct_fill(b2, L2, p2, res2, direct, eff2, snd2)
         idxs = np.nonzero(escalate)[0].astype(np.int64)
         if len(idxs):
-            g1 = self._score_candidates(b1, L1, idxs)
-            g2 = self._score_candidates(b2, L2, idxs)
+            g1 = self._g_from_device(b1, L1, idxs, d1)
+            g2 = self._g_from_device(b2, L2, idxs, d2)
             hb1 = hb2 = None
             if g1 is not None and g2 is not None:
                 hb1, hb2 = self._pair_boost(g1, g2)
