@@ -141,57 +141,56 @@ def build_quickmap(index: KmerIndex, L: int, chain_dist: int = 400,
         flat = jnp.sort(flat, axis=1)
         valid_f = flat < INVALID
 
-        # chain segmentation
+        # chain segmentation — scatter-free: all per-chain statistics are
+        # carried by each chain's FIRST element via prefix scans + gathers
+        # (segment_sum/min/max lower to scatters on TPU; cumsum/cummax do
+        # not)
+        W = nk * MAX_SITES_PER_KEY
+        nseg = W
+        R2 = B * 2
         dd = jnp.diff(flat, axis=1)
         new_chain = jnp.concatenate(
-            [jnp.ones((B * 2, 1), bool), dd > chain_dist], axis=1)
+            [jnp.ones((R2, 1), bool), dd > chain_dist], axis=1)
         new_chain &= valid_f
-        seg = jnp.cumsum(new_chain, axis=1) - 1      # seg id per element
-        seg = jnp.where(valid_f, seg, nk * MAX_SITES_PER_KEY - 1)
-        nseg = nk * MAX_SITES_PER_KEY
+        idx = jax.lax.broadcasted_iota(I32, (R2, W), 1)
+        # boundary = start of the NEXT chain (or first invalid slot)
+        boundary = new_chain | ~valid_f
+        # next boundary strictly after e: reverse cummin of boundary idx
+        bidx = jnp.where(boundary, idx, W)
+        nxt = jnp.flip(jax.lax.cummin(jnp.flip(bidx, 1), axis=1), 1)
+        next_start = jnp.concatenate(
+            [nxt[:, 1:], jnp.full((R2, 1), W, I32)], axis=1)
+        size = jnp.where(new_chain, next_start - idx, 0)
+        last_idx = jnp.clip(next_start - 1, 0, W - 1)
+        smin = flat                                  # first elem = chain min
+        smax = jnp.take_along_axis(flat, last_idx, axis=1)
 
-        def per_row(values, segids, validrow):
-            ones = jnp.where(validrow, 1, 0)
-            size = jax.ops.segment_sum(ones, segids, num_segments=nseg)
-            smin = jax.ops.segment_min(jnp.where(validrow, values, INVALID),
-                                       segids, num_segments=nseg)
-            smax = jax.ops.segment_max(
-                jnp.where(validrow, values, -INVALID), segids,
-                num_segments=nseg)
-            return size, smin, smax
-
-        size, smin, smax = jax.vmap(per_row)(flat, seg, valid_f)
-
-        # modal diagonal: longest equal-diag run; ties -> lowest diag
+        # modal diagonal: longest equal-diag run in the chain; ties ->
+        # lowest diag. Encode (run_size, earliness) per run-first element
+        # and take the chain max via an ordinal-offset cummax.
         dd_eq = jnp.concatenate(
-            [jnp.ones((B * 2, 1), bool), dd != 0], axis=1)
+            [jnp.ones((R2, 1), bool), dd != 0], axis=1)
         new_run = (dd_eq | new_chain) & valid_f
-        run = jnp.cumsum(new_run, axis=1) - 1
-        run = jnp.where(valid_f, run, nseg - 1)
+        ridx = jnp.where(new_run | ~valid_f, idx, W)
+        rnxt = jnp.flip(jax.lax.cummin(jnp.flip(ridx, 1), axis=1), 1)
+        rnext = jnp.concatenate(
+            [rnxt[:, 1:], jnp.full((R2, 1), W, I32)], axis=1)
+        run_size = jnp.where(new_run, rnext - idx, 0)
+        seg_start = jax.lax.cummax(
+            jnp.where(new_chain, idx, -1), axis=1)
+        in_chain_off = jnp.clip(idx - seg_start, 0, 255)
+        meta = (jnp.clip(run_size, 0, 255) << 8) | (255 - in_chain_off)
+        seg_ord = jnp.cumsum(new_chain.astype(I32), axis=1)  # 1..W
+        glob = (seg_ord << 16) | jnp.where(new_run, meta, 0)
+        gmax = jax.lax.cummax(glob, axis=1)
+        # winner meta at the chain's last element
+        win = jnp.take_along_axis(gmax, last_idx, axis=1)
+        win_off = 255 - (win & 0xFF)
+        mode_idx = jnp.clip(seg_start + win_off, 0, W - 1)
+        mode = jnp.take_along_axis(flat, mode_idx, axis=1)
 
-        def run_stats(values, runids, segids, validrow, seg_min_b):
-            ones = jnp.where(validrow, 1, 0)
-            rsize = jax.ops.segment_sum(ones, runids, num_segments=nseg)
-            rdiag = jax.ops.segment_min(
-                jnp.where(validrow, values, INVALID), runids,
-                num_segments=nseg)
-            rseg = jax.ops.segment_min(
-                jnp.where(validrow, segids, nseg - 1), runids,
-                num_segments=nseg)
-            # rank runs within their chain: key = size desc, diag asc
-            delta = jnp.clip(rdiag - seg_min_b[rseg], 0, chain_dist)
-            key = rsize * (2 * chain_dist + 2) + (chain_dist + 1 - delta)
-            best = jax.ops.segment_max(key, rseg, num_segments=nseg)
-            # recover the diag of the winning run
-            won = key == best[rseg]
-            mode = jax.ops.segment_min(
-                jnp.where(won & (rsize > 0), rdiag, INVALID), rseg,
-                num_segments=nseg)
-            return mode
-
-        mode = jax.vmap(run_stats)(flat, run, seg, valid_f, smin)
-
-        # candidate table per read: (B, 2*nseg)
+        # candidate table per read: (B, 2*W); non-first elements have 0
+        # votes and never reach the top-k
         votes = size.reshape(B, 2 * nseg)
         c_start = smin.reshape(B, 2 * nseg)
         c_stop = smax.reshape(B, 2 * nseg)
