@@ -76,6 +76,7 @@ def main(argv: List[str]) -> int:
     mem_cells = args.get_int("cells", default=1 << 26)
     seed = args.get_int("seed", default=0)
     khist_path = args.get("khist", "hist")
+    ecc = args.get_bool("ecc", default=False)
     if in1 is None:
         print("Usage: bbnorm in=<reads> out=<normalized> target=100",
               file=sys.stderr)
@@ -128,6 +129,27 @@ def main(argv: List[str]) -> int:
                              target / np.maximum(depth, 1))
         keep_prob = np.where(depth < mindepth, 0.0, keep_prob)
         keep = rng.random(len(depth)) < keep_prob
+        if ecc:
+            # error-correct kept reads against the count spectrum
+            # (reference: KmerNormalize error correction / ecc.sh)
+            class _KcaLookup:
+                k = None
+
+                def count(self, kmers):
+                    from ..index.build import reverse_complement_key
+                    can = np.minimum(
+                        kmers, reverse_complement_key(kmers, k))
+                    return kca.read(can)
+            lk = _KcaLookup()
+            lk.k = k
+            from .tadpole import correct_read
+            for i in range(len(recs1)):
+                if keep[i]:
+                    r = recs1[i]
+                    nb = correct_read(lk, r.bases, k, max(2, mindepth))
+                    if nb != r.bases:
+                        recs1[i] = fastx.SeqRecord(r.id, nb, r.quality,
+                                                   r.numeric_id)
         for i in range(len(recs1)):
             if keep[i]:
                 wfq(o1, recs1[i])

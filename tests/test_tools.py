@@ -231,3 +231,32 @@ def test_tadpole_extend(tmp_path):
     seq = "".join(l.strip() for l in out.read_text().splitlines()[1:])
     assert len(seq) == 200
     assert seq.encode() == genome[250:450]
+
+
+def test_bbnorm_ecc(tmp_path):
+    from bbmap_tpu.tools import bbnorm
+    rng = np.random.default_rng(33)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    genome = bytes(rng.choice(bases, 600))
+    inp = tmp_path / "in.fq"
+    with open(inp, "wb") as fh:
+        for i in range(0, 500, 4):
+            fh.write(b"@g%d\n" % i + genome[i:i + 100] + b"\n+\n"
+                     + b"I" * 100 + b"\n")
+        bad = bytearray(genome[200:300])
+        bad[40] = ord("A") if bad[40] != ord("A") else ord("C")
+        fh.write(b"@bad\n" + bytes(bad) + b"\n+\n" + b"I" * 100 + b"\n")
+    out = tmp_path / "out.fq"
+    assert bbnorm.main([f"in={inp}", f"out={out}", "target=1000",
+                        "mindepth=1", "ecc=t", "cells=1048576",
+                        "k=31"]) == 0
+    from bbmap_tpu.io import fastx
+    recs = {r.id: r for r in fastx.read_seqs(str(out))}
+    assert recs["bad"].bases == genome[200:300]
+
+
+def test_watchdog():
+    from bbmap_tpu.utils.watchdog import Watchdog
+    w = Watchdog(max_seconds=9999).start()
+    w.tick()
+    w.stop()
