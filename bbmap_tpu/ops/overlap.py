@@ -284,3 +284,39 @@ def mate_by_overlap_ratio_batch(
     insert_out = np.where(final_neg, -1, best_insert)
     return (insert_out.astype(np.int32),
             best_bad.astype(np.int32), ambig)
+
+
+def calc_min_overlap_by_entropy(bases: np.ndarray, k: int = 3,
+                                min_score: int = 39,
+                                tail: bool = True) -> int:
+    """Per-read minimum overlap from sequence complexity
+    (reference: jgi/BBMergeOverlapper.calcMinOverlapByEntropyTail/Head:
+    860-935): walking inward from the overlap end, accumulate
+    ones*4 + twos over the k-mer spectrum; the overlap must be long
+    enough to reach min_score. Low-complexity tails demand longer
+    overlaps."""
+    from ..core.bases import BASE_TO_NUMBER
+    mask = (1 << (2 * k)) - 1
+    counts = np.zeros(1 << (2 * k), np.int16)
+    kmer = 0
+    length = 0
+    ones = twos = 0
+    n = len(bases)
+    order = range(n - 1, -1, -1) if tail else range(n)
+    for t, j in enumerate(order):
+        b = BASE_TO_NUMBER[bases[j]]
+        if b < 0:
+            length = 0
+            kmer = 0
+            continue
+        length += 1
+        kmer = ((kmer << 2) | int(b)) & mask
+        if length >= k:
+            counts[kmer] += 1
+            if counts[kmer] == 1:
+                ones += 1
+            elif counts[kmer] == 2:
+                twos += 1
+            if ones * 4 + twos >= min_score:
+                return t
+    return n + 1

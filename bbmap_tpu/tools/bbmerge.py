@@ -62,7 +62,9 @@ class BBMerge:
                  min_insert=MIN_INSERT, min_insert0: Optional[int] = None,
                  qual_iters=QUAL_ITERS, use_ratio: bool = True,
                  ratio_margin: float = 5.5, max_ratio: float = 0.09,
-                 min_second_ratio: float = 0.1, ratio_offset: float = 0.55):
+                 min_second_ratio: float = 0.1, ratio_offset: float = 0.55,
+                 use_entropy: bool = False):
+        self.use_entropy = use_entropy
         self.use_ratio = use_ratio
         self.ratio_margin = ratio_margin
         self.max_ratio = max_ratio
@@ -101,6 +103,18 @@ class BBMerge:
 
         insert = np.full(B, -1, np.int32)
         ambig = np.zeros(B, bool)
+        if self.use_entropy:
+            # complexity-scaled per-pair minimum overlap
+            # (reference: jgi/BBMerge.calcMinOverlapFromEntropy:1697-1712)
+            min_ov = np.zeros(B, np.int32)
+            for i in range(B):
+                a = ov.calc_min_overlap_by_entropy(
+                    b1.bases[i, :int(b1.lengths[i])], tail=True)
+                c = ov.calc_min_overlap_by_entropy(
+                    b2.bases[i, :int(b2.lengths[i])], tail=True)
+                min_ov[i] = max(self.min_overlap, a, c)
+        else:
+            min_ov = np.full(B, self.min_overlap, np.int32)
         if self.use_ratio:
             # ratio mode is the reference default
             # (jgi/BBMerge.java:2339; mateByOverlap_ratioMode:1615-1639)
@@ -113,6 +127,14 @@ class BBMerge:
                 max_ratio=self.max_ratio,
                 min_second_ratio=self.min_second_ratio,
                 margin=self.ratio_margin, offset=self.ratio_offset)
+            if self.use_entropy:
+                # per-pair complexity gate: the found overlap must meet
+                # that pair's entropy-scaled minimum
+                alen = a_bases.shape[1]
+                blen = b_bases_rc.shape[1]
+                olap = alen + blen - insert
+                too_short = (insert > 0) & (olap < min_ov)
+                insert = np.where(too_short, -1, insert)
             return self._finish(b1, b2, a_bases, a_qual, b_bases_rc,
                                 b_qual_rc, insert, ambig)
         # QUAL_ITERS ladder (reference: :1652-1659): progressively wider
@@ -185,7 +207,9 @@ def main(argv: List[str]) -> int:
              max_ratio=args.get_float("maxratio", default=0.09),
              min_second_ratio=args.get_float("minsecondratio",
                                              default=0.1),
-             ratio_offset=args.get_float("ratiooffset", default=0.55))
+             ratio_offset=args.get_float("ratiooffset", default=0.55),
+             use_entropy=args.get_bool("entropy", "useentropy",
+                                       default=False))
     for preset in ("xstrict", "ustrict", "vstrict", "strict", "loose",
                    "vloose", "uloose", "xloose"):
         if args.get_bool(preset, default=False):
