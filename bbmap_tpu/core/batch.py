@@ -49,6 +49,25 @@ class ReadBatch:
         n = len(records)
         if lmax is None:
             lmax = max((len(r.bases) for r in records), default=0)
+        # fast path: uniform-length records decode via one bulk frombuffer
+        if n and all(len(r.bases) == lmax for r in records):
+            bases = B.clean_ascii(np.frombuffer(
+                b"".join(r.bases for r in records),
+                np.uint8).reshape(n, lmax).copy())
+            lengths = np.full(n, lmax, np.int32)
+            ids = [r.id for r in records]
+            nids = np.fromiter((r.numeric_id for r in records), np.int64,
+                               n)
+            qual = None
+            if records[0].quality is not None and all(
+                    r.quality is not None and len(r.quality) == lmax
+                    for r in records):
+                qual = (np.frombuffer(
+                    b"".join(r.quality for r in records), np.uint8)
+                    .reshape(n, lmax).astype(np.int16)
+                    - ASCII_OFFSET).astype(np.int8)
+            return cls(bases=bases, quality=qual, lengths=lengths,
+                       ids=ids, numeric_ids=nids)
         bases = np.full((n, lmax), ord("N"), np.uint8)
         qual = np.zeros((n, lmax), np.int8)
         lengths = np.zeros(n, np.int32)

@@ -117,8 +117,12 @@ class BBDuk:
                  kmask: Optional[str] = None, min_kmer_hits: int = 1,
                  qtrim: str = "f", trimq: int = 6, minlength: int = 10,
                  forcetrimleft: int = 0, forcetrimright: int = -1,
-                 entropy: float = -1.0):
+                 entropy: float = -1.0, kbig: int = 0):
         self.entropy = entropy
+        # K>31 emulation: a kbig-mer match = a run of kbig-k+1
+        # consecutive k-mer hits (reference: BBDukF kbig emulation,
+        # jgi/BBDukF.java:604-606)
+        self.kbig_run = max(0, kbig - k + 1) if kbig > k else 0
         if mink > 0 and mink < k:
             mask_middle = False  # reference: BBDukF.java:620-622
         self.ks = kmerset.build_kmer_set(
@@ -166,6 +170,13 @@ class BBDuk:
             kvalid = (np.arange(m)[None, :] >= left[:, None]) & \
                 (np.arange(m)[None, :] <= (lengths - self.k)[:, None])
             hits = hits & kvalid
+        if self.kbig_run > 1 and m >= self.kbig_run:
+            # only runs of kbig_run consecutive hits count
+            run_ok = np.ones((B, m - self.kbig_run + 1), bool)
+            for off in range(self.kbig_run):
+                run_ok &= hits[:, off:off + m - self.kbig_run + 1]
+            hits = np.zeros_like(hits)
+            hits[:, :run_ok.shape[1]] = run_ok
         nhits = hits.sum(1)
         matched = nhits >= self.min_kmer_hits
         # per-ref stats: first hit attributes the read
@@ -290,6 +301,7 @@ def main(argv: List[str]) -> int:
     ftr = args.get_int("forcetrimright", "ftr", default=-1)
     minkmerhits = args.get_int("minkmerhits", "mkh", default=1)
     entropy = args.get_float("entropy", default=-1.0)
+    kbig = args.get_int("kbig", default=0)
     tbo = args.get_bool("tbo", "trimbyoverlap", default=False)
     tpe = args.get_bool("tpe", "trimpairsevenly", default=False)
     stats = args.get("stats")
@@ -316,7 +328,7 @@ def main(argv: List[str]) -> int:
                 mask_middle=mask_middle, rcomp=rcomp, ktrim=ktrim,
                 kmask=kmask, min_kmer_hits=minkmerhits, qtrim=qtrim,
                 trimq=trimq, minlength=minlength, forcetrimleft=ftl,
-                forcetrimright=ftr, entropy=entropy)
+                forcetrimright=ftr, entropy=entropy, kbig=kbig)
 
     out_fh = fastx.xopen(out, "wb") if out else None
     out2_fh = fastx.xopen(out2, "wb") if out2 else None

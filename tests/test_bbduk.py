@@ -144,3 +144,17 @@ def test_tbo_pair_overlap_trim(tmp_path):
     assert len(rec1.bases) == 80
     assert len(rec2.bases) == 80
     assert rec1.bases == bytes(frag)
+
+
+def test_kbig_emulation():
+    """kbig>31 matches require runs of consecutive k-mer hits."""
+    rng = np.random.default_rng(40)
+    ref40 = _rand(40, 41)  # 40-mer contaminant
+    # read contains only 25 bases of the contaminant: a k=23 hit exists
+    # but no 40-mer run
+    partial = _rand(40, 42) + ref40[:25] + _rand(35, 43)
+    full = _rand(30, 44) + ref40 + _rand(30, 45)
+    duk = BBDuk([ref40], ["c"], k=23, kbig=40, mask_middle=False)
+    batch = ReadBatch.from_records(_recs([partial, full]))
+    keep, recs, matched = duk.process_batch(batch)
+    assert list(matched) == [False, True]
