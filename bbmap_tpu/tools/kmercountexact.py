@@ -123,13 +123,22 @@ def main(argv: List[str]) -> int:
         print("Usage: kmercountexact in=<reads> k=31 khist=<file> "
               "[out=<dump.fa>]", file=sys.stderr)
         return 1
-    counter = KmerCounter(k)
+    big = k > 31
+    if big:
+        from ..index.kmer_big import KmerCounterBig, big_kmer_to_str
+        counter = KmerCounterBig(k)
+    else:
+        counter = KmerCounter(k)
     n = 0
     for chunk in batched(fastx.read_seqs(in1), 8192):
         b = ReadBatch.from_records(chunk)
         counter.add_batch(b.bases)
         n += b.size
-    keys, counts = counter.finish()
+    if big:
+        hi, lo, counts = counter.finish()
+        keys = hi  # length proxy for reporting
+    else:
+        keys, counts = counter.finish()
     sys.stderr.write(f"Reads:\t{n}\nUnique kmers:\t{len(keys)}\n")
     if khist_path:
         hist = counter.histogram()
@@ -150,12 +159,18 @@ def main(argv: List[str]) -> int:
     if out:
         sel = counts >= mincount
         with fastx.xopen(out, "wt") as fh:
-            table = np.frombuffer(b"ACGT", np.uint8)
-            for key, cnt in zip(keys[sel], counts[sel]):
-                chars = []
-                for j in range(k - 1, -1, -1):
-                    chars.append(chr(table[(int(key) >> (2 * j)) & 3]))
-                fh.write(f">{cnt}\n{''.join(chars)}\n")
+            if big:
+                from ..index.kmer_big import big_kmer_to_str
+                for h, l, cnt in zip(hi[sel], lo[sel], counts[sel]):
+                    fh.write(f">{cnt}\n"
+                             f"{big_kmer_to_str(int(h), int(l), k)}\n")
+            else:
+                table = np.frombuffer(b"ACGT", np.uint8)
+                for key, cnt in zip(keys[sel], counts[sel]):
+                    chars = []
+                    for j in range(k - 1, -1, -1):
+                        chars.append(chr(table[(int(key) >> (2 * j)) & 3]))
+                    fh.write(f">{cnt}\n{''.join(chars)}\n")
     return 0
 
 

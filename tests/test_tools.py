@@ -260,3 +260,50 @@ def test_watchdog():
     w = Watchdog(max_seconds=9999).start()
     w.tick()
     w.stop()
+
+
+def test_kmer_big_counting(tmp_path):
+    from bbmap_tpu.index.kmer_big import (KmerCounterBig, canonical_big,
+                                          rolling_kmers_big,
+                                          big_kmer_to_str, rc_big)
+    rng = np.random.default_rng(50)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    seq = rng.choice(bases, 200).astype(np.uint8)
+    k = 41
+    hi, lo, valid = rolling_kmers_big(seq[None, :], k)
+    assert valid.all()
+    # string roundtrip
+    s0 = big_kmer_to_str(int(hi[0, 0]), int(lo[0, 0]), k)
+    assert s0 == bytes(seq[:k]).decode()
+    # rc is an involution
+    h2, l2 = rc_big(hi[0], lo[0], k)
+    h3, l3 = rc_big(h2, l2, k)
+    assert np.array_equal(h3, hi[0]) and np.array_equal(l3, lo[0])
+    # rc string check
+    from bbmap_tpu.core.bases import COMP_ASCII
+    rcs = bytes(COMP_ASCII[seq[:k]][::-1]).decode()
+    assert big_kmer_to_str(int(h2[0]), int(l2[0]), k) == rcs
+    # counting: sequence + its rc count together (canonical)
+    c = KmerCounterBig(k)
+    c.add_batch(seq[None, :])
+    rc_seq = COMP_ASCII[seq][::-1].copy()
+    c.add_batch(rc_seq[None, :])
+    hi_u, lo_u, counts = c.finish()
+    assert (counts == 2).all()
+    assert len(hi_u) == 200 - k + 1
+
+
+def test_kmercountexact_big_k(tmp_path):
+    from bbmap_tpu.tools import kmercountexact
+    rng = np.random.default_rng(51)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    seq = bytes(rng.choice(bases, 150))
+    inp = tmp_path / "r.fq"
+    with open(inp, "wb") as fh:
+        fh.write(b"@r\n" + seq + b"\n+\n" + b"I" * 150 + b"\n")
+    out = tmp_path / "dump.fa"
+    assert kmercountexact.main([f"in={inp}", f"out={out}", "k=41"]) == 0
+    seqs = [l.strip() for l in out.read_text().splitlines()
+            if not l.startswith(">")]
+    assert len(seqs) == 110
+    assert all(len(x) == 41 for x in seqs)
