@@ -148,6 +148,11 @@ class BBMapAligner:
         self.device_quickmap = (device_quickmap
                                 and index.chrom_offsets[-1] < 2 ** 30)
         self._qm_cache: Dict[int, object] = {}
+        # running average of observed inner pair distances (reference:
+        # AbstractMapThread AVERAGE_PAIR_DIST dynamic update, :131,
+        # INITIAL_AVERAGE_PAIR_DIST=100)
+        self.average_pair_dist = float(AVERAGE_PAIR_DIST)
+        self._pair_obs = 0
         self.codes_ascii = self._genome_ascii()
         self.chrom_offsets = index.chrom_offsets
 
@@ -424,8 +429,9 @@ class BBMapAligner:
         outer_limit = (max(L1, L2) * OUTER_DIST_MULT) // OUTER_DIST_DIV
         ok = (A(v1) & Bx(v2) & opp & (A(ch1) == Bx(ch2))
               & (outer >= outer_limit) & (inner <= MAX_PAIR_DIST))
-        expected_frag = AVERAGE_PAIR_DIST + L1 + L2
-        deviation = np.abs(AVERAGE_PAIR_DIST - inner)
+        apd = int(self.average_pair_dist)
+        expected_frag = apd + L1 + L2
+        deviation = np.abs(apd - inner)
         mult1 = min(0.5, max(0.25, L1 / (4.0 * L2)))
         mult2 = min(0.5, max(0.25, L2 / (4.0 * L1)))
         denom = max(100, 10 * expected_frag + 100)
@@ -522,13 +528,14 @@ class BBMapAligner:
             row = bm.bases[i, :Lm]
             anchor_flat = int(self.chrom_offsets[anchor.chrom - 1]) \
                 + anchor.start
+            apd = int(self.average_pair_dist)
             if anchor.strand == 0:
                 # mate expected downstream on minus strand
-                ideal = anchor_flat + AVERAGE_PAIR_DIST
+                ideal = anchor_flat + apd
                 mate_strand = 1
                 mate_read = COMP_ASCII[row][::-1]
             else:
-                ideal = anchor_flat - AVERAGE_PAIR_DIST - Lm
+                ideal = anchor_flat - apd - Lm
                 mate_strand = 0
                 mate_read = row
             lo = max(0, ideal - span)
@@ -794,8 +801,9 @@ class BBMapAligner:
               & (inner <= MAX_PAIR_DIST) & opp)
         if not ok.any():
             return boost1, boost2
-        expected_frag = AVERAGE_PAIR_DIST + L1 + L2
-        deviation = np.abs(AVERAGE_PAIR_DIST - inner)
+        apd = int(self.average_pair_dist)
+        expected_frag = apd + L1 + L2
+        deviation = np.abs(apd - inner)
         mult1 = min(0.5, max(0.25, L1 / (4.0 * L2)))
         mult2 = min(0.5, max(0.25, L2 / (4.0 * L1)))
         denom = max(100, 10 * expected_frag + 100)
@@ -896,8 +904,11 @@ class BBMapAligner:
 
     def _set_pair_flags(self, res1, res2, L1: int, L2: int) -> None:
         """canPair on top sites (reference: BBMapThread.java:1188-1200,
-        AbstractMapThread.canPair:2098-2130)."""
+        AbstractMapThread.canPair:2098-2130) + running insert average
+        update."""
         outer_limit = (max(L1, L2) * OUTER_DIST_MULT) // OUTER_DIST_DIV
+        inner_sum = 0
+        inner_n = 0
         for r1, r2 in zip(res1, res2):
             if not (r1.mapped and r2.mapped):
                 continue
@@ -911,6 +922,16 @@ class BBMapAligner:
                 outer = r1.stop - r2.start
             if outer >= outer_limit and inner <= MAX_PAIR_DIST:
                 r1.paired = r2.paired = True
+                inner_sum += min(inner, MAX_PAIR_DIST)
+                inner_n += 1
+        if inner_n:
+            # exponential-ish running average, matching the reference's
+            # incremental AVERAGE_PAIR_DIST behavior
+            total = self._pair_obs + inner_n
+            self.average_pair_dist = (
+                self.average_pair_dist * self._pair_obs
+                + inner_sum) / total
+            self._pair_obs = min(total, 1 << 20)
 
     def _dp_score(self, cand_reads: np.ndarray, wstart: np.ndarray,
                   wlen: np.ndarray, dp_jobs: np.ndarray, L: int,
