@@ -10,14 +10,94 @@ chunks are mapped independently here, rejoin is a later milestone).
 
 from __future__ import annotations
 
+import re
 import sys
-from typing import List
+from typing import Dict, List
 
 from ..io import fastx
 from ..utils.args import Args
 from . import bbmap as bbmap_tool
 
 MAX_CHUNK = 6000  # reference: PacBio stack envelope (ALIGN_ROWS=6020)
+
+_CIGAR_RE = re.compile(r"(\d+)([MIDNSHP=X])")
+
+
+def _refspan(cigar: str) -> int:
+    return sum(int(n) for n, op in _CIGAR_RE.findall(cigar)
+               if op in "MDN=X")
+
+
+def rejoin_sam(in_path: str, out_path: str,
+               tolerance: int = 500) -> None:
+    """Merge collinear chunk alignments back into whole-read records
+    (reference: AbstractMapThread.processReadSplit:2787 rejoins split
+    long reads). Chunks that are unmapped or non-collinear stay as
+    separate records."""
+    header: List[str] = []
+    groups: Dict[str, list] = {}
+    order: List[str] = []
+    passthrough: List[str] = []
+    with fastx.xopen(in_path, "rt") as fh:
+        for line in fh:
+            if line.startswith("@"):
+                header.append(line)
+                continue
+            f = line.rstrip("\n").split("\t")
+            m = re.match(r"^(.*)_chunk(\d+)$", f[0])
+            if not m:
+                passthrough.append(line)
+                continue
+            base, idx = m.group(1), int(m.group(2))
+            if base not in groups:
+                groups[base] = []
+                order.append(base)
+            groups[base].append((idx, f))
+    with fastx.xopen(out_path, "wt") as out:
+        out.writelines(header)
+        out.writelines(passthrough)
+        for base in order:
+            chunks = sorted(groups[base])
+            recs = [f for _, f in chunks]
+            mapped = [f for f in recs if not int(f[1]) & 0x4]
+            mergeable = (
+                len(mapped) == len(recs) and len(recs) > 1
+                and len({f[2] for f in recs}) == 1
+                and len({int(f[1]) & 0x10 for f in recs}) == 1)
+            if mergeable:
+                minus = bool(int(recs[0][1]) & 0x10)
+                ordered = recs if not minus else recs[::-1]
+                ok = True
+                cigar_parts = []
+                seq_parts = []
+                qual_parts = []
+                pos0 = int(ordered[0][3])
+                cur_end = pos0 - 1
+                for t, f in enumerate(ordered):
+                    p = int(f[3])
+                    if t > 0:
+                        gap = p - cur_end - 1
+                        if gap < 0 or gap > tolerance:
+                            ok = False
+                            break
+                        if gap > 0:
+                            cigar_parts.append(f"{gap}D")
+                    cigar_parts.append(f[5])
+                    seq_parts.append(f[9])
+                    qual_parts.append(f[10])
+                    cur_end = p + _refspan(f[5]) - 1
+                if ok:
+                    merged = recs[0][:]
+                    merged[0] = base
+                    merged[3] = str(pos0)
+                    merged[5] = "".join(cigar_parts)
+                    merged[9] = "".join(seq_parts)
+                    merged[10] = "".join(qual_parts)
+                    merged = merged[:11]  # tags would be stale
+                    out.write("\t".join(merged) + "\n")
+                    continue
+            for f in recs:
+                out.write("\t".join(f) + "\n")
 
 
 def split_long_reads(path: str, out_path: str,
@@ -72,8 +152,17 @@ def main(argv: List[str]) -> int:
         fwd.append("maxindel=400")
     if not args.has("batchsize"):
         fwd.append("batchsize=256")
+    rejoin = args.get_bool("rejoin", default=True)
+    out_path = args.get("out")
     try:
-        return bbmap_tool.main(fwd)
+        rc = bbmap_tool.main(fwd)
+        if rc == 0 and rejoin and chunked and out_path:
+            import os as _os
+            tmp_out = out_path + ".chunks"
+            _os.replace(out_path, tmp_out)
+            rejoin_sam(tmp_out, out_path)
+            _os.unlink(tmp_out)
+        return rc
     finally:
         if chunked:
             import os

@@ -450,3 +450,26 @@ def test_filterbycoverage(tmp_path):
     names = [l[1:] for l in out.read_text().splitlines()
              if l.startswith(">")]
     assert names == ["good"]
+
+
+def test_pacbio_rejoin(tmp_path):
+    from bbmap_tpu.tools.mappacbio import rejoin_sam
+    sam = tmp_path / "c.sam"
+    sam.write_text(
+        "@HD\tVN:1.4\n@SQ\tSN:s\tLN:20000\n"
+        "read1_chunk0\t0\ts\t101\t40\t6000=\t*\t0\t0\t" + "A" * 6000
+        + "\t" + "I" * 6000 + "\n"
+        "read1_chunk1\t0\ts\t6101\t40\t4000=\t*\t0\t0\t" + "C" * 4000
+        + "\t" + "I" * 4000 + "\n"
+        "solo\t0\ts\t1\t40\t10=\t*\t0\t0\t" + "G" * 10 + "\t"
+        + "I" * 10 + "\n")
+    out = tmp_path / "j.sam"
+    rejoin_sam(str(sam), str(out))
+    recs = [l.split("\t") for l in out.read_text().splitlines()
+            if not l.startswith("@")]
+    names = [r[0] for r in recs]
+    assert "read1" in names and "solo" in names
+    merged = next(r for r in recs if r[0] == "read1")
+    assert merged[3] == "101"
+    assert merged[5] == "6000=4000="
+    assert len(merged[9]) == 10000
