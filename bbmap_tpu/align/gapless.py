@@ -155,10 +155,17 @@ def gather_ref_rows(genome: np.ndarray, ref_starts: np.ndarray,
                     L: int) -> np.ndarray:
     """(J,) flat starts -> (J, L) ASCII ref rows, 'N' outside."""
     J = len(ref_starts)
-    pos = ref_starts[:, None] + np.arange(L)[None, :]
-    inb = (pos >= 0) & (pos < len(genome))
+    G = len(genome)
+    starts = np.asarray(ref_starts, np.int64)
+    # fast path: all rows fully inside the genome (the common case —
+    # avoids the 2x boolean masks and masked fancy assignment)
+    if J and starts.min() >= 0 and starts.max() + L <= G:
+        pos = (starts[:, None] + np.arange(L, dtype=np.int64)[None, :])
+        return genome[pos]
+    pos = starts[:, None] + np.arange(L)[None, :]
+    inb = (pos >= 0) & (pos < G)
     out = np.full((J, L), _N, np.uint8)
-    out[inb] = genome[pos[inb].astype(np.int64)]
+    out[inb] = genome[pos[inb]]
     return out
 
 

@@ -35,7 +35,7 @@ AFFIX_K = 31
 
 def dedupe_stream(records, absorb_rc: bool = True, subs: int = 0,
                   edits: int = 0, absorb_containment: bool = False,
-                  keep_first: bool = True):
+                  keep_first: bool = True, clusters: dict = None):
     """Yields (record, is_duplicate).
 
     - exact/rc duplicates via canonical content hash
@@ -57,6 +57,8 @@ def dedupe_stream(records, absorb_rc: bool = True, subs: int = 0,
         can = canonical_bytes(rec.bases, absorb_rc)
         h = hashlib.blake2b(can, digest_size=16).digest()
         if h in seen:
+            if clusters is not None:
+                clusters.setdefault(seen[h], []).append(rec.id)
             yield rec, True
             continue
         dup = False
@@ -100,9 +102,11 @@ def dedupe_stream(records, absorb_rc: bool = True, subs: int = 0,
                     dup = True
                     break
         if dup:
+            if clusters is not None:
+                clusters.setdefault("~near", []).append(rec.id)
             yield rec, True
         else:
-            seen[h] = 1
+            seen[h] = rec.id if clusters is not None else 1
             if subs > 0 or edits > 0:
                 sub_buckets.setdefault(len(can), []).append(arr)
             if absorb_containment and len(can) >= AFFIX_K:
@@ -127,6 +131,7 @@ def main(argv: List[str]) -> int:
     edits = args.get_int("edits", "e", "maxedits", default=0)
     absorb_containment = args.get_bool("absorbcontainment", "ac",
                                        default=True)
+    csf = args.get("csf", "clusterstats", "outgraph")
     if in1 is None:
         print("Usage: dedupe in=<reads> out=<unique> [outd=] [subs=N]",
               file=sys.stderr)
@@ -147,8 +152,10 @@ def main(argv: List[str]) -> int:
                      + b"\n+\n" + q + b"\n")
 
     n = dups = 0
+    clusters = {} if csf else None
     for rec, is_dup in dedupe_stream(fastx.read_seqs(in1), absorb_rc,
-                                     subs, edits, absorb_containment):
+                                     subs, edits, absorb_containment,
+                                     clusters=clusters):
         n += 1
         if is_dup:
             dups += 1
@@ -158,6 +165,11 @@ def main(argv: List[str]) -> int:
     for fh in (out_fh, outd_fh):
         if fh is not None:
             fh.close()
+    if csf and clusters is not None:
+        with open(csf, "w") as fh:
+            fh.write("#representative\tmembers\n")
+            for rep, members in clusters.items():
+                fh.write(f"{rep}\t{','.join(members)}\n")
     sys.stderr.write(f"Input:\t{n}\nDuplicates:\t{dups}\n"
                      f"Result:\t{n - dups}\n")
     return 0
