@@ -38,6 +38,7 @@ TOOLS = {
     "rqcfilter": "bbmap_tpu.tools.rqcfilter",
     "bbqc": "bbmap_tpu.tools.rqcfilter",
     "bbduk2": "bbmap_tpu.tools.bbduk",
+    "removesmartbell": "bbmap_tpu.tools.removesmartbell",
 }
 
 # multi-command modules: tool name -> (module, function)

@@ -473,3 +473,21 @@ def test_pacbio_rejoin(tmp_path):
     assert merged[3] == "101"
     assert merged[5] == "6000=4000="
     assert len(merged[9]) == 10000
+
+
+def test_removesmartbell(tmp_path):
+    from bbmap_tpu.tools import removesmartbell as rsb
+    rng = np.random.default_rng(60)
+    left = bytes(rng.choice(BASES, 300))
+    right = bytes(rng.choice(BASES, 250))
+    read = left + rsb.SMARTBELL + right
+    inp = tmp_path / "pb.fq"
+    with open(inp, "wb") as fh:
+        fh.write(b"@zmw1\n" + read + b"\n+\n" + b"I" * len(read) + b"\n")
+    out = tmp_path / "split.fq"
+    assert rsb.main([f"in={inp}", f"out={out}"]) == 0
+    from bbmap_tpu.io import fastx
+    recs = list(fastx.read_seqs(str(out)))
+    assert len(recs) == 2
+    assert recs[0].bases == left
+    assert recs[1].bases == right
