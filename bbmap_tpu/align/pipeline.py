@@ -1186,7 +1186,7 @@ def _one_sam_line(genome, b, i, r, mate, fragnum, paired_input,
         inbounds = a1 >= 0 and b1 < scaflen
         if r.match is not None:
             if (samio.VERSION > 1.3 and inbounds and r.perfect
-                    and all(ch == ord("m") for ch in r.match)):
+                    and not r.match.strip(b"m")):
                 cigar = f"{L}="
             else:
                 cigar = samio.match_to_cigar(r.match, a1, b1, scaflen)

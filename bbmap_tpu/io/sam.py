@@ -52,6 +52,54 @@ def round_half_up(x: float) -> int:
     return int(math.floor(x + 0.5))
 
 
+# symbol -> CIGAR-mode translation tables (index = match symbol byte).
+# Used by the C-level fast path of match_to_cigar for fully in-bounds
+# alignments, where the mode depends only on the symbol, never on refloc.
+def _mk_mode_table(v14: bool) -> bytes:
+    t = bytearray(b"\x00" * 256)
+    if v14:
+        for c in b"ms":
+            t[c] = ord("=")
+        for c in b"SNB":
+            t[c] = ord("X")
+    else:
+        for c in b"msSNB":
+            t[c] = ord("M")
+    for c in b"IXY":
+        t[c] = ord("I")
+    t[ord("D")] = ord("D")
+    t[ord("C")] = ord("S")
+    return bytes(t)
+
+
+_MODE14 = _mk_mode_table(True)
+_MODE13 = _mk_mode_table(False)
+# ref-consuming symbols (advance refloc): everything except I/X/Y
+_REF_CONSUMES = bytes(0 if c in b"IXY" else 1 for c in range(256))
+
+
+def _match_to_cigar_fast(match: bytes, v14: bool) -> str:
+    """RLE of the translated mode string — valid only when every position
+    is inside the scaffold (no soft-clip conversion)."""
+    modes = match.translate(_MODE14 if v14 else _MODE13)
+    if b"\x00" in modes:
+        raise ValueError("bad match symbol")
+    if modes.count(modes[0]) == len(modes):  # single run (common case)
+        return f"{len(modes)}{modes[:1].decode()}"
+    arr = np.frombuffer(modes, np.uint8)
+    cut = np.nonzero(arr[1:] != arr[:-1])[0]
+    starts = np.empty(len(cut) + 1, np.int64)
+    starts[0] = 0
+    starts[1:] = cut + 1
+    ends = np.empty_like(starts)
+    ends[:-1] = cut + 1
+    ends[-1] = len(arr)
+    parts = []
+    for s, e in zip(starts, ends):
+        parts.append(f"{e - s}{modes[s:s + 1].decode()}")
+    return "".join(parts)
+
+
 def match_to_cigar(match: bytes, read_start: int, read_stop: int,
                    reflen: int, version: float = VERSION) -> str:
     """Long-form match string -> CIGAR
@@ -60,6 +108,15 @@ def match_to_cigar(match: bytes, read_start: int, read_stop: int,
     reflen = scaffold length. Out-of-scaffold positions soft-clip."""
     if not match:
         return "*"
+    if read_start >= 0 and read_stop < reflen:
+        # fully in-bounds: mode depends only on the symbol (fast path)
+        return _match_to_cigar_fast(match, version > 1.3)
+    return _match_to_cigar_slow(match, read_start, read_stop, reflen,
+                                version)
+
+
+def _match_to_cigar_slow(match: bytes, read_start: int, read_stop: int,
+                         reflen: int, version: float = VERSION) -> str:
     ops: List[Tuple[int, str]] = []
     count = 0
     last_mode = "="
@@ -127,23 +184,11 @@ def match_to_cigar(match: bytes, read_start: int, read_stop: int,
 
 def count_leading_clip(match: bytes) -> int:
     """reference: stream/SamLine.countLeadingClip (long-form only here)."""
-    n = 0
-    for m in match:
-        if m == ord("C"):
-            n += 1
-        else:
-            break
-    return n
+    return len(match) - len(match.lstrip(b"C"))
 
 
 def count_trailing_clip(match: bytes) -> int:
-    n = 0
-    for m in reversed(match):
-        if m == ord("C"):
-            n += 1
-        else:
-            break
-    return n
+    return len(match) - len(match.rstrip(b"C"))
 
 
 def count_leading_indels(a: int, match: Optional[bytes]) -> int:
@@ -194,6 +239,14 @@ def calc_nm(match: bytes, cigar: str, read_len: int) -> int:
     leftclip = _cigar_left_clip(cigar)
     rightclip = _cigar_right_clip(cigar)
     frm, to = leftclip, read_len - rightclip
+    if frm == 0 and to >= read_len and (not match
+                                        or match[-1] != ord("D")):
+        # unclipped fast path: every symbol is in range and every
+        # deletion run is < INTRON_LIMIT for short reads, so NM is just
+        # the symbol counts (C-level scans)
+        return (match.count(ord("I")) + match.count(ord("S"))
+                + match.count(ord("N")) + match.count(ord("X"))
+                + match.count(ord("Y")) + match.count(ord("D")))
     nm = 0
     dels = 0
     cpos = 0
