@@ -120,6 +120,97 @@ def dedupe_stream(records, absorb_rc: bool = True, subs: int = 0,
             yield rec, False
 
 
+class _UnionFind:
+    def __init__(self, n: int):
+        self.p = list(range(n))
+
+    def find(self, a: int) -> int:
+        while self.p[a] != a:
+            self.p[a] = self.p[self.p[a]]
+            a = self.p[a]
+        return a
+
+    def union(self, a: int, b: int) -> None:
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            self.p[rb] = ra
+
+
+def find_overlaps(seqs: List[bytes], min_overlap: int = 200,
+                  subs: int = 0) -> List[Tuple[int, int, int, int]]:
+    """Suffix-prefix overlap edges between sequences.
+
+    Returns (i, j, overlap_len, orientation) with orientation 0 =
+    suffix(i)~prefix(j), 1 = suffix(i)~prefix(rc(j)).
+    reference: jgi/Dedupe.java findOverlaps (overlap detection via affix
+    k-mer maps + banded verification, wired by sh/dedupe.sh
+    findoverlaps=t). Candidates here come from an all-positions k-mer map
+    keyed by each sequence's prefix k-mer; verification allows `subs`
+    mismatches over the overlap."""
+    kmap: Dict[bytes, List[Tuple[int, int]]] = {}
+    for i, s in enumerate(seqs):
+        for p in range(0, len(s) - AFFIX_K + 1):
+            kmap.setdefault(s[p:p + AFFIX_K], []).append((i, p))
+    edges: List[Tuple[int, int, int, int]] = []
+    seen_pairs = set()
+    for j, s in enumerate(seqs):
+        if len(s) < min_overlap:
+            continue
+        rc = bytes(COMP_ASCII[np.frombuffer(s, np.uint8)][::-1])
+        for orient, b_seq in ((0, s), (1, rc)):
+            pref = b_seq[:AFFIX_K]
+            for (i, pos) in kmap.get(pref, []):
+                if i == j:
+                    continue
+                a = seqs[i]
+                ov = len(a) - pos
+                if ov < min_overlap or ov > len(b_seq):
+                    continue
+                key = (min(i, j), max(i, j), orient)
+                if key in seen_pairs:
+                    continue
+                x = np.frombuffer(a[pos:], np.uint8)
+                y = np.frombuffer(b_seq[:ov], np.uint8)
+                if int((x != y).sum()) <= subs:
+                    seen_pairs.add(key)
+                    edges.append((i, j, ov, orient))
+    return edges
+
+
+def cluster_by_overlap(records: List, min_overlap: int = 200,
+                       subs: int = 0):
+    """Group records into overlap-connected clusters
+    (reference: jgi/Dedupe.java cluster=t — union of overlap edges).
+    Returns (cluster_id per record, edges)."""
+    seqs = [r.bases for r in records]
+    edges = find_overlaps(seqs, min_overlap, subs)
+    uf = _UnionFind(len(records))
+    for (i, j, _, _) in edges:
+        uf.union(i, j)
+    roots = [uf.find(i) for i in range(len(records))]
+    remap: Dict[int, int] = {}
+    cids = []
+    for r in roots:
+        if r not in remap:
+            remap[r] = len(remap)
+        cids.append(remap[r])
+    return cids, edges
+
+
+def write_dot(path: str, records: List, edges) -> None:
+    """GraphViz overlap graph (reference: sh/dedupe.sh dot= flag,
+    jgi/Dedupe.java writeGraph)."""
+    with open(path, "w") as fh:
+        fh.write("graph overlaps {\n")
+        for r in records:
+            fh.write(f'  "{r.id}";\n')
+        for (i, j, ov, orient) in edges:
+            style = "" if orient == 0 else " style=dashed"
+            fh.write(f'  "{records[i].id}" -- "{records[j].id}" '
+                     f'[label="{ov}"{style}];\n')
+        fh.write("}\n")
+
+
 def main(argv: List[str]) -> int:
     args = Args.parse(argv)
     in1 = args.get("in", "in1") or (args.positional[0]
@@ -132,8 +223,14 @@ def main(argv: List[str]) -> int:
     absorb_containment = args.get_bool("absorbcontainment", "ac",
                                        default=True)
     csf = args.get("csf", "clusterstats", "outgraph")
+    do_overlap = args.get_bool("findoverlaps", "fo", default=False)
+    do_cluster = args.get_bool("cluster", "c", default=False)
+    min_overlap = args.get_int("minoverlap", "mo", default=200)
+    dot = args.get("dot", "graph")
+    pattern = args.get("pattern")
     if in1 is None:
-        print("Usage: dedupe in=<reads> out=<unique> [outd=] [subs=N]",
+        print("Usage: dedupe in=<reads> out=<unique> [outd=] [subs=N] "
+              "[findoverlaps=t cluster=t dot=g.dot pattern=c_%.fa]",
               file=sys.stderr)
         return 1
     fmt = fastx.sniff_format(in1)
@@ -153,6 +250,7 @@ def main(argv: List[str]) -> int:
 
     n = dups = 0
     clusters = {} if csf else None
+    kept_records = [] if (do_overlap or do_cluster) else None
     for rec, is_dup in dedupe_stream(fastx.read_seqs(in1), absorb_rc,
                                      subs, edits, absorb_containment,
                                      clusters=clusters):
@@ -161,7 +259,31 @@ def main(argv: List[str]) -> int:
             dups += 1
             emit(outd_fh, rec)
         else:
+            if kept_records is not None:
+                kept_records.append(rec)
             emit(out_fh, rec)
+    if kept_records is not None:
+        cids, edges = cluster_by_overlap(kept_records, min_overlap, subs)
+        sys.stderr.write(f"Overlap edges:\t{len(edges)}\n"
+                         f"Clusters:\t{len(set(cids))}\n")
+        if dot:
+            write_dot(dot, kept_records, edges)
+        if pattern and do_cluster:
+            by_cid: Dict[int, List] = {}
+            for r, cid in zip(kept_records, cids):
+                by_cid.setdefault(cid, []).append(r)
+            for cid, recs in sorted(by_cid.items()):
+                with fastx.xopen(pattern.replace("%", str(cid)),
+                                 "wb") as fh:
+                    for r in recs:
+                        q = r.quality if r.quality is not None \
+                            else b"I" * len(r.bases)
+                        if fmt == "fasta":
+                            fh.write(b">" + r.id.encode() + b"\n"
+                                     + r.bases + b"\n")
+                        else:
+                            fh.write(b"@" + r.id.encode() + b"\n"
+                                     + r.bases + b"\n+\n" + q + b"\n")
     for fh in (out_fh, outd_fh):
         if fh is not None:
             fh.close()

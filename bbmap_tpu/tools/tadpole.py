@@ -82,6 +82,128 @@ def rc_str(s: str) -> str:
     return "".join(comp[c] for c in reversed(s))
 
 
+def _exists(keys: np.ndarray, cand_canon: np.ndarray) -> np.ndarray:
+    """Membership of canonical k-mers in the sorted key array."""
+    if len(keys) == 0:
+        return np.zeros(cand_canon.shape, bool)
+    idx = np.searchsorted(keys, cand_canon)
+    idx = np.minimum(idx, len(keys) - 1)
+    return keys[idx] == cand_canon
+
+
+def _degrees(keys: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Out-degree of each node's forward orientation (right extensions)
+    and of its rc orientation (= left extensions), in the bidirected
+    de Bruijn graph over canonical keys."""
+    mask = (1 << (2 * k)) - 1
+    rc = reverse_complement_key(keys, k)
+    bases = np.arange(4, dtype=np.int64)
+
+    def outdeg(forms: np.ndarray) -> np.ndarray:
+        nxt = ((forms[:, None] << 2) & mask) | bases[None, :]
+        canon = np.minimum(nxt, reverse_complement_key(
+            nxt.ravel(), k).reshape(nxt.shape))
+        return _exists(keys, canon).sum(1)
+
+    return outdeg(keys), outdeg(rc)
+
+
+def shave_rinse(keys: np.ndarray, counts: np.ndarray, k: int,
+                shave: bool = True, rinse: bool = True,
+                max_depth: Optional[int] = None,
+                max_count: int = 1,
+                passes: int = 2) -> Tuple[np.ndarray, np.ndarray]:
+    """Remove dead-end hairs (shave) and low-depth bubbles (rinse)
+    from the k-mer set before contig building.
+
+    reference: assemble/Shaver2.java (exploreAndMark walks from tips /
+    branch points and removes short low-coverage side paths; wired from
+    Tadpole.shaveAndRinse, assemble/Tadpole.java:1397). Here: a *hair*
+    is a simple path of <= max_depth low-count nodes ending in a dead
+    end; a *bubble* is such a path attached to branch nodes at BOTH
+    ends. Arrays stay sorted; removal is a boolean mask per pass."""
+    if max_depth is None:
+        max_depth = k
+    for _ in range(passes):
+        if len(keys) == 0:
+            break
+        deg_f, deg_r = _degrees(keys, k)
+        low = counts <= max_count
+        simple = (deg_f == 1) & (deg_r == 1)
+        tip = (deg_f == 0) | (deg_r == 0)
+        # candidate hair/bubble members: low-count nodes that are tips
+        # or interior nodes of simple paths
+        cand = low & (tip | simple)
+        if not cand.any():
+            break
+        # build the set of candidate path components by walking from
+        # tips (shave) and from low-count simple nodes adjacent to
+        # branches (rinse)
+        cand_set = set(keys[cand].tolist())
+        branch = (deg_f > 1) | (deg_r > 1)
+        branch_set = set(keys[branch].tolist())
+        key_set = set(keys.tolist())
+        mask_bits = (1 << (2 * k)) - 1
+
+        def neighbors(canon_key: int) -> List[int]:
+            out = []
+            for form in (canon_key,
+                         int(reverse_complement_key(
+                             np.array([canon_key], np.int64), k)[0])):
+                for b in range(4):
+                    nk = ((form << 2) & mask_bits) | b
+                    can = min(nk, int(reverse_complement_key(
+                        np.array([nk], np.int64), k)[0]))
+                    if can in key_set and can != canon_key:
+                        out.append(can)
+            return out
+
+        to_remove: Set[int] = set()
+        seen: Set[int] = set()
+        for start in keys[cand & tip] if shave else []:
+            start = int(start)
+            if start in seen:
+                continue
+            path = [start]
+            seen.add(start)
+            cur = start
+            ok = True
+            while len(path) <= max_depth:
+                nbrs = [n for n in neighbors(cur) if n not in path]
+                nbrs_cand = [n for n in nbrs if n in cand_set]
+                if not nbrs:
+                    break  # isolated hair
+                if any(n in branch_set for n in nbrs):
+                    break  # reached the trunk — hair confirmed
+                if len(nbrs_cand) != 1:
+                    ok = False
+                    break
+                cur = nbrs_cand[0]
+                path.append(cur)
+                seen.add(cur)
+            else:
+                ok = False  # too long to be a hair
+            if ok:
+                to_remove.update(path)
+        if rinse:
+            # bubbles: low-count simple paths whose both neighbors are
+            # branch nodes
+            for start in keys[cand & simple]:
+                start = int(start)
+                if start in to_remove:
+                    continue
+                nbrs = neighbors(start)
+                if (len(nbrs) == 2
+                        and all(n in branch_set for n in nbrs)):
+                    to_remove.add(start)
+        if not to_remove:
+            break
+        keep = ~np.isin(keys, np.fromiter(to_remove, np.int64,
+                                          len(to_remove)))
+        keys, counts = keys[keep], counts[keep]
+    return keys, counts
+
+
 def assemble(keys: np.ndarray, counts: np.ndarray, k: int,
              min_seed: int = 3, min_extend: int = 2,
              min_contig: int = 0, max_contig: int = 10_000_000
@@ -244,6 +366,17 @@ def main(argv: List[str]) -> int:
     if mode != "contig":
         print(f"mode={mode} not implemented", file=sys.stderr)
         return 1
+    do_shave = args.get_bool("shave", default=False)
+    do_rinse = args.get_bool("rinse", default=False)
+    if do_shave or do_rinse:
+        n_before = len(keys)
+        keys, counts = shave_rinse(
+            keys, counts, k, shave=do_shave, rinse=do_rinse,
+            max_depth=args.get_int("shavedepth", default=k),
+            max_count=args.get_int("shavedepth2", "maxshavecount",
+                                   default=1))
+        sys.stderr.write(f"Shave/rinse removed "
+                         f"{n_before - len(keys)} kmers.\n")
     contigs = assemble(keys, counts, k, min_seed, min_extend, min_contig)
     with fastx.xopen(out, "wt") as fh:
         for i, c in enumerate(contigs):

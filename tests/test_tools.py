@@ -307,3 +307,98 @@ def test_kmercountexact_big_k(tmp_path):
             if not l.startswith(">")]
     assert len(seqs) == 110
     assert all(len(x) == 41 for x in seqs)
+
+
+def test_tadpole_shave_rinse():
+    """Shave removes dead-end hair kmers, keeps the trunk intact
+    (reference: assemble/Shaver2.java via Tadpole.shaveAndRinse)."""
+    import numpy as np
+    from bbmap_tpu.tools.tadpole import shave_rinse
+    from bbmap_tpu.index.kmerset import rolling_kmers_batch
+    from bbmap_tpu.index.build import reverse_complement_key
+
+    k = 15
+    rng = np.random.default_rng(3)
+    trunk = bytes(rng.choice(np.frombuffer(b"ACGT", np.uint8), 400))
+
+    def kmers_of(seq, mult):
+        arr = np.frombuffer(seq, np.uint8)
+        km, valid = rolling_kmers_batch(arr[None, :], k)
+        km = km[0][valid[0]]
+        can = np.minimum(km, reverse_complement_key(km, k))
+        return can, np.full(len(can), mult, np.int64)
+
+    tk, tc = kmers_of(trunk, 10)
+    hair_seq = (trunk[100 - k + 1:100] + b"T"
+                + bytes(rng.choice(np.frombuffer(b"ACGT", np.uint8), 8)))
+    hk, hc = kmers_of(hair_seq, 1)
+    keys = np.concatenate([tk, hk])
+    counts = np.concatenate([tc, hc])
+    u = np.unique(keys)
+    cc = np.zeros(len(u), np.int64)
+    np.add.at(cc, np.searchsorted(u, keys), counts)
+    keys, counts = u, cc
+    hair_only = np.setdiff1d(hk, tk)
+    assert len(hair_only) > 0
+
+    k2, c2 = shave_rinse(keys, counts, k, shave=True, rinse=True,
+                         max_count=1)
+    assert len(np.intersect1d(k2, hair_only)) == 0
+    assert np.isin(np.unique(tk), k2).all()
+
+
+def test_dedupe_overlap_clustering(tmp_path):
+    """findoverlaps/cluster/dot/pattern: overlapping fragments of the
+    same region cluster together; unrelated reads stay separate
+    (reference: jgi/Dedupe.java findOverlaps + cluster)."""
+    import numpy as np
+    from bbmap_tpu.tools import dedupe as dd
+    from bbmap_tpu.io.fastx import SeqRecord
+
+    rng = np.random.default_rng(5)
+    region = bytes(rng.choice(np.frombuffer(b"ACGT", np.uint8), 600))
+    other = bytes(rng.choice(np.frombuffer(b"ACGT", np.uint8), 400))
+    recs = [
+        SeqRecord("a", region[:400], None, 0),
+        SeqRecord("b", region[150:560], None, 1),   # 250bp overlap w/ a
+        SeqRecord("c", other, None, 2),             # unrelated
+    ]
+    cids, edges = dd.cluster_by_overlap(recs, min_overlap=200, subs=0)
+    assert cids[0] == cids[1]
+    assert cids[2] != cids[0]
+    assert any(ov >= 200 for (_, _, ov, _) in edges)
+
+    # rc overlap also detected (orientation=1, dashed in dot output)
+    from bbmap_tpu.core.bases import COMP_ASCII
+    b_rc = bytes(COMP_ASCII[np.frombuffer(recs[1].bases,
+                                          np.uint8)][::-1])
+    recs_rc = [recs[0], SeqRecord("b_rc", b_rc, None, 1), recs[2]]
+    cids2, edges2 = dd.cluster_by_overlap(recs_rc, min_overlap=200)
+    assert cids2[0] == cids2[1]
+
+    dot = tmp_path / "g.dot"
+    dd.write_dot(str(dot), recs, edges)
+    txt = dot.read_text()
+    assert '"a" -- "b"' in txt or '"b" -- "a"' in txt
+
+
+def test_dedupe_cluster_cli(tmp_path):
+    import numpy as np
+    from bbmap_tpu.tools import dedupe as dd
+    from bbmap_tpu.io.fastx import SeqRecord, write_fastq
+
+    rng = np.random.default_rng(9)
+    region = bytes(rng.choice(np.frombuffer(b"ACGT", np.uint8), 600))
+    inp = tmp_path / "in.fq"
+    write_fastq(str(inp), [
+        SeqRecord("a", region[:400], b"I" * 400, 0),
+        SeqRecord("b", region[150:560], b"I" * 410, 1),
+    ])
+    out = tmp_path / "out.fq"
+    pat = tmp_path / "c_%.fq"
+    rc = dd.main([f"in={inp}", f"out={out}", "findoverlaps=t",
+                  "cluster=t", f"pattern={pat}", "minoverlap=200",
+                  f"dot={tmp_path/'g.dot'}"])
+    assert rc == 0
+    assert (tmp_path / "c_0.fq").exists()
+    assert (tmp_path / "g.dot").exists()
