@@ -2,7 +2,7 @@
 
 reference: jgi/BBMask.java:45 + sh/bbmask.sh. Covers entropy-window
 masking (default window=80, k=5, entropy<0.70 masked) and lowercase
-masking; sam-coverage masking is a later milestone.
+masking; sam-coverage masking via sam= (mask positions covered by mapped reads).
 """
 
 from __future__ import annotations
@@ -63,6 +63,45 @@ def window_entropy_mask(seq: np.ndarray, window: int = 80, k: int = 5,
     return mask
 
 
+_CIGAR_RE = None
+
+
+def _sam_refspan(cigar: str) -> int:
+    global _CIGAR_RE
+    if _CIGAR_RE is None:
+        import re
+        _CIGAR_RE = re.compile(r"(\d+)([MIDNSHP=X])")
+    return sum(int(n) for n, op in _CIGAR_RE.findall(cigar)
+               if op in "MDN=X")
+
+
+def sam_coverage_masks(sam_paths: List[str], scaffolds: dict,
+                       mincov: int = 1) -> dict:
+    """Per-scaffold boolean masks of positions covered by >= mincov
+    mapped sam records (reference: jgi/BBMask.java sam= input —
+    masking a reference by read coverage, sh/bbmask.sh sam= flag)."""
+    cov = {name: np.zeros(ln, np.int32)
+           for name, ln in scaffolds.items()}
+    for path in sam_paths:
+        with fastx.xopen(path, "rt") as fh:
+            for line in fh:
+                if line.startswith("@"):
+                    continue
+                f = line.rstrip("\n").split("\t")
+                if len(f) < 6 or int(f[1]) & 0x4:
+                    continue
+                rname, pos, cigar = f[2], int(f[3]) - 1, f[5]
+                if rname not in cov or cigar == "*":
+                    continue
+                span = _sam_refspan(cigar)
+                c = cov[rname]
+                a = max(0, pos)
+                b = min(len(c), pos + span)
+                if b > a:
+                    c[a:b] += 1
+    return {name: c >= mincov for name, c in cov.items()}
+
+
 def main(argv: List[str]) -> int:
     args = Args.parse(argv)
     in1 = args.get("in", "in1") or (args.positional[0]
@@ -73,12 +112,21 @@ def main(argv: List[str]) -> int:
     entropy = args.get_float("entropy", "e", default=0.70)
     lowercase = args.get_bool("lowercase", default=False)
     mask_lower = args.get_bool("masklowercase", "ml", default=False)
+    sam_in = args.get("sam")
+    mincov = args.get_int("mincov", "cov", default=1)
+    entropy_on = args.get_bool("maskentropy", "me",
+                               default=sam_in is None)
     if in1 is None or out is None:
         print("Usage: bbmask in=<ref.fa> out=<masked.fa> "
               "[entropy=0.7 window=80]", file=sys.stderr)
         return 1
     n_masked = 0
     total = 0
+    sam_masks = None
+    if sam_in:
+        scafs = {rec.id.split()[0]: len(rec.bases)
+                 for rec in fastx.read_seqs(in1)}
+        sam_masks = sam_coverage_masks(sam_in.split(","), scafs, mincov)
 
     def gen():
         nonlocal n_masked, total
@@ -88,7 +136,14 @@ def main(argv: List[str]) -> int:
             up = seq.copy()
             lo = (up >= ord("a")) & (up <= ord("z"))
             up[lo] -= 32
-            mask = window_entropy_mask(up, window, k, entropy)
+            if entropy_on:
+                mask = window_entropy_mask(up, window, k, entropy)
+            else:
+                mask = np.zeros(len(seq), bool)
+            if sam_masks is not None:
+                m2 = sam_masks.get(rec.id.split()[0])
+                if m2 is not None:
+                    mask |= m2
             if mask_lower:
                 mask |= lo
             n_masked += int(mask.sum())

@@ -402,3 +402,26 @@ def test_dedupe_cluster_cli(tmp_path):
     assert rc == 0
     assert (tmp_path / "c_0.fq").exists()
     assert (tmp_path / "g.dot").exists()
+
+
+def test_bbmask_sam_coverage(tmp_path):
+    """sam= masks reference positions covered by mapped reads
+    (reference: jgi/BBMask.java sam coverage masking)."""
+    import numpy as np
+    from bbmap_tpu.tools import bbmask
+
+    ref = tmp_path / "ref.fa"
+    ref.write_text(">s1\n" + "A" * 50 + "C" * 50 + "\n")
+    sam = tmp_path / "r.sam"
+    sam.write_text("@HD\tVN:1.4\n"
+                   "r1\t0\ts1\t11\t40\t20M\t*\t0\t0\t" + "A" * 20
+                   + "\t" + "I" * 20 + "\n"
+                   "r2\t4\t*\t0\t0\t*\t*\t0\t0\tAAAA\tIIII\n")
+    out = tmp_path / "masked.fa"
+    rc = bbmask.main([f"in={ref}", f"out={out}", f"sam={sam}"])
+    assert rc == 0
+    seq = "".join(out.read_text().splitlines()[1:])
+    # positions 10..29 (0-based) covered -> masked
+    assert seq[10:30] == "N" * 20
+    assert seq[0:10] == "A" * 10
+    assert seq[30:50] == "A" * 20
