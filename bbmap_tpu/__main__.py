@@ -69,6 +69,19 @@ SUBTOOLS = {
     "bbwrap": ("bbmap_tpu.tools.misc", "bbwrap"),
     "sortbyname": ("bbmap_tpu.tools.sorttools", "sortbyname"),
     "grademerge": ("bbmap_tpu.tools.sorttools", "grademerge"),
+    # pacbio aux pipeline (reference: pacbio/ package)
+    "stacksites": ("bbmap_tpu.tools.pacbio", "stacksites_main"),
+    "calccoveragefromsites": ("bbmap_tpu.tools.pacbio",
+                              "calccoverage_main"),
+    "processstackedsites": ("bbmap_tpu.tools.pacbio",
+                            "processstacked_main"),
+    "mergefastacontigs": ("bbmap_tpu.tools.pacbio",
+                          "mergefastacontigs_main"),
+    "bbmapskimmer": ("bbmap_tpu.tools.bbmap", "skimmer_main"),
+    "ecc": ("bbmap_tpu.tools.bbnorm", "ecc_main"),
+    "tadpolewrapper": ("bbmap_tpu.tools.tadpole", "wrapper_main"),
+    "splitnexteralmp": ("bbmap_tpu.tools.pairtools",
+                        "splitnexteralmp"),
 }
 
 

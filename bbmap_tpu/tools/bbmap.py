@@ -244,3 +244,22 @@ def main(argv: List[str]) -> int:
 
 if __name__ == "__main__":
     raise SystemExit(main(sys.argv[1:]))
+
+
+def skimmer_main(argv: List[str]) -> int:
+    """bbmapskimmer: emit ALL sites above threshold, not just the best
+    (reference: sh/bbmapskimmer.sh via BBMapSkimmer stack,
+    docs/guides/BBMapGuide.txt:106 — 'returns all alignments above a
+    score threshold'). Implemented as bbmap with secondary-site output
+    and ambig=all defaults."""
+    extra = []
+    keys = {a.split("=")[0].lower() for a in argv if "=" in a}
+    if "ambig" not in keys and "ambiguous" not in keys:
+        extra.append("ambig=all")
+    if "secondary" not in keys:
+        extra.append("secondary=t")
+    if "maxsites" not in keys and "sssr" not in keys:
+        extra.append("maxsites=20")
+    if "minratio" not in keys:
+        extra.append("minratio=0.45")
+    return main(argv + extra)

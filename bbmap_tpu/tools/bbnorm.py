@@ -180,3 +180,17 @@ def main(argv: List[str]) -> int:
 
 if __name__ == "__main__":
     raise SystemExit(main(sys.argv[1:]))
+
+
+def ecc_main(argv: List[str]) -> int:
+    """ecc.sh: error-correct without discarding reads (reference:
+    sh/ecc.sh — 'bbnorm with ecc=t keepall passes=1')."""
+    extra = []
+    keys = {a.split("=")[0].lower() for a in argv if "=" in a}
+    if "ecc" not in keys:
+        extra.append("ecc=t")
+    if "target" not in keys and "targetdepth" not in keys:
+        extra.append("target=1000000000")
+    if "mindepth" not in keys:
+        extra.append("mindepth=0")
+    return main(argv + extra)

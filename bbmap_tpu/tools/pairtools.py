@@ -161,3 +161,86 @@ def main(argv: List[str]) -> int:
 
 if __name__ == "__main__":
     raise SystemExit(main(sys.argv[1:]))
+
+
+NEXTERA_JUNCTION = b"CTGTCTCTTATACACATCT"
+
+
+def splitnexteralmp(argv: List[str]) -> int:
+    """splitnexteralmp: split Nextera Long-Mate-Pair reads at the
+    junction adapter into mate pairs (reference:
+    jgi/SplitNexteraLMP.java + sh/splitnexteralmp.sh — reads containing
+    the junction CTGTCTCTTATACACATCT split into left/right mates; the
+    right half is reverse-complemented to restore innie orientation;
+    junction-free reads go to outu as fragments)."""
+    import numpy as np
+    from ..core.bases import COMP_ASCII
+    from ..io import fastx
+    from ..utils.args import Args
+
+    args = Args.parse(argv)
+    in1 = args.get("in", "in1") or (args.positional[0]
+                                    if args.positional else None)
+    out1 = args.get("out", "out1")
+    out2 = args.get("out2")
+    outu = args.get("outu", "outunknown")
+    minlen = args.get_int("minlength", "minlen", default=40)
+    mask = args.get_bool("mask", default=False)
+    if in1 is None or out1 is None:
+        print("Usage: splitnexteralmp in=<reads.fq> out=<1.fq> "
+              "out2=<2.fq> [outu=] [minlen=40]", file=sys.stderr)
+        return 1
+    junc = NEXTERA_JUNCTION
+    rc_junc = bytes(COMP_ASCII[np.frombuffer(junc, np.uint8)][::-1])
+    o1 = fastx.xopen(out1, "wb")
+    o2 = fastx.xopen(out2, "wb") if out2 else None
+    ou = fastx.xopen(outu, "wb") if outu else None
+    n = n_split = n_frag = 0
+
+    def wr(fh, name, seq, qual):
+        if fh is None:
+            return
+        q = qual if qual is not None and len(qual) == len(seq) \
+            else b"I" * len(seq)
+        fh.write(b"@" + name.encode() + b"\n" + seq + b"\n+\n" + q
+                 + b"\n")
+
+    for rec in fastx.read_seqs(in1, fake_quality=30):
+        n += 1
+        pos = rec.bases.find(junc)
+        jl = len(junc)
+        if pos < 0:
+            pos = rec.bases.find(rc_junc)
+        if pos < 0:
+            if mask:
+                wr(ou or o1, rec.id, rec.bases, rec.quality)
+            else:
+                n_frag += 1
+                wr(ou if ou else o1, rec.id, rec.bases, rec.quality)
+            continue
+        left = rec.bases[:pos]
+        right = rec.bases[pos + jl:]
+        ql = rec.quality[:pos] if rec.quality else None
+        qr = rec.quality[pos + jl:] if rec.quality else None
+        if len(left) < minlen or len(right) < minlen:
+            # keep the longer side as a fragment
+            keep, kq = (left, ql) if len(left) >= len(right) \
+                else (right, qr)
+            if len(keep) >= minlen:
+                n_frag += 1
+                wr(ou if ou else o1, rec.id, keep, kq)
+            continue
+        n_split += 1
+        # LMP chemistry: both mates read outward from the junction ->
+        # rc the right side to produce standard innie orientation
+        right_rc = bytes(COMP_ASCII[np.frombuffer(right,
+                                                  np.uint8)][::-1])
+        qr_rc = qr[::-1] if qr else None
+        wr(o1, rec.id + " 1:", left, ql)
+        wr(o2 if o2 else o1, rec.id + " 2:", right_rc, qr_rc)
+    for fh in (o1, o2, ou):
+        if fh is not None:
+            fh.close()
+    sys.stderr.write(f"Reads:\t{n}\nSplit pairs:\t{n_split}\n"
+                     f"Fragments:\t{n_frag}\n")
+    return 0

@@ -391,3 +391,59 @@ def main(argv: List[str]) -> int:
 
 if __name__ == "__main__":
     raise SystemExit(main(sys.argv[1:]))
+
+
+def _n50(lengths: List[int]) -> int:
+    if not lengths:
+        return 0
+    lengths = sorted(lengths, reverse=True)
+    half = sum(lengths) / 2
+    acc = 0
+    for ln in lengths:
+        acc += ln
+        if acc >= half:
+            return ln
+    return lengths[-1]
+
+
+def wrapper_main(argv: List[str]) -> int:
+    """tadpolewrapper: assemble over a sweep of k values, keep the
+    assembly with the best N50 (reference: assemble/TadpoleWrapper.java
+    — runs Tadpole for each k in a list and selects the best result)."""
+    args = Args.parse(argv)
+    in1 = args.get("in", "in1") or (args.positional[0]
+                                    if args.positional else None)
+    out = args.get("out", "outc")
+    ks = args.get("k", "klist")
+    if in1 is None or out is None:
+        print("Usage: tadpolewrapper in=<reads> out=<contigs.fa> "
+              "k=21,31,41", file=sys.stderr)
+        return 1
+    k_values = [int(x) for x in (ks or "21,31,41").split(",")]
+    import tempfile
+    import os
+    best = None  # (n50, k, path)
+    tmp_files = []
+    fwd = [a for a in argv
+           if not a.lower().startswith(("k=", "klist=", "out=", "outc="))]
+    for k in k_values:
+        tmp = tempfile.NamedTemporaryFile(suffix=".fa", delete=False)
+        tmp.close()
+        tmp_files.append(tmp.name)
+        rc = main(fwd + [f"k={k}", f"out={tmp.name}"])
+        if rc != 0:
+            continue
+        lengths = [len(r.bases) for r in fastx.read_seqs(tmp.name)]
+        n50 = _n50(lengths)
+        sys.stderr.write(f"k={k}: contigs={len(lengths)} N50={n50}\n")
+        if best is None or n50 > best[0]:
+            best = (n50, k, tmp.name)
+    if best is None:
+        print("all assemblies failed", file=sys.stderr)
+        return 1
+    import shutil
+    shutil.copyfile(best[2], out)
+    for t in tmp_files:
+        os.unlink(t)
+    sys.stderr.write(f"Best: k={best[1]} N50={best[0]}\n")
+    return 0

@@ -491,3 +491,81 @@ def test_removesmartbell(tmp_path):
     assert len(recs) == 2
     assert recs[0].bases == left
     assert recs[1].bases == right
+
+
+def test_pacbio_site_stack_pipeline(tmp_path):
+    """stacksites -> calccoveragefromsites -> processstackedsites
+    (reference: pacbio/StackSites2, CalcCoverageFromSites,
+    ProcessStackedSitesNormalized)."""
+    from bbmap_tpu.tools import pacbio
+
+    sam = tmp_path / "m.sam"
+    lines = ["@HD\tVN:1.4", "@SQ\tSN:s1\tLN:1000"]
+    for i in range(10):
+        lines.append(f"r{i}\t0\ts1\t{1 + i}\t40\t50M\t*\t0\t0\t"
+                     + "A" * 50 + "\t" + "I" * 50)
+    lines.append("u1\t4\t*\t0\t0\t*\t*\t0\t0\tAAAA\tIIII")
+    sam.write_text("\n".join(lines) + "\n")
+
+    sites = tmp_path / "sites.txt"
+    assert pacbio.stacksites_main([f"in={sam}", f"out={sites}"]) == 0
+    rows = [l for l in sites.read_text().splitlines()
+            if not l.startswith("#")]
+    assert len(rows) == 10  # unmapped excluded
+    assert rows[0].split("\t")[1] == "0"
+
+    cov = tmp_path / "cov.txt"
+    assert pacbio.calccoverage_main([f"in={sites}", f"out={cov}",
+                                     "binsize=20"]) == 0
+    first = [l for l in cov.read_text().splitlines()
+             if not l.startswith("#")][0].split("\t")
+    assert float(first[3]) > 5  # deep bin at the pileup start
+
+    norm = tmp_path / "norm.txt"
+    assert pacbio.processstacked_main([f"in={sites}", f"out={norm}",
+                                       "target=3"]) == 0
+    kept = [l for l in norm.read_text().splitlines()
+            if not l.startswith("#")]
+    assert 0 < len(kept) <= 3
+
+
+def test_mergefastacontigs(tmp_path):
+    from bbmap_tpu.tools import pacbio
+
+    fa = tmp_path / "c.fa"
+    fa.write_text(">c1\nACGTACGT\n>c2\nGGGGCCCC\n")
+    out = tmp_path / "m.fa"
+    lst = tmp_path / "locs.txt"
+    assert pacbio.mergefastacontigs_main(
+        [f"in={fa}", f"out={out}", "npad=5",
+         f"outlist={lst}"]) == 0
+    txt = out.read_text()
+    seq = "".join(txt.splitlines()[1:])
+    assert seq == "N" * 5 + "ACGTACGT" + "N" * 5 + "GGGGCCCC" + "N" * 5
+    rows = [l.split("\t") for l in lst.read_text().splitlines()
+            if not l.startswith("#")]
+    assert rows[0][0] == "c1" and int(rows[0][2]) == 5
+    assert rows[1][0] == "c2" and int(rows[1][2]) == 5 + 8 + 5
+
+
+def test_tadpole_wrapper(tmp_path):
+    import numpy as np
+    from bbmap_tpu.tools import tadpole as tp
+    from bbmap_tpu.io.fastx import SeqRecord, write_fastq
+
+    rng = np.random.default_rng(2)
+    genome = bytes(rng.choice(np.frombuffer(b"ACGT", np.uint8), 2000))
+    reads = []
+    for i in range(300):
+        s = int(rng.integers(0, 2000 - 100))
+        reads.append(SeqRecord(f"r{i}", genome[s:s + 100],
+                               b"I" * 100, i))
+    inp = tmp_path / "r.fq"
+    write_fastq(str(inp), reads)
+    out = tmp_path / "asm.fa"
+    assert tp.wrapper_main([f"in={inp}", f"out={out}",
+                            "k=21,31", "mincontig=150"]) == 0
+    lens = [len(r.bases) for r in __import__(
+        "bbmap_tpu.io.fastx", fromlist=["read_seqs"]).read_seqs(
+        str(out))]
+    assert max(lens) > 500
