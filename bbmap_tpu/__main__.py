@@ -82,6 +82,7 @@ SUBTOOLS = {
     "tadpolewrapper": ("bbmap_tpu.tools.tadpole", "wrapper_main"),
     "splitnexteralmp": ("bbmap_tpu.tools.pairtools",
                         "splitnexteralmp"),
+    "reclusterbykmer": ("bbmap_tpu.tools.recluster", "main"),
 }
 
 

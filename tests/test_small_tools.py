@@ -569,3 +569,36 @@ def test_tadpole_wrapper(tmp_path):
         "bbmap_tpu.io.fastx", fromlist=["read_seqs"]).read_seqs(
         str(out))]
     assert max(lens) > 500
+
+
+def test_reclusterbykmer(tmp_path):
+    """Reads from two unrelated sources form two clusters
+    (reference: cluster/ReclusterByKmer.java)."""
+    import numpy as np
+    from bbmap_tpu.tools import recluster
+    from bbmap_tpu.io.fastx import SeqRecord, write_fastq
+
+    rng = np.random.default_rng(6)
+    src_a = bytes(rng.choice(np.frombuffer(b"ACGT", np.uint8), 1000))
+    src_b = bytes(rng.choice(np.frombuffer(b"ACGT", np.uint8), 1000))
+    reads = []
+    for i in range(20):
+        s = int(rng.integers(0, 900))
+        reads.append(SeqRecord(f"a{i}", src_a[s:s + 100], b"I" * 100, i))
+    for i in range(20):
+        s = int(rng.integers(0, 900))
+        reads.append(SeqRecord(f"b{i}", src_b[s:s + 100], b"I" * 100,
+                               20 + i))
+    inp = tmp_path / "r.fq"
+    write_fastq(str(inp), reads)
+    out = tmp_path / "o.fq"
+    assert recluster.main([f"in={inp}", f"out={out}", "k=15",
+                           "mincsim=0.2"]) == 0
+    cl = {}
+    for line in out.read_text().splitlines():
+        if line.startswith("@"):
+            name, tag = line[1:].split(" ")
+            cl[name] = tag.split("=")[1]
+    a_ids = {cl[f"a{i}"] for i in range(20)}
+    b_ids = {cl[f"b{i}"] for i in range(20)}
+    assert a_ids.isdisjoint(b_ids)
