@@ -80,11 +80,23 @@ def reverse_complement_key(keys: np.ndarray, k: int) -> np.ndarray:
     return int(out) if scalar else out
 
 
-def build_index(genome: Genome, k: int = 13) -> KmerIndex:
+MODULO = 9  # reference: align2/IndexMaker4.java:335 (usemodulo keep rate)
+
+
+def build_index(genome: Genome, k: int = 13,
+                usemodulo: bool = False) -> KmerIndex:
     """Count -> prefix-sum -> stable-sort scatter
-    (reference: align2/IndexMaker4.java:155-240)."""
+    (reference: align2/IndexMaker4.java:155-240).
+
+    usemodulo: low-memory mode keeping only keys where key%9==0 or
+    rc(key)%9==0 (reference: align2/IndexMaker4.java:335,522-523 — must
+    be set at both index and map time; the map side needs no change
+    here because absent keys simply yield empty site lists)."""
     codes, offsets = genome.packed_codes()
     keys, valid = rolling_keys(codes, k)
+    if usemodulo:
+        rc = reverse_complement_key(keys.astype(np.int64), k)
+        valid = valid & ((keys % MODULO == 0) | (rc % MODULO == 0))
     pos = np.nonzero(valid)[0]
     vkeys = keys[valid]
     n_keys = 4 ** k

@@ -51,6 +51,7 @@ def main(argv: List[str]) -> int:
     qtrim = (args.get("qtrim", default="f") or "f").lower()
     trimq = args.get_int("trimq", default=6)
     untrim = args.get_bool("untrim", default=False)
+    usemodulo = args.get_bool("usemodulo", default=False)
 
     if ref is None or in1 is None:
         print("Usage: bbmap ref=<fasta> in=<reads> [in2=] out=<sam>",
@@ -67,12 +68,13 @@ def main(argv: List[str]) -> int:
         cache_dir = os.path.join(os.path.dirname(os.path.abspath(ref)),
                                  "ref_tpu")
         os.makedirs(cache_dir, exist_ok=True)
+        mod_tag = "_mod9" if usemodulo else ""
         cache = os.path.join(cache_dir,
-                             f"index_{genome_hash(ref, k)}.npz")
+                             f"index_{genome_hash(ref, k)}{mod_tag}.npz")
         if os.path.exists(cache):
             index = load_index(cache)
     if index is None:
-        index = build_index(genome, k)
+        index = build_index(genome, k, usemodulo=usemodulo)
         analyze_index(index, set_fraction_to_exclude(genome.total_bases()))
         if not nodisk:
             save_index(index, cache)

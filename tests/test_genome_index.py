@@ -88,3 +88,21 @@ def test_index_lookup(phix):
     # total sites = defined 13-mers
     _, valid = rolling_keys(g, 13)
     assert len(idx.sites) == int(valid.sum())
+
+
+def test_usemodulo_index(phix):
+    """usemodulo keeps only keys with key%9==0 or rc(key)%9==0, ~2/9 of
+    sites (reference: align2/IndexMaker4.java:335,522-523); mapping
+    against a modulo index still works (reduced sensitivity)."""
+    g = phix
+    full = build_index(g, k=13)
+    mod = build_index(g, k=13, usemodulo=True)
+    assert len(mod.sites) < len(full.sites)
+    # every surviving key satisfies the modulo condition
+    lengths = np.diff(mod.starts)
+    present = np.nonzero(lengths > 0)[0].astype(np.int64)
+    rc = reverse_complement_key(present, 13)
+    assert bool(((present % 9 == 0) | (rc % 9 == 0)).all())
+    # keep rate is roughly 2/9
+    rate = len(mod.sites) / max(1, len(full.sites))
+    assert 0.1 < rate < 0.35
