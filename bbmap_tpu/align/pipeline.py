@@ -688,9 +688,10 @@ class BBMapAligner:
         from . import gapless
 
         sub = batch.bases[idxs][:, :L]
+        qual = batch.quality[idxs] if batch.quality is not None else None
         cs = seed.gather_candidates_batch(
             self.index, sub, L, chain_dist=self.chain_dist,
-            max_candidates=self.max_candidates)
+            max_candidates=self.max_candidates, quality=qual)
         if cs is None or len(cs) == 0:
             return None
         # drop single-vote noise chains for reads with a well-seeded site

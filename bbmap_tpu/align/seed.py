@@ -93,6 +93,123 @@ def make_offsets(readlen: int, k: int) -> Optional[np.ndarray]:
     return make_offsets_with_number_of_keys(readlen, k, desired)
 
 
+# ---------------------------------------------------------------------------
+# Quality-probability key selection
+# (reference: align2/QualityTools.makeKeyProbs:188-247 +
+#  align2/KeyRing.makeOffsets3:396-506)
+# ---------------------------------------------------------------------------
+
+# PROB_ERROR[q] = 10^(-q/10) with the q=0 slot pinned to 0.8
+# (reference: align2/QualityTools.makeQualityToFloat:519-527)
+PROB_ERROR = (10.0 ** (-np.arange(128) / 10.0)).astype(np.float32)
+PROB_ERROR[0] = np.float32(0.8)
+PROB_CORRECT = (1.0 - PROB_ERROR).astype(np.float32)
+
+
+def make_key_probs(quality: np.ndarray, keylen: int) -> np.ndarray:
+    """Per-offset key error probability: 1 - prod(PROB_CORRECT[q]) over
+    the key window; any window containing a q==0 base (N) is forced to
+    1.0 (reference: QualityTools.makeKeyProbs:188-218, timeSinceZero
+    handling)."""
+    q = np.asarray(quality, np.int64)
+    L = len(q)
+    m = L - keylen + 1
+    if m <= 0:
+        return np.empty(0, np.float32)
+    pc = PROB_CORRECT[np.clip(q, 0, 127)]
+    win = np.lib.stride_tricks.sliding_window_view(pc, keylen)
+    probs = (1.0 - win.prod(axis=1)).astype(np.float32)
+    haszero = np.lib.stride_tricks.sliding_window_view(
+        q == 0, keylen).any(axis=1)
+    probs[haszero] = 1.0
+    return probs
+
+
+def make_offsets3(key_error_prob: np.ndarray, readlen: int, k: int,
+                  density: float, max_density: float, min_keys: int,
+                  semiperfect: bool = False) -> Optional[np.ndarray]:
+    """Quality-aware offset selection: trim hopeless read ends, then
+    space desiredKeys across the usable region, nudging each offset off
+    positions whose key error probability exceeds errorLimit2
+    (reference: align2/KeyRing.makeOffsets3:396-506; search order —
+    exact slot, then backward to prev+2, then forward within the
+    interval, :459-474)."""
+    max_prob_index = readlen - k
+    left, right = 0, max_prob_index
+    error_limit2 = 0.9999
+    error_limit1 = 0.99 if semiperfect else 0.94
+    p = key_error_prob
+    while left <= right and p[left] >= error_limit1:
+        left += 1
+    while right >= left and p[right] >= error_limit1:
+        right -= 1
+    if right < left:
+        return None
+    potential = int((p[left:right + 1] < error_limit2).sum())
+    if potential == 0:
+        return None
+    usable = right - left + k
+    desired = desired_keys_from_density(readlen, k, density, min_keys)
+    if usable < readlen:
+        desired = min(desired, desired_keys_from_density(
+            usable, k, max_density, min_keys))
+    desired = min(desired, potential)
+    offsets = np.full(desired, -1, np.int64)
+    interval = (right - left) / float(max(desired - 1, 1))
+    interval_int = int(interval) + 1
+    f = float(left)
+    prev = -1
+    misses = 0
+    j = left
+    for i in range(desired):
+        x = -1
+        if prev < j:
+            if p[j] < error_limit2 and (prev < 0 or j - prev > 0):
+                x = j
+            else:
+                kk = j - 1
+                lim = prev + 2
+                while kk > lim:
+                    if p[kk] < error_limit2:
+                        x = kk
+                        break
+                    kk -= 1
+                if x < 0:
+                    kk = j + 1
+                    lim = min(j + interval_int, right)
+                    while kk < lim:
+                        if p[kk] < error_limit2:
+                            x = kk
+                            break
+                        kk += 1
+        offsets[i] = x
+        if x > -1:
+            prev = x
+        else:
+            misses += 1
+            prev = max(prev, j - 2)
+        f += interval
+        j = min(max_prob_index, max(j + 1, int(np.floor(f + 0.5))))
+    if misses > 0:
+        offsets = offsets[offsets >= 0]
+    if len(offsets) == 0:
+        return None
+    return offsets.astype(np.int32)
+
+
+def make_offsets_quality(quality: np.ndarray, readlen: int,
+                         k: int) -> Optional[np.ndarray]:
+    """Quality-aware version of make_offsets (the host seeding entry:
+    reference AbstractMapThread calls KeyRing.makeOffsets3 with the
+    density ladder, align2/AbstractMapThread.java:663-700)."""
+    key_den2, key_den3 = key_density_ladder(readlen, k)
+    probs = make_key_probs(quality, k)
+    off = make_offsets3(probs, readlen, k, key_den2, key_den3, 2)
+    if off is None:
+        return make_offsets(readlen, k)
+    return off
+
+
 def keys_at_offsets(bases_row: np.ndarray, offsets: np.ndarray,
                     k: int) -> np.ndarray:
     """2-bit big-endian keys at each offset; -1 where a key spans an
@@ -204,26 +321,77 @@ class CandidateSet:
 
 
 def keys_batch(bases: np.ndarray, offsets: np.ndarray, k: int) -> np.ndarray:
-    """(B, L) ASCII -> (B, nk) int64 keys, -1 where undefined."""
+    """(B, L) ASCII -> (B, nk) int64 keys, -1 where undefined.
+    offsets may be (nk,) shared or (B, nk) per-read."""
     B = bases.shape[0]
-    nk = len(offsets)
+    if offsets.ndim == 1:
+        nk = len(offsets)
+        keys = np.zeros((B, nk), np.int64)
+        bad = np.zeros((B, nk), bool)
+        for j in range(k):
+            c = BASE_TO_NUMBER[bases[:, offsets + j]].astype(np.int64)
+            bad |= c < 0
+            keys = (keys << 2) | (c & 3)
+        keys[bad] = -1
+        return keys
+    nk = offsets.shape[1]
+    rows = np.arange(B)[:, None]
+    safe = np.maximum(offsets, 0)
     keys = np.zeros((B, nk), np.int64)
-    bad = np.zeros((B, nk), bool)
+    bad = offsets < 0
     for j in range(k):
-        c = BASE_TO_NUMBER[bases[:, offsets + j]].astype(np.int64)
+        c = BASE_TO_NUMBER[bases[rows, safe + j]].astype(np.int64)
         bad |= c < 0
         keys = (keys << 2) | (c & 3)
     keys[bad] = -1
     return keys
 
 
+def quality_offsets_batch(quality: np.ndarray, read_len: int, k: int,
+                          default: np.ndarray) -> np.ndarray:
+    """Per-read key offsets honoring quality (reference:
+    AbstractMapThread seeds each read via KeyRing.makeOffsets3 with its
+    quality-derived key error probabilities, :663-700). Reads whose
+    default-offset windows are all confidently callable keep the shared
+    default offsets; only degraded reads recompute. Returns (B, nk)
+    int64 with -1 marking unused slots."""
+    B = quality.shape[0]
+    nk = len(default)
+    out = np.broadcast_to(default.astype(np.int64), (B, nk)).copy()
+    q = quality[:, :read_len]
+    # a read needs per-read offsets iff some default key window contains
+    # a q==0 base or its error prob crosses errorLimit1 (0.94)
+    pc = PROB_CORRECT[np.clip(q, 0, 127)]
+    win_log = np.log(np.maximum(pc, 1e-30))
+    cs = np.concatenate([np.zeros((B, 1)), np.cumsum(win_log, 1)], 1)
+    win_prob = 1.0 - np.exp(cs[:, default + k] - cs[:, default])
+    haszero = np.zeros((B, nk), bool)
+    iszero = q == 0
+    cz = np.concatenate([np.zeros((B, 1), int),
+                         np.cumsum(iszero, 1)], 1)
+    haszero = (cz[:, default + k] - cz[:, default]) > 0
+    degraded = (haszero | (win_prob >= 0.94)).any(axis=1)
+    for i in np.nonzero(degraded)[0]:
+        off = make_offsets_quality(q[i], read_len, k)
+        if off is None:
+            continue
+        row = np.full(nk, -1, np.int64)
+        m = min(nk, len(off))
+        row[:m] = off[:m]
+        out[i] = row
+    return out
+
+
 def gather_candidates_batch(index: KmerIndex, bases: np.ndarray,
                             read_len: int,
                             chain_dist: int = 400,
                             max_candidates: int = 16,
-                            max_list_length: Optional[int] = None
+                            max_list_length: Optional[int] = None,
+                            quality: Optional[np.ndarray] = None
                             ) -> Optional[CandidateSet]:
-    """Candidates for a whole batch of uniform-length reads."""
+    """Candidates for a whole batch of uniform-length reads. When
+    `quality` is given, degraded reads get per-read quality-aware
+    offsets (reference: KeyRing.makeOffsets3 via AbstractMapThread)."""
     k = index.k
     B = bases.shape[0]
     if max_list_length is None:
@@ -232,15 +400,19 @@ def gather_candidates_batch(index: KmerIndex, bases: np.ndarray,
     if offsets is None:
         return None
     nk = len(offsets)
-    kp = keys_batch(bases, offsets, k)                   # (B, nk)
+    if quality is not None and quality.shape[1] >= read_len:
+        off2d = quality_offsets_batch(quality, read_len, k, offsets)
+    else:
+        off2d = np.broadcast_to(offsets.astype(np.int64), (B, nk))
+    kp = keys_batch(bases, off2d, k)                     # (B, nk)
     km = reverse_complement_key(np.where(kp < 0, 0, kp), k)
     km[kp < 0] = -1
-    off_p = offsets.astype(np.int64)
-    off_m = (read_len - (offsets + k)).astype(np.int64)
+    off_safe = np.where(off2d < 0, 0, off2d).astype(np.int64)
+    off_p = off_safe
+    off_m = read_len - (off_safe + k)
 
     keys_all = np.stack([kp, km], axis=1)                # (B, 2, nk)
-    offadj = np.stack([np.broadcast_to(off_p, (B, nk)),
-                       np.broadcast_to(off_m, (B, nk))], axis=1)
+    offadj = np.stack([off_p, off_m], axis=1)
     valid = keys_all >= 0
     safe_keys = np.where(valid, keys_all, 0)
     s0 = index.starts[safe_keys]
