@@ -136,9 +136,20 @@ class RandomReads:
             flip = int(self.rng.integers(0, 2))
             left_start = start
             right_start = start + insert - length
-            r_left = self._one_read(nid, chrom, left_start, length, flip)
-            r_right = self._one_read(nid, chrom, right_start, length,
-                                     1 - flip)
+            # FR (innie) geometry: the left mate is always plus-strand,
+            # the right mate minus; `flip` only selects which mate is
+            # read 1 (reference: RandomReads3 paired generation)
+            r_left = self._one_read(nid, chrom, left_start, length, 0)
+            r_right = self._one_read(nid, chrom, right_start, length, 1)
+            # record the true insert size in the name so merged output
+            # can be graded exactly (reference: GradeMergedReads
+            # parseInsert:244-256 reads 'insert=N' from the header)
+            r_left = fastx.SeqRecord(f"{r_left.id}_insert={insert}",
+                                     r_left.bases, r_left.quality,
+                                     r_left.numeric_id)
+            r_right = fastx.SeqRecord(f"{r_right.id}_insert={insert}",
+                                      r_right.bases, r_right.quality,
+                                      r_right.numeric_id)
             if flip == 0:
                 yield r_left, r_right
             else:

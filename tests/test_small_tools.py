@@ -602,3 +602,34 @@ def test_reclusterbykmer(tmp_path):
     a_ids = {cl[f"a{i}"] for i in range(20)}
     b_ids = {cl[f"b{i}"] for i in range(20)}
     assert a_ids.isdisjoint(b_ids)
+
+
+def test_grademerge_exact_insert(tmp_path, capsys):
+    """randomreads paired encodes insert=N; bbmerge output grades
+    exactly (reference: jgi/GradeMergedReads.parseInsert)."""
+    import numpy as np
+    from bbmap_tpu.tools import randomreads, bbmerge
+    from bbmap_tpu.tools.sorttools import grademerge
+
+    rng = np.random.default_rng(12)
+    g = bytes(rng.choice(np.frombuffer(b"ACGT", np.uint8), 6000))
+    ref = tmp_path / "ref.fa"
+    ref.write_bytes(b">s1\n" + g + b"\n")
+    r1 = tmp_path / "r1.fq"
+    r2 = tmp_path / "r2.fq"
+    rc = randomreads.main([f"ref={ref}", f"out={r1}", f"out2={r2}",
+                           "reads=60", "length=100", "paired=t",
+                           "mininsert=120", "maxinsert=180",
+                           "snprate=0", "maxsnps=0", "q=35",
+                           "seed=5"])
+    assert rc == 0
+    assert "insert=" in r1.read_text().splitlines()[0]
+    merged = tmp_path / "m.fq"
+    assert bbmerge.main([f"in1={r1}", f"in2={r2}",
+                         f"out={merged}"]) == 0
+    assert grademerge([f"in={merged}"]) == 0
+    out = capsys.readouterr().out
+    graded = int(out.split("Merged reads graded:\t")[1].split("\n")[0])
+    pct = float(out.split("Correct:")[1].split("\t")[2].split("%")[0])
+    assert graded > 30
+    assert pct >= 95.0
