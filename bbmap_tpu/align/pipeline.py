@@ -54,7 +54,7 @@ CZ1C_CUTOFF_FLAT = 26 * K.POINTS_MATCH2
 CZ1C_CUTOFF_SCALE = 0.92
 
 
-@dataclass
+@dataclass(slots=True)
 class MappedRead:
     """Final per-read mapping result (the essentials of the reference's
     mapped Read, stream/Read.java)."""
