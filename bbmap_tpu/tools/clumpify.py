@@ -48,21 +48,9 @@ def pivots(bases: np.ndarray, k: int) -> np.ndarray:
     return h.min(axis=1)
 
 
-def main(argv: List[str]) -> int:
-    args = Args.parse(argv)
-    in1 = args.get("in", "in1") or (args.positional[0]
-                                    if args.positional else None)
-    out = args.get("out")
-    k = args.get_int("k", default=31)
-    do_dedupe = args.get_bool("dedupe", default=False)
-    if in1 is None or out is None:
-        print("Usage: clumpify in=<reads.fq> out=<clumped.fq> [k=31] "
-              "[dedupe=t]", file=sys.stderr)
-        return 1
-    recs = list(fastx.read_seqs(in1))
-    if not recs:
-        fastx.write_fastq(out, [])
-        return 0
+def _sort_records(recs, k: int, do_dedupe: bool):
+    """Sort one in-memory group by (pivot, sequence); optionally dedupe.
+    Returns (ordered records, n_clumps, n_dups)."""
     b = ReadBatch.from_records(recs)
     piv = pivots(b.bases, k)
     seqs = [r.bases for r in recs]
@@ -77,10 +65,86 @@ def main(argv: List[str]) -> int:
             continue
         out_recs.append(recs[i])
         prev = i
-    fastx.write_fastq(out, out_recs)
-    sys.stderr.write(f"Reads:\t{len(recs)}\nClumps formed:\t"
-                     f"{len(np.unique(piv))}\n"
-                     + (f"Duplicates removed:\t{n_dup}\n"
+    return out_recs, len(np.unique(piv)), n_dup
+
+
+def main(argv: List[str]) -> int:
+    args = Args.parse(argv)
+    in1 = args.get("in", "in1") or (args.positional[0]
+                                    if args.positional else None)
+    out = args.get("out")
+    k = args.get_int("k", default=31)
+    do_dedupe = args.get_bool("dedupe", default=False)
+    groups = args.get_int("groups", "g", default=1)
+    if in1 is None or out is None:
+        print("Usage: clumpify in=<reads.fq> out=<clumped.fq> [k=31] "
+              "[dedupe=t] [groups=N]", file=sys.stderr)
+        return 1
+    if groups <= 1:
+        recs = list(fastx.read_seqs(in1))
+        if not recs:
+            fastx.write_fastq(out, [])
+            return 0
+        out_recs, n_clumps, n_dup = _sort_records(recs, k, do_dedupe)
+        fastx.write_fastq(out, out_recs)
+        sys.stderr.write(f"Reads:\t{len(recs)}\nClumps formed:\t"
+                         f"{n_clumps}\n"
+                         + (f"Duplicates removed:\t{n_dup}\n"
+                            if do_dedupe else ""))
+        return 0
+    # external-memory mode: split by pivot hash into `groups` temp
+    # files (KmerSplit), then sort each group independently (KmerSort)
+    # — duplicates share a pivot, so dedupe stays exact per group
+    # (reference: clump/Clumpify.java:94-118 group splitting,
+    # KmerSplit:418 / KmerSort:427)
+    import tempfile
+    import os
+    tmp = [tempfile.NamedTemporaryFile(suffix=f".g{i}.fq",
+                                       delete=False)
+           for i in range(groups)]
+    paths = [t.name for t in tmp]
+    for t in tmp:
+        t.close()
+    fhs = [fastx.xopen(p, "wb") for p in paths]
+    n_in = 0
+    try:
+        for chunk in batched(fastx.read_seqs(in1, fake_quality=30),
+                             8192):
+            b = ReadBatch.from_records(chunk)
+            piv = pivots(b.bases, k)
+            gid = (piv % np.uint64(groups)).astype(np.int64)
+            for r, gi in zip(chunk, gid):
+                n_in += 1
+                q = r.quality if r.quality is not None \
+                    else b"I" * len(r.bases)
+                fhs[gi].write(b"@" + r.id.encode() + b"\n" + r.bases
+                              + b"\n+\n" + q + b"\n")
+        for fh in fhs:
+            fh.close()
+        total_clumps = total_dup = n_out = 0
+        out_fh = fastx.xopen(out, "wb")
+        for p in paths:
+            recs = list(fastx.read_seqs(p))
+            if not recs:
+                continue
+            out_recs, n_clumps, n_dup = _sort_records(recs, k,
+                                                      do_dedupe)
+            total_clumps += n_clumps
+            total_dup += n_dup
+            for r in out_recs:
+                n_out += 1
+                q = r.quality if r.quality is not None \
+                    else b"I" * len(r.bases)
+                out_fh.write(b"@" + r.id.encode() + b"\n" + r.bases
+                             + b"\n+\n" + q + b"\n")
+        out_fh.close()
+    finally:
+        for p in paths:
+            if os.path.exists(p):
+                os.unlink(p)
+    sys.stderr.write(f"Reads:\t{n_in}\nGroups:\t{groups}\n"
+                     f"Clumps formed:\t{total_clumps}\n"
+                     + (f"Duplicates removed:\t{total_dup}\n"
                         if do_dedupe else ""))
     return 0
 

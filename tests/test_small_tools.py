@@ -633,3 +633,30 @@ def test_grademerge_exact_insert(tmp_path, capsys):
     pct = float(out.split("Correct:")[1].split("\t")[2].split("%")[0])
     assert graded > 30
     assert pct >= 95.0
+
+
+def test_clumpify_groups_matches_single(tmp_path):
+    """External-memory groups mode keeps the same multiset of reads and
+    removes the same duplicates as the in-memory path (reference:
+    clump/Clumpify.java:94-118 group splitting)."""
+    import numpy as np
+    from bbmap_tpu.tools import clumpify
+    from bbmap_tpu.io.fastx import SeqRecord, write_fastq, read_seqs
+
+    rng = np.random.default_rng(13)
+    reads = []
+    for i in range(60):
+        s = bytes(rng.choice(np.frombuffer(b"ACGT", np.uint8), 80))
+        reads.append(SeqRecord(f"r{i}", s, b"I" * 80, i))
+    reads.append(SeqRecord("dup", reads[0].bases, b"I" * 80, 60))
+    inp = tmp_path / "in.fq"
+    write_fastq(str(inp), reads)
+    o1 = tmp_path / "one.fq"
+    og = tmp_path / "grp.fq"
+    assert clumpify.main([f"in={inp}", f"out={o1}", "dedupe=t"]) == 0
+    assert clumpify.main([f"in={inp}", f"out={og}", "dedupe=t",
+                          "groups=4"]) == 0
+    s1 = sorted(r.bases for r in read_seqs(str(o1)))
+    sg = sorted(r.bases for r in read_seqs(str(og)))
+    assert s1 == sg
+    assert len(s1) == 60  # one duplicate removed in both modes
