@@ -660,3 +660,16 @@ def test_clumpify_groups_matches_single(tmp_path):
     sg = sorted(r.bases for r in read_seqs(str(og)))
     assert s1 == sg
     assert len(s1) == 60  # one duplicate removed in both modes
+
+
+def test_all_dispatcher_entries_resolve():
+    """Every TOOLS/SUBTOOLS entry imports and exposes its callable."""
+    import importlib
+    from bbmap_tpu.__main__ import TOOLS, SUBTOOLS
+
+    for name, modname in TOOLS.items():
+        mod = importlib.import_module(modname)
+        assert callable(getattr(mod, "main")), name
+    for name, (modname, fn) in SUBTOOLS.items():
+        mod = importlib.import_module(modname)
+        assert callable(getattr(mod, fn)), name
