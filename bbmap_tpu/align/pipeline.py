@@ -1193,6 +1193,16 @@ def _one_sam_line(genome, b, i, r, mate, fragnum, paired_input,
                 cigar = samio.match_to_cigar(r.match, a1, b1, scaflen)
         if r.ambiguous:
             tags.append("XT:A:R")
+        if samio.MAKE_XS_TAG and "N" in cigar:
+            # spliced-alignment strand (reference:
+            # stream/SamLine.makeXSTag:1346-1359 — plus for strand 0,
+            # flipped for read 2 and for secondstrand libraries)
+            plus = r.strand == 0
+            if fragnum != 0:
+                plus = not plus
+            if samio.XS_SECONDSTRAND:
+                plus = not plus
+            tags.append("XS:A:+" if plus else "XS:A:-")
         if samio.MAKE_MD_TAG and r.match is not None:
             ref_win = genome.chroms[r.chrom - 1][r.start:r.stop + 1]
             tags.append(samio.make_md_tag(r.match, ref_win))

@@ -29,6 +29,8 @@ SOFT_CLIP = True
 MAKE_NM_TAG = True
 MAKE_AM_TAG = True
 MAKE_MD_TAG = False
+MAKE_XS_TAG = False      # auto-on when INTRON_LIMIT is set
+XS_SECONDSTRAND = False  # xstag=ss flips the strand sense
 PENALIZE_AMBIG = True
 
 BBMAP_VERSION_STRING = "36.19"  # tool-compatibility version the CLI reports
@@ -108,8 +110,10 @@ def match_to_cigar(match: bytes, read_start: int, read_stop: int,
     reflen = scaffold length. Out-of-scaffold positions soft-clip."""
     if not match:
         return "*"
-    if read_start >= 0 and read_stop < reflen:
-        # fully in-bounds: mode depends only on the symbol (fast path)
+    if read_start >= 0 and read_stop < reflen and (
+            INTRON_LIMIT >= len(match) or b"D" not in match):
+        # fully in-bounds and no possible D->N conversion: mode depends
+        # only on the symbol (fast path)
         return _match_to_cigar_fast(match, version > 1.3)
     return _match_to_cigar_slow(match, read_start, read_stop, reflen,
                                 version)
@@ -240,7 +244,8 @@ def calc_nm(match: bytes, cigar: str, read_len: int) -> int:
     rightclip = _cigar_right_clip(cigar)
     frm, to = leftclip, read_len - rightclip
     if frm == 0 and to >= read_len and (not match
-                                        or match[-1] != ord("D")):
+                                        or match[-1] != ord("D")) \
+            and (INTRON_LIMIT >= len(match) or b"D" not in match):
         # unclipped fast path: every symbol is in range and every
         # deletion run is < INTRON_LIMIT for short reads, so NM is just
         # the symbol counts (C-level scans)

@@ -52,6 +52,23 @@ def main(argv: List[str]) -> int:
     trimq = args.get_int("trimq", default=6)
     untrim = args.get_bool("untrim", default=False)
     usemodulo = args.get_bool("usemodulo", default=False)
+    # RNA-seq splice emission (reference: align2/BBMap.java:239-240 —
+    # intronlen sets INTRON_LIMIT so deletions >= it print as N ops;
+    # XS strand tag auto-enables when intronlen is set)
+    intronlen = args.get_int("intronlen", "intron", default=0)
+    xs_arg = args.get("xstag", "xs")
+    samio.INTRON_LIMIT = 2 ** 31 - 1   # reset statics (in-process runs)
+    samio.MAKE_XS_TAG = False
+    samio.XS_SECONDSTRAND = False
+    if intronlen > 0:
+        samio.INTRON_LIMIT = intronlen
+    if xs_arg is not None:
+        samio.MAKE_XS_TAG = xs_arg.lower() not in ("f", "false", "0")
+        samio.XS_SECONDSTRAND = xs_arg.lower() in ("ss", "secondstrand")
+        if samio.MAKE_XS_TAG and intronlen <= 0:
+            samio.INTRON_LIMIT = 10
+    elif intronlen > 0:
+        samio.MAKE_XS_TAG = True
 
     if ref is None or in1 is None:
         print("Usage: bbmap ref=<fasta> in=<reads> [in2=] out=<sam>",

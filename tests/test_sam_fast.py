@@ -88,3 +88,20 @@ def test_clip_counts():
     assert samio.count_leading_clip(b"mm") == 0
     assert samio.count_leading_clip(b"") == 0
     assert samio.count_leading_clip(b"CCCC") == 4
+
+
+def test_intron_limit_converts_long_deletions(monkeypatch):
+    """intronlen: deletion runs longer than INTRON_LIMIT print as N ops
+    (reference: stream/SamLine toCigar D>INTRON_LIMIT -> N,
+    align2/BBMap.java:239-240)."""
+    monkeypatch.setattr(samio, "INTRON_LIMIT", 50)
+    m = b"m" * 30 + b"D" * 100 + b"m" * 30
+    c = samio.match_to_cigar(m, 0, 159, 10_000)
+    assert "100N" in c and "D" not in c
+    # short deletions stay D
+    m2 = b"m" * 30 + b"D" * 10 + b"m" * 30
+    c2 = samio.match_to_cigar(m2, 0, 69, 10_000)
+    assert "10D" in c2 and "N" not in c2
+    # NM excludes intron-length deletions
+    assert samio.calc_nm(m, c, 60) == 0
+    assert samio.calc_nm(m2, c2, 60) == 10
