@@ -197,3 +197,33 @@ def test_long_deletion_gap_compressed(aligner):
     assert r.stop - START_PADDING == 2619
     assert r.match.count(b"D") == 2000
     assert r.match.count(b"m") == 120
+
+
+def test_100kbp_deletion_gap_compressed(tmp_path):
+    """Reference envelope claim: 100 kbp+ deletions map exactly via
+    gap compression (reference: makeGref GAPLEN blocks,
+    MultiStateAligner11ts.java:1412; BASELINE.md sensitivity row)."""
+    import numpy as np
+    from bbmap_tpu.core.genome import build_genome
+    from bbmap_tpu.index.build import build_index
+    from bbmap_tpu.core.batch import ReadBatch
+    from bbmap_tpu.align.pipeline import BBMapAligner
+    from bbmap_tpu.io.fastx import SeqRecord
+
+    rng = np.random.default_rng(20)
+    g = bytes(rng.choice(np.frombuffer(b"ACGT", np.uint8), 220_000))
+    fa = tmp_path / "big.fa"
+    fa.write_bytes(b">s1\n" + g + b"\n")
+    genome = build_genome(str(fa))
+    index = build_index(genome, k=13)
+    al = BBMapAligner(genome, index, device_quickmap=False,
+                      maxindel=150_000)
+    DEL, s = 100_000, 30_000
+    read = g[s:s + 60] + g[s + 60 + DEL:s + 120 + DEL]
+    batch = ReadBatch.from_records([SeqRecord("r", read, b"I" * 120,
+                                              0)])
+    r = al.map_batch(batch)[0]
+    assert r.mapped
+    scaf, loc = genome.locate(r.chrom, r.start)
+    assert loc == s
+    assert r.match.count(ord("D")) == DEL
