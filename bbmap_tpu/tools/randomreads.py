@@ -102,6 +102,57 @@ class RandomReads:
         name = self._name(nid, chrom, strand, start, stop)
         return fastx.SeqRecord(name, bytes(read), self._qual(length), nid)
 
+    def pacbio(self, n_reads: int, min_len: int, max_len: int,
+               error_rate: float = 0.15):
+        """Long reads with the PacBio error profile — indel-dominated:
+        ~55% insertions, ~30% deletions, ~15% substitutions of the
+        total error budget (reference: RandomReads3 addPacBioErrors /
+        pacbio=t flag, align2/RandomReads3.java)."""
+        g = self.g
+        p_ins = error_rate * 0.55
+        p_del = error_rate * 0.30
+        p_sub = error_rate * 0.15
+        ACGT = np.frombuffer(b"ACGT", np.uint8)
+        for nid in range(n_reads):
+            length = int(self.rng.integers(min_len, max_len + 1))
+            span_need = int(length * (1 + p_del) * 1.2) + 10
+            while True:
+                chrom = 1 + int(self.rng.integers(0, g.n_chroms))
+                arr = g.chroms[chrom - 1]
+                hi = len(arr) - span_need - 1
+                if hi <= 0:
+                    continue
+                start = int(self.rng.integers(0, hi))
+                if (arr[start:start + span_need]
+                        == ord("N")).mean() < 0.2:
+                    break
+            out = bytearray()
+            i = 0
+            while len(out) < length and i < span_need:
+                r = self.rng.random()
+                if r < p_ins:
+                    out.append(int(self.rng.choice(ACGT)))
+                elif r < p_ins + p_del:
+                    i += 1
+                elif r < p_ins + p_del + p_sub:
+                    b = arr[start + i]
+                    c = int(self.rng.choice(ACGT))
+                    while c == b:
+                        c = int(self.rng.choice(ACGT))
+                    out.append(c)
+                    i += 1
+                else:
+                    out.append(int(arr[start + i]))
+                    i += 1
+            stop = start + i - 1
+            strand = int(self.rng.integers(0, 2))
+            read = np.frombuffer(bytes(out), np.uint8)
+            if strand == 1:
+                read = COMP_ASCII[read][::-1]
+            name = self._name(nid, chrom, strand, start, stop)
+            yield fastx.SeqRecord(name, bytes(read),
+                                  self._qual(len(read)), nid)
+
     def single(self, n_reads: int, length: int):
         g = self.g
         total = sum(len(c) for c in g.chroms)
@@ -184,6 +235,13 @@ def main(argv: List[str]) -> int:
         n_rate=args.get_float("nrate", default=0.0),
         min_q=args.get_int("minq", default=28),
         max_q=args.get_int("maxq", default=35))
+    if args.get_bool("pacbio", default=False):
+        min_len = args.get_int("pbmin", "minlength", default=length)
+        max_len = args.get_int("pbmax", "maxlength",
+                               default=max(length, 3 * length))
+        err = args.get_float("pberror", "error", default=0.15)
+        fastx.write_fastq(out, rr.pacbio(reads, min_len, max_len, err))
+        return 0
     if paired:
         o1 = fastx.xopen(out, "wb")
         o2 = fastx.xopen(out2, "wb") if out2 else o1

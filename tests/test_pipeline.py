@@ -227,3 +227,41 @@ def test_100kbp_deletion_gap_compressed(tmp_path):
     scaf, loc = genome.locate(r.chrom, r.start)
     assert loc == s
     assert r.match.count(ord("D")) == DEL
+
+
+def test_pacbio_error_model_reads_map(tmp_path):
+    """randomreads pacbio=t produces indel-dominated long reads
+    (reference: RandomReads3 PacBio profile); most map back correctly
+    at 12% error even with the short-read stack."""
+    import numpy as np
+    from bbmap_tpu.tools import randomreads
+    from bbmap_tpu.io import fastx
+    from bbmap_tpu.core.genome import build_genome
+    from bbmap_tpu.index.build import build_index
+    from bbmap_tpu.core.batch import ReadBatch
+    from bbmap_tpu.align.pipeline import BBMapAligner
+
+    rng = np.random.default_rng(30)
+    g = bytes(rng.choice(np.frombuffer(b"ACGT", np.uint8), 50_000))
+    ref = tmp_path / "ref.fa"
+    ref.write_bytes(b">s1\n" + g + b"\n")
+    fq = tmp_path / "pb.fq"
+    assert randomreads.main([f"ref={ref}", f"out={fq}", "reads=10",
+                             "pacbio=t", "pbmin=300", "pbmax=450",
+                             "pberror=0.12", "seed=7"]) == 0
+    genome = build_genome(str(ref))
+    index = build_index(genome, k=12)
+    al = BBMapAligner(genome, index, min_ratio=0.46,
+                      device_quickmap=False)
+    recs = list(fastx.read_seqs(str(fq)))
+    assert len(recs) == 10
+    correct = 0
+    for r in recs:
+        res = al.map_batch(ReadBatch.from_records([r]))[0]
+        if not res.mapped:
+            continue
+        rel = int(r.id.split("_")[5])  # scaffold-relative truth
+        scaf, loc = genome.locate(res.chrom, res.start)
+        if abs(loc - rel) <= 50:
+            correct += 1
+    assert correct >= 6, correct
