@@ -83,6 +83,14 @@ SUBTOOLS = {
     "splitnexteralmp": ("bbmap_tpu.tools.pairtools",
                         "splitnexteralmp"),
     "reclusterbykmer": ("bbmap_tpu.tools.recluster", "main"),
+    # driver/ text utilities
+    "concatenatetextfiles": ("bbmap_tpu.tools.textutils",
+                             "concatenatetextfiles"),
+    "filterlines": ("bbmap_tpu.tools.textutils", "filterlines"),
+    "countsharedlines": ("bbmap_tpu.tools.textutils",
+                         "countsharedlines"),
+    "replaceheaders": ("bbmap_tpu.tools.textutils", "replaceheaders"),
+    "statswrapper": ("bbmap_tpu.tools.textutils", "statswrapper"),
 }
 
 

@@ -673,3 +673,35 @@ def test_all_dispatcher_entries_resolve():
     for name, (modname, fn) in SUBTOOLS.items():
         mod = importlib.import_module(modname)
         assert callable(getattr(mod, fn)), name
+
+
+def test_textutils(tmp_path, capsys):
+    from bbmap_tpu.tools import textutils as tu
+
+    a = tmp_path / "a.txt"
+    b = tmp_path / "b.txt"
+    a.write_text("one\ntwo\nthree\n")
+    b.write_text("two\nfour\n")
+    c = tmp_path / "c.txt"
+    assert tu.concatenatetextfiles([f"in={a},{b}", f"out={c}"]) == 0
+    assert c.read_text() == "one\ntwo\nthree\ntwo\nfour\n"
+
+    f = tmp_path / "f.txt"
+    assert tu.filterlines([f"in={a}", f"out={f}", "names=two",
+                           "include=f"]) == 0
+    assert f.read_text() == "one\nthree\n"
+    assert tu.filterlines([f"in={a}", f"out={f}", "names=two",
+                           "include=t"]) == 0
+    assert f.read_text() == "two\n"
+
+    assert tu.countsharedlines([f"in1={a}", f"in2={b}"]) == 0
+    out = capsys.readouterr().out
+    assert "Shared lines:\t1" in out
+
+    fq = tmp_path / "r.fq"
+    fq.write_text("@x\nACGT\n+\nIIII\n@y\nGGGG\n+\nIIII\n")
+    rh = tmp_path / "rh.fq"
+    assert tu.replaceheaders([f"in={fq}", f"out={rh}",
+                              "prefix=read_"]) == 0
+    txt = rh.read_text()
+    assert "@read_0\n" in txt and "@read_1\n" in txt
