@@ -91,6 +91,7 @@ SUBTOOLS = {
                          "countsharedlines"),
     "replaceheaders": ("bbmap_tpu.tools.textutils", "replaceheaders"),
     "statswrapper": ("bbmap_tpu.tools.textutils", "statswrapper"),
+    "filterbysequence": ("bbmap_tpu.tools.misc", "filterbysequence"),
 }
 
 

@@ -149,6 +149,76 @@ def bbwrap(argv: List[str]) -> int:
     return rc
 
 
+def filterbysequence(argv: List[str]) -> int:
+    """reference: jgi/FilterBySequence.java — keep or toss reads whose
+    full sequence matches a literal in ref= (either orientation when
+    rcomp=t); substring mode via contains=t."""
+    import numpy as np
+    from ..core.bases import COMP_ASCII
+    from ..utils.args import Args
+
+    args = Args.parse(argv)
+    in1 = args.get("in", "in1") or (args.positional[0]
+                                    if args.positional else None)
+    out = args.get("out", "outm")
+    outu = args.get("outu")
+    ref = args.get("ref", "literal")
+    include = args.get_bool("include", default=False)
+    rcomp = args.get_bool("rcomp", "rc", default=True)
+    contains = args.get_bool("contains", "substring", default=False)
+    case = args.get_bool("casesensitive", "case", default=False)
+    if in1 is None or (out is None and outu is None) or ref is None:
+        print("Usage: filterbysequence in= out= ref=<fasta|literal,..> "
+              "include=f [contains=f rcomp=t]", file=sys.stderr)
+        return 1
+    lits = []
+    import os as _os
+    if _os.path.exists(ref):
+        for rec in fastx.read_seqs(ref):
+            lits.append(rec.bases)
+    else:
+        lits = [x.encode() for x in ref.split(",")]
+    if not case:
+        lits = [l.upper() for l in lits]
+    if rcomp:
+        lits += [bytes(COMP_ASCII[np.frombuffer(l, np.uint8)][::-1])
+                 for l in lits]
+    lit_set = set(lits)
+    fmt = fastx.sniff_format(in1)
+
+    def wr(fh, rec):
+        if fh is None:
+            return
+        if fmt == "fasta":
+            fh.write(b">" + rec.id.encode() + b"\n" + rec.bases + b"\n")
+        else:
+            q = rec.quality if rec.quality is not None \
+                else b"I" * len(rec.bases)
+            fh.write(b"@" + rec.id.encode() + b"\n" + rec.bases
+                     + b"\n+\n" + q + b"\n")
+
+    o = fastx.xopen(out, "wb") if out else None
+    ou = fastx.xopen(outu, "wb") if outu else None
+    n = kept = 0
+    for rec in fastx.read_seqs(in1):
+        n += 1
+        seq = rec.bases if case else rec.bases.upper()
+        if contains:
+            hit = any(l in seq for l in lit_set)
+        else:
+            hit = seq in lit_set
+        if hit == include:
+            kept += 1
+            wr(o, rec)
+        else:
+            wr(ou, rec)
+    for fh in (o, ou):
+        if fh is not None:
+            fh.close()
+    sys.stderr.write(f"Reads:\t{n}\nKept:\t{kept}\n")
+    return 0
+
+
 TOOLS = dict(shuffle=shuffle, partition=partition,
              translate6frames=translate6frames, kcompress=kcompress,
              bbwrap=bbwrap)

@@ -705,3 +705,23 @@ def test_textutils(tmp_path, capsys):
                               "prefix=read_"]) == 0
     txt = rh.read_text()
     assert "@read_0\n" in txt and "@read_1\n" in txt
+
+
+def test_filterbysequence(tmp_path):
+    from bbmap_tpu.tools.misc import filterbysequence
+
+    fq = tmp_path / "in.fq"
+    fq.write_text("@a\nACGTACGT\n+\nIIIIIIII\n"
+                  "@b\nGGGGCCCC\n+\nIIIIIIII\n"
+                  "@c\nTTTTTTTT\n+\nIIIIIIII\n")
+    out = tmp_path / "kept.fq"
+    # toss exact matches of ACGTACGT (and its rc)
+    assert filterbysequence([f"in={fq}", f"out={out}",
+                             "ref=ACGTACGT", "include=f"]) == 0
+    txt = out.read_text()
+    assert "@a" not in txt and "@b" in txt and "@c" in txt
+    # include mode with rc: rc(ACGTACGT)=ACGTACGT (palindrome); use GGGGCCCC
+    out2 = tmp_path / "m.fq"
+    assert filterbysequence([f"in={fq}", f"out={out2}",
+                             "ref=GGGGCCCC", "include=t"]) == 0
+    assert "@b" in out2.read_text() and "@a" not in out2.read_text()
