@@ -11,6 +11,7 @@ poster-era "similar in speed to bwa" claim (BASELINE.md rows 1-2).
 vs_baseline = value / 30000.
 """
 
+import os
 import json
 import sys
 import time
@@ -65,7 +66,7 @@ def main():
     setup_s = time.time() - t_setup
 
     L = 150
-    batch_size = 32768
+    batch_size = int(os.environ.get("BENCH_BATCH", 32768))
     reads = make_reads(gbases, batch_size * 4, L=L)
 
     def run_batch(lo):
