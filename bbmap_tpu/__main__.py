@@ -48,6 +48,8 @@ SUBTOOLS = {
     "makechimeras": ("bbmap_tpu.tools.synth", "makechimeras"),
     "addadapters": ("bbmap_tpu.tools.synth", "addadapters"),
     "fakereads": ("bbmap_tpu.tools.synth", "fakereads"),
+    "synthmda": ("bbmap_tpu.tools.synth", "synthmda"),
+    "fungalrelease": ("bbmap_tpu.tools.synth", "fungalrelease"),
     "splitpairs": ("bbmap_tpu.tools.pairtools", "splitpairs"),
     "bbsplitpairs": ("bbmap_tpu.tools.pairtools", "splitpairs"),
     "repair": ("bbmap_tpu.tools.pairtools", "splitpairs"),

@@ -225,3 +225,106 @@ def main(argv: List[str]) -> int:
 
 if __name__ == "__main__":
     raise SystemExit(main(sys.argv[1:]))
+
+
+def synthmda(argv: List[str]) -> int:
+    """synthmda: simulate multiple-displacement-amplification output —
+    random-primed, highly uneven overlapping amplicons of a reference
+    (reference: jgi/SynthMDA.java:36 — cycles of random-site priming
+    with exponential amplification bias)."""
+    import numpy as np
+    from ..core.bases import COMP_ASCII
+    from ..core.genome import build_genome
+    from ..utils.args import Args
+
+    args = Args.parse(argv)
+    ref = args.get("ref") or (args.positional[0]
+                              if args.positional else None)
+    out = args.get("out")
+    cycles = args.get_int("cycles", default=9)
+    init = args.get_int("initialratio", "init", default=8)
+    min_len = args.get_int("minlen", default=2000)
+    max_len = args.get_int("length", "maxlen", default=10_000)
+    seed = args.get_int("seed", default=0)
+    if ref is None or out is None:
+        print("Usage: synthmda ref=<fa> out=<amplicons.fa> [cycles=9]",
+              file=sys.stderr)
+        return 1
+    g = build_genome(ref)
+    rng = np.random.default_rng(seed)
+    pool = []  # (chrom, start, stop) templates, genome first
+    for c in range(g.n_chroms):
+        pool.append((c, 0, len(g.chroms[c])))
+    frags = []
+    for _ in range(init):
+        c = int(rng.integers(0, g.n_chroms))
+        arr = g.chroms[c]
+        if len(arr) <= min_len:
+            continue
+        a = int(rng.integers(0, len(arr) - min_len))
+        b = min(len(arr), a + int(rng.integers(min_len, max_len + 1)))
+        frags.append((c, a, b))
+    for _ in range(cycles):
+        new = []
+        for (c, a, b) in frags:
+            # each fragment primes 1-2 sub-amplicons (exponential bias)
+            for _ in range(int(rng.integers(1, 3))):
+                if b - a <= min_len:
+                    continue
+                aa = a + int(rng.integers(0, (b - a) - min_len + 1))
+                bb = min(b, aa + int(rng.integers(min_len,
+                                                  max_len + 1)))
+                new.append((c, aa, bb))
+        frags.extend(new)
+        if len(frags) > 100_000:
+            break
+    n = 0
+    with fastx.xopen(out, "wb") as fh:
+        for (c, a, b) in frags:
+            seq = bytes(g.chroms[c][a:b])
+            if len(seq) < min_len:
+                continue
+            if rng.random() < 0.5:
+                seq = bytes(COMP_ASCII[np.frombuffer(
+                    seq, np.uint8)][::-1])
+            n += 1
+            fh.write(f">mda_{n} chrom={c+1} start={a}\n".encode())
+            for j in range(0, len(seq), 70):
+                fh.write(seq[j:j + 70] + b"\n")
+    sys.stderr.write(f"Amplicons:\t{n}\n")
+    return 0
+
+
+def fungalrelease(argv: List[str]) -> int:
+    """fungalrelease: JGI release-format fasta cleanup — sort scaffolds
+    by length (descending), rename sequentially, drop short scaffolds
+    (reference: jgi/FungalRelease.java — minlen/sortcontigs/
+    renamecontigs flags)."""
+    from ..utils.args import Args
+
+    args = Args.parse(argv)
+    in1 = args.get("in", "in1") or (args.positional[0]
+                                    if args.positional else None)
+    out = args.get("out")
+    min_len = args.get_int("minlen", "minlength", "minscaf", default=1)
+    do_sort = args.get_bool("sortcontigs", "sort", default=True)
+    rename = args.get_bool("renamecontigs", "rename", default=False)
+    prefix = args.get("prefix", default="scaffold_")
+    if in1 is None or out is None:
+        print("Usage: fungalrelease in=<fa> out=<fa> [minlen= sort=t "
+              "rename=f]", file=sys.stderr)
+        return 1
+    recs = [r for r in fastx.read_seqs(in1)
+            if len(r.bases) >= min_len]
+    if do_sort:
+        recs.sort(key=lambda r: len(r.bases), reverse=True)
+    n = 0
+    with fastx.xopen(out, "wb") as fh:
+        for r in recs:
+            n += 1
+            name = f"{prefix}{n}" if rename else r.id
+            fh.write(b">" + name.encode() + b"\n")
+            for j in range(0, len(r.bases), 70):
+                fh.write(r.bases[j:j + 70] + b"\n")
+    sys.stderr.write(f"Scaffolds out:\t{n}\n")
+    return 0

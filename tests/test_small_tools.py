@@ -725,3 +725,30 @@ def test_filterbysequence(tmp_path):
     assert filterbysequence([f"in={fq}", f"out={out2}",
                              "ref=GGGGCCCC", "include=t"]) == 0
     assert "@b" in out2.read_text() and "@a" not in out2.read_text()
+
+
+def test_synthmda_and_fungalrelease(tmp_path):
+    import numpy as np
+    from bbmap_tpu.tools.synth import synthmda, fungalrelease
+    from bbmap_tpu.io.fastx import read_seqs
+
+    rng = np.random.default_rng(14)
+    g = bytes(rng.choice(np.frombuffer(b"ACGT", np.uint8), 30_000))
+    ref = tmp_path / "ref.fa"
+    ref.write_bytes(b">s1\n" + g + b"\n")
+    amp = tmp_path / "amp.fa"
+    assert synthmda([f"ref={ref}", f"out={amp}", "cycles=3",
+                     "minlen=500", "length=2000", "seed=3"]) == 0
+    recs = list(read_seqs(str(amp)))
+    assert len(recs) > 5
+    assert all(len(r.bases) >= 500 for r in recs)
+    # uneven coverage: amplicons overlap (some position covered twice)
+
+    rel = tmp_path / "rel.fa"
+    assert fungalrelease([f"in={amp}", f"out={rel}", "minlen=800",
+                          "rename=t"]) == 0
+    rr = list(read_seqs(str(rel)))
+    lens = [len(r.bases) for r in rr]
+    assert lens == sorted(lens, reverse=True)
+    assert all(l >= 800 for l in lens)
+    assert rr[0].id.startswith("scaffold_1")
