@@ -19,7 +19,8 @@ from typing import Tuple
 import numpy as np
 
 from ..core.constants import (POINTS_MATCH, POINTS_MATCH2, POINTS_NOCALL,
-                              POINTS_NOREF, POINTS_SUB_ARRAY)
+                              POINTS_NOREF, POINTS_SUB, POINTS_SUB2,
+                              POINTS_SUB3, POINTS_SUB_ARRAY)
 
 _N = ord("N")
 
@@ -149,6 +150,53 @@ def score_no_indels_jax(reads, refs, L: int):
     xs = (reads.T.astype(_jnp.int32), refs.T.astype(_jnp.int32))
     (score, _, _), _ = _jax.lax.scan(step, init, xs)
     return score
+
+
+def _shift_right(x, fill):
+    pad = _jnp.full(x.shape[:-1] + (1,), fill, x.dtype)
+    return _jnp.concatenate([pad, x[..., :-1]], axis=-1)
+
+
+def score_match_sub_vec(is_match, is_sub):
+    """Closed-form gapless streak scoring — no sequential scan.
+
+    Same semantics as score_no_indels_jax (reference:
+    align2/MultiStateAligner11ts.scoreNoIndels:1885-1952): skip positions
+    (nocall/noref, i.e. neither is_match nor is_sub) are transparent to
+    the match/sub run state. Derivation: runs over the non-skip
+    subsequence are recovered with cummax of last-match/last-sub indices;
+    the i-th base of a match run scores POINTS_MATCH2 (first scores
+    POINTS_MATCH); the i-th base of a sub run scores by the streak table.
+    All ops are vectorized cumsum/cummax along the read axis, which XLA
+    lowers to log-depth passes instead of an L-step scan.
+
+    is_match/is_sub: bool (..., L), mutually exclusive.
+    Returns int32 scores (...,).
+    """
+    L = is_match.shape[-1]
+    l = _jnp.arange(L, dtype=_jnp.int32)
+    lm = _jnp.where(is_match, l, -1)
+    ls = _jnp.where(is_sub, l, -1)
+    ax = lm.ndim - 1
+    cm = _jax.lax.cummax(lm, axis=ax)
+    cs = _jax.lax.cummax(ls, axis=ax)
+    pm = _shift_right(cm, _jnp.int32(-1))   # last match idx before here
+    ps = _shift_right(cs, _jnp.int32(-1))   # last sub idx before here
+    prev_is_match = pm > ps
+    prev_is_sub = ps > pm
+    m_start = is_match & ~prev_is_match
+    s_start = is_sub & ~prev_is_sub
+    ns = is_match | is_sub
+    r = _jnp.cumsum(ns.astype(_jnp.int32), axis=-1)   # 1-based nonskip rank
+    rstart = _jax.lax.cummax(_jnp.where(s_start, r, 0), axis=ax)
+    p = r - rstart + 1                                # position in sub run
+    sub_pts = _jnp.where(p <= 1, POINTS_SUB,
+                         _jnp.where(p <= _LIM3, POINTS_SUB2, POINTS_SUB3))
+    pts = _jnp.where(
+        is_match,
+        _jnp.where(m_start, POINTS_MATCH, POINTS_MATCH2),
+        _jnp.where(is_sub, sub_pts, 0)).astype(_jnp.int32)
+    return _jnp.sum(pts, axis=-1, dtype=_jnp.int32)
 
 
 def gather_ref_rows(genome: np.ndarray, ref_starts: np.ndarray,

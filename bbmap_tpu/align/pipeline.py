@@ -21,7 +21,7 @@ align2/BBMapThread.java:389-943). Stages:
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, Iterator, List, Optional, Tuple
 
 import numpy as np
 
@@ -73,6 +73,77 @@ class MappedRead:
     #   score, match)] when secondary-site output is enabled
 
 
+class MappedBatch:
+    """Columnar (struct-of-arrays) mapping results for one batch — the
+    device fast path writes vectorized numpy columns instead of one
+    Python object per read (reference's Read-object model replaced per
+    VERDICT r1: columnar MappedRead). Escalated (DP) reads carry their
+    variable-length match strings in ``match_override``; direct gapless
+    reads share the fixed (B, L) match-row block transferred from the
+    device."""
+
+    __slots__ = ("size", "mapped", "strand", "chrom", "start", "stop",
+                 "score", "ambiguous", "perfect", "paired", "rescued",
+                 "n_sites", "match_rows", "match_is_row", "match_override")
+
+    def __init__(self, B: int, L: int = 0):
+        self.size = B
+        self.mapped = np.zeros(B, bool)
+        self.strand = np.zeros(B, np.int8)
+        self.chrom = np.zeros(B, np.int32)
+        self.start = np.zeros(B, np.int64)
+        self.stop = np.zeros(B, np.int64)
+        self.score = np.zeros(B, np.int64)
+        self.ambiguous = np.zeros(B, bool)
+        self.perfect = np.zeros(B, bool)
+        self.paired = np.zeros(B, bool)
+        self.rescued = np.zeros(B, bool)
+        self.n_sites = np.ones(B, np.int32)
+        self.match_rows: Optional[np.ndarray] = None  # (B, L) uint8
+        self.match_is_row = np.zeros(B, bool)
+        self.match_override: Dict[int, Optional[bytes]] = {}
+
+    def match(self, i: int) -> Optional[bytes]:
+        if i in self.match_override:
+            return self.match_override[i]
+        if self.match_is_row[i] and self.match_rows is not None:
+            return bytes(self.match_rows[i])
+        return None
+
+    def absorb_objects(self, objs: Dict[int, "MappedRead"]) -> None:
+        """Merge per-read objects (escalated reads) into the columns."""
+        for i, r in objs.items():
+            self.mapped[i] = r.mapped
+            self.strand[i] = r.strand
+            self.chrom[i] = r.chrom
+            self.start[i] = r.start
+            self.stop[i] = r.stop
+            self.score[i] = r.score
+            self.ambiguous[i] = r.ambiguous
+            self.perfect[i] = r.perfect
+            self.paired[i] = r.paired
+            self.n_sites[i] = r.n_sites
+            self.match_is_row[i] = False
+            self.match_override[i] = r.match
+
+    def fill_objects(self, results: List["MappedRead"]) -> None:
+        mapped = self.mapped
+        for i in range(self.size):
+            r = results[i]
+            r.score = int(self.score[i])
+            r.perfect = bool(self.perfect[i])
+            r.ambiguous = bool(self.ambiguous[i])
+            r.n_sites = int(self.n_sites[i])
+            r.paired = bool(self.paired[i])
+            if mapped[i]:
+                r.mapped = True
+                r.strand = int(self.strand[i])
+                r.chrom = int(self.chrom[i])
+                r.start = int(self.start[i])
+                r.stop = int(self.stop[i])
+                r.match = self.match(i)
+
+
 def clearzone_for(score: int, max_sw: int, perfect: bool) -> int:
     """reference: align2/BBMapThread.java:508-525."""
     if perfect:
@@ -114,8 +185,28 @@ def _bucket_pad(n: int) -> int:
     return p
 
 
-DP_CHUNK = 2048      # fixed device batch for DP jobs — one compile ever
+DP_CHUNK = 8192       # device batch for fill+traceback DP jobs
+DP_SCORE_CHUNK = 32768  # device batch for score-only DP — sized so a
+# whole batch's escalation jobs usually fit one dispatch (the tunnel's
+# per-dispatch latency dwarfs padded compute)
 GAPLESS_CHUNK = 8192  # fixed device batch for gapless scoring
+
+
+class _ResultsProxy:
+    """results-list stand-in for the escalation path: only the escalated
+    read indices are materialized as MappedRead objects (the direct bulk
+    stays columnar)."""
+
+    def __init__(self):
+        self.store: Dict[int, MappedRead] = {}
+
+    def __getitem__(self, i) -> MappedRead:
+        i = int(i)
+        r = self.store.get(i)
+        if r is None:
+            r = MappedRead()
+            self.store[i] = r
+        return r
 
 
 def _fixed_chunks(n: int, size: int):
@@ -196,24 +287,28 @@ class BBMapAligner:
         return results
 
     # ---- device quickmap fast path ----
-    def _qm_run(self, batch: ReadBatch, L: int):
+    def _qm_dispatch(self, batch: ReadBatch, L: int):
+        """Launch the device quickmap without blocking — the returned
+        handle's .host() transfers the packed results (two arrays). Used
+        by map_stream to overlap host finalize of batch N with device
+        compute of batch N+1 (reference's producer/consumer overlap,
+        stream/ConcurrentGenericReadInputStream.java:122-166)."""
         from . import quickmap_device
         if L not in self._qm_cache:
             self._qm_cache[L] = quickmap_device.build_quickmap(
                 self.index, L, chain_dist=self.chain_dist,
                 min_ratio=self.min_ratio)
-        qr = self._qm_cache[L](batch.bases[:, :L])
-        return {k: np.asarray(v) for k, v in qr._asdict().items()}
+        return self._qm_cache[L](batch.bases[:, :L])
 
-    def _direct_fill(self, batch: ReadBatch, L: int, d: dict,
-                     results: List[MappedRead], direct: np.ndarray,
-                     scored: Optional[np.ndarray] = None,
-                     second: Optional[np.ndarray] = None) -> None:
-        """Fill results for reads settled by the device quickmap (gapless
-        winners). `scored`/`second` override raw scores for pair-boosted
-        selection."""
-        from ..core.bases import COMP_ASCII
-        from . import gapless
+    def _qm_run(self, batch: ReadBatch, L: int):
+        return self._qm_dispatch(batch, L).host()
+
+    def _direct_select(self, L: int, d: dict, direct: np.ndarray,
+                       scored: Optional[np.ndarray] = None,
+                       second: Optional[np.ndarray] = None):
+        """Vectorized selection for reads settled by the device quickmap
+        (gapless winners). `scored`/`second` override raw scores for
+        pair-boosted selection. Returns a dict of per-read columns."""
         best = d["best_score"].astype(np.int64)
         eff = best if scored is None else scored
         snd = d["second_score"].astype(np.int64) if second is None \
@@ -234,33 +329,84 @@ class BBMapAligner:
         perfect = best >= max_sw
         cz = clearzone_vec(eff, max_sw, perfect)
         ambiguous = (snd > -(2 ** 29)) & (eff - snd < cz)
-        toss = self.ambig_mode == "toss"
-        idx = np.nonzero(mapped)[0]
-        if len(idx) == 0:
-            return
-        diags = d["best_diag"][idx].astype(np.int64)
-        strands = d["best_strand"][idx]
-        refs = gapless.gather_ref_rows(self.codes_ascii, diags, L)
-        sub = batch.bases[idx][:, :L]
-        rc = COMP_ASCII[sub][:, ::-1]
-        reads = np.where((strands == 0)[:, None], sub, rc)
-        matches = gapless.gen_match_no_indels_batch(reads, refs)
+        diags = d["best_diag"].astype(np.int64)
         chroms = np.clip(np.searchsorted(self.chrom_offsets, diags,
                                          side="right") - 1,
                          0, len(self.chrom_offsets) - 2)
         locs = diags - self.chrom_offsets[chroms]
+        return dict(mapped=mapped, eff=eff, perfect=perfect,
+                    ambiguous=ambiguous, chroms=chroms, locs=locs,
+                    min_score=min_score)
+
+    def _stale_match_rows(self, d: dict, rows: np.ndarray,
+                          L: int) -> np.ndarray:
+        """Recompute m/S/N match rows on host for reads whose pair-boost
+        re-pick changed the best site (the device match block covers the
+        device-selected best only)."""
+        from ..core.bases import COMP_ASCII
+        from . import gapless
+        diags = d["best_diag"][rows].astype(np.int64)
+        refs = gapless.gather_ref_rows(self.codes_ascii, diags, L)
+        sub = d["_bases"][rows][:, :L]
+        rc = COMP_ASCII[sub][:, ::-1]
+        strands = d["best_strand"][rows]
+        reads = np.where((strands == 0)[:, None], sub, rc)
+        return gapless.gen_match_no_indels_batch(reads, refs)
+
+    def _direct_fill_columnar(self, batch: ReadBatch, L: int, d: dict,
+                              mb: MappedBatch, direct: np.ndarray,
+                              scored: Optional[np.ndarray] = None,
+                              second: Optional[np.ndarray] = None) -> None:
+        sel = self._direct_select(L, d, direct, scored, second)
+        mapped = sel["mapped"]
+        toss = self.ambig_mode == "toss"
+        keep = mapped & ~(sel["ambiguous"] & toss) if toss else mapped
+        mb.score[mapped] = sel["eff"][mapped]
+        mb.perfect[mapped] = sel["perfect"][mapped]
+        mb.ambiguous[mapped] = sel["ambiguous"][mapped]
+        mb.n_sites[mapped] = d["n_good"][mapped]
+        mb.mapped[keep] = True
+        mb.strand[keep] = d["best_strand"][keep]
+        mb.chrom[keep] = sel["chroms"][keep] + 1
+        mb.start[keep] = sel["locs"][keep]
+        mb.stop[keep] = sel["locs"][keep] + L - 1
+        if mb.match_rows is None:
+            mb.match_rows = d["best_match"]
+        mb.match_is_row |= keep
+        stale = d.get("match_stale")
+        if stale is not None:
+            rows = np.nonzero(keep & stale)[0]
+            if len(rows):
+                d.setdefault("_bases", batch.bases)
+                mb.match_rows = np.array(mb.match_rows)  # own the buffer
+                mb.match_rows[rows] = self._stale_match_rows(d, rows, L)
+        return mapped
+
+    def _direct_fill(self, batch: ReadBatch, L: int, d: dict,
+                     results: List[MappedRead], direct: np.ndarray,
+                     scored: Optional[np.ndarray] = None,
+                     second: Optional[np.ndarray] = None) -> None:
+        """Object-path wrapper over the columnar fill (compat for the
+        paired path and tools that consume MappedRead objects)."""
+        mb = MappedBatch(len(results), L)
+        d.setdefault("_bases", batch.bases)
+        mapped = self._direct_fill_columnar(batch, L, d, mb, direct,
+                                            scored, second)
+        sel_mapped = np.nonzero(mapped)[0]
         sec_data = None
         if self.print_secondary:
+            max_sw = K.max_quality(L)
+            min_score = int(max_sw * self.min_ratio)
             sec_data = (d["cand_scores"], d["cand_diag"],
-                        d["cand_strand"])
-        for t, i in enumerate(idx):
+                        d["cand_strand"], min_score)
+        for i in sel_mapped:
             res = results[i]
-            res.score = int(eff[i])
-            res.perfect = bool(perfect[i])
-            res.ambiguous = bool(ambiguous[i])
-            res.n_sites = int(d["n_good"][i])
+            res.score = int(mb.score[i])
+            res.perfect = bool(mb.perfect[i])
+            res.ambiguous = bool(mb.ambiguous[i])
+            res.n_sites = int(mb.n_sites[i])
             if sec_data is not None:
-                scs, dgs, sts = sec_data
+                scs, dgs, sts, min_score = sec_data
                 secs = []
                 for c in range(1, min(self.max_sites + 1,
                                       scs.shape[1])):
@@ -276,34 +422,103 @@ class BBMapAligner:
                                  int(sts[i, c]), sc_c, None))
                 if secs:
                     res.secondary = secs
-            if res.ambiguous and toss:
-                continue
-            res.mapped = True
-            res.strand = int(strands[t])
-            res.match = bytes(matches[t])
-            res.chrom = int(chroms[t]) + 1
-            res.start = int(locs[t])
-            res.stop = int(locs[t]) + L - 1
+            if mb.mapped[i]:
+                res.mapped = True
+                res.strand = int(mb.strand[i])
+                res.match = mb.match(i)
+                res.chrom = int(mb.chrom[i])
+                res.start = int(mb.start[i])
+                res.stop = int(mb.stop[i])
 
-    def _map_batch_device(self, batch: ReadBatch, L: int,
-                          results: List[MappedRead]) -> None:
+    def map_batch_columnar(self, batch: ReadBatch
+                           ) -> Optional[MappedBatch]:
+        """Columnar fast path: uniform-length batch through the device
+        quickmap, results as struct-of-arrays (no per-read objects).
+        Returns None when the batch can't take the device path."""
+        lens = np.unique(batch.lengths)
+        if not (self.device_quickmap and len(lens) == 1
+                and int(lens[0]) >= self.index.k):
+            return None
+        L = int(lens[0])
         d = self._qm_run(batch, L)
+        return self._columnar_from_qm(batch, L, d)
+
+    def _columnar_from_qm(self, batch: ReadBatch, L: int,
+                          d: dict) -> MappedBatch:
+        B = batch.size
+        mb = MappedBatch(B, L)
         max_imp = K.max_imperfect_score(L)
         best = d["best_score"].astype(np.int64)
         escalate = best < max_imp if self.maxindel > 0 \
             else np.zeros(len(best), bool)
-        self._direct_fill(batch, L, d, results, ~escalate)
+        d.setdefault("_bases", batch.bases)
+        self._direct_fill_columnar(batch, L, d, mb, ~escalate)
         idxs = np.nonzero(escalate)[0]
         if len(idxs):
-            self._escalate_from_device(batch, L,
-                                       idxs.astype(np.int64), d, results)
+            proxy = _ResultsProxy()
+            self._escalate_from_device(batch, L, idxs.astype(np.int64),
+                                       d, proxy)
+            mb.absorb_objects(proxy.store)
+        return mb
 
-    def _cs_from_device(self, d: dict, idxs: np.ndarray, L: int):
+    def map_stream(self, batches) -> "Iterator[MappedBatch]":
+        """Map an iterator of uniform-length batches with device/host
+        overlap: batch N+1's quickmap is dispatched before batch N's
+        results are transferred and finalized (the TPU analog of the
+        reference's reader/worker thread overlap, SURVEY §2.11 P2)."""
+        pending = None   # (batch, L, handle)
+        for batch in batches:
+            L = int(batch.lengths[0])
+            handle = self._qm_dispatch(batch, L)
+            if pending is not None:
+                pb, pL, ph = pending
+                yield self._columnar_from_qm(pb, pL, ph.host())
+            pending = (batch, L, handle)
+        if pending is not None:
+            pb, pL, ph = pending
+            yield self._columnar_from_qm(pb, pL, ph.host())
+
+    def _map_batch_device(self, batch: ReadBatch, L: int,
+                          results: List[MappedRead]) -> None:
+        d = self._qm_run(batch, L)
+        mb = self._columnar_from_qm(batch, L, d)
+        mb.fill_objects(results)
+        if self.print_secondary:
+            # secondary sites need the candidate table (object path only)
+            max_sw = K.max_quality(L)
+            min_score = int(max_sw * self.min_ratio)
+            scs, dgs, sts = (d["cand_scores"], d["cand_diag"],
+                             d["cand_strand"])
+            for i in np.nonzero(mb.mapped | (mb.score != 0))[0]:
+                secs = []
+                for c in range(1, min(self.max_sites + 1, scs.shape[1])):
+                    sc_c = int(scs[i, c])
+                    if sc_c < min_score:
+                        break
+                    dd = int(dgs[i, c])
+                    ch = int(np.clip(np.searchsorted(
+                        self.chrom_offsets, dd, side="right") - 1, 0,
+                        len(self.chrom_offsets) - 2))
+                    lc = dd - int(self.chrom_offsets[ch])
+                    secs.append((ch + 1, lc, lc + L - 1,
+                                 int(sts[i, c]), sc_c, None))
+                if secs:
+                    results[i].secondary = secs
+
+    def _cs_from_device(self, d: dict, idxs: np.ndarray, L: int,
+                        top: int = 4):
         """Rebuild a host CandidateSet from the device quickmap's fixed
         candidate table, restricted to the escalated reads — avoids
-        re-seeding those reads on the host."""
+        re-seeding those reads on the host. Only the top `top` candidates
+        per read (by gapless score) are slow-aligned — the reference's
+        low-quality site pruning before slow alignment (reference:
+        align2/BBMapThread.scoreSlow minMsaLimit cutoffs,
+        AbstractMapThread.removeLowQualitySites)."""
         scs = d["cand_scores"][idxs]          # (n, C)
         valid = scs > -(2 ** 29)
+        if top is not None and top < scs.shape[1]:
+            kth = -np.partition(-scs, top - 1, axis=1)[:, top - 1:top]
+            valid &= scs >= kth
         n_read, n_c = valid.shape
         rloc = np.repeat(np.arange(n_read), n_c).reshape(n_read, n_c)
         sel = valid.ravel()
@@ -339,15 +554,20 @@ class BBMapAligner:
         n = len(cs)
         needs_dp = np.ones(n, bool)  # all escalated candidates are < maxImp
         wstart = cs.start - SLOW_ALIGN_PADDING
-        wlen = np.full(n, L + 2 * SLOW_ALIGN_PADDING, np.int64) + \
-            _round_up_vec(cs.spread, 64)
-        dp_cache: Dict[int, tuple] = {}
+        # chains wider than the escalation window cap fall through to the
+        # gap-compressed long-indel pass; clamping keeps the DP shape set
+        # small (one or two compiled buckets per run)
+        spread_c = np.minimum(_round_up_vec(cs.spread, 64), 448)
+        wlen = np.full(n, L + 2 * SLOW_ALIGN_PADDING, np.int64) + spread_c
+        # candidates are scored with the cheaper score-only DP; winners
+        # are re-filled with traceback in _finalize_winners
         dp_scores = self._dp_score(cand_reads, wstart, wlen,
-                                   np.arange(n), L, dp_cache)
+                                   np.arange(n), L, None,
+                                   score_only=True)
         return dict(cs=cs, slow=dp_scores, needs_dp=needs_dp,
                     wstart=wstart, wlen=wlen, cand_reads=cand_reads,
                     refs_g=np.zeros((0, L), np.uint8), idxs=idxs, L=L,
-                    dp_cache=dp_cache)
+                    dp_cache=None)
 
     def _escalate_from_device(self, batch: ReadBatch, L: int,
                               idxs: np.ndarray, d: dict,
@@ -460,6 +680,11 @@ class BBMapAligner:
         new["best_strand"] = take(d["cand_strand"], o0)
         new["best_start"] = take(d["cand_start"], o0)
         new["best_spread"] = take(d["cand_spread"], o0)
+        # the device match block covers the device-selected best site;
+        # rows whose winner changed need a host match recompute
+        new["match_stale"] = (
+            (new["best_diag"] != d["best_diag"])
+            | (new["best_strand"] != d["best_strand"]))
         return new, take(scored, o0), take(scored, o1)
 
     def _map_pairs_device(self, b1, b2, L1, L2, res1, res2):
@@ -604,6 +829,7 @@ class BBMapAligner:
             return
         max_sw = K.max_quality(L)
         min_score = int(max_sw * self.min_ratio)
+        jobs = []   # (read_idx, strand, read_row, gref_padded, c2r, C)
         for i in idxs:
             row = batch.bases[i, :L]
             keys_p = seed.keys_at_offsets(row, offsets, k)
@@ -656,31 +882,55 @@ class BBMapAligner:
             if C < L or C > 8192:
                 continue
             Cp = _round_up(C, 256)
-            gpad = np.full(Cp, ord("!"), np.uint8)
-            gpad[:C] = grefw
             read = row if strand == 0 else COMP_ASCII[row][::-1]
-            sym, ln, gaps, sc, col, st = msa_jax.msa_align_batch(
-                read[None, :], gpad[None, :], L, Cp)
-            score = int(sc[0])
-            if score < min_score:
-                continue
-            match = msa_jax.finish_match(np.asarray(sym[0]), int(ln[0]),
-                                         int(gaps[0]))
-            max_col = int(col[0])
-            flat_stop = int(c2r[min(max_col, C) - 1])
-            ref_consumed = sum(1 for ch in match if ch in b"mSND")
-            flat_start = flat_stop - ref_consumed + 1
-            res = results[i]
-            res.mapped = True
-            res.strand = strand
-            res.score = score
-            res.perfect = False
-            res.n_sites = 1
-            chrom, loc = self._chrom_of(flat_start)
-            res.chrom = chrom
-            res.start = loc
-            res.stop = loc + ref_consumed - 1
-            res.match = match
+            jobs.append((i, strand, read, grefw, c2r, C, Cp))
+        if not jobs:
+            return
+        # batch the gap-compressed alignments by padded width — one
+        # device dispatch per bucket instead of one per read
+        buckets: Dict[int, List[int]] = {}
+        for t, job in enumerate(jobs):
+            buckets.setdefault(job[6], []).append(t)
+        launches = []
+        for Cp, slots in buckets.items():
+            chunk = min(256, _bucket_pad(len(slots)))
+            for a, b in _fixed_chunks(len(slots), chunk):
+                reads = np.full((chunk, L), ord("N"), np.uint8)
+                refs = np.full((chunk, Cp), ord("!"), np.uint8)
+                for s_i, t in enumerate(slots[a:b]):
+                    _, _, read, grefw, _, C, _ = jobs[t]
+                    reads[s_i] = read
+                    refs[s_i, :C] = grefw
+                sym, ln, gaps, sc, col, st = msa_jax.msa_align_batch(
+                    reads, refs, L, Cp)
+                launches.append((slots[a:b], (sym, ln, gaps, sc, col)))
+        fetched = _fetch([a for _, outs in launches for a in outs])
+        fi = 0
+        for slots, _ in launches:
+            sym, ln, gaps, sc, col = fetched[fi:fi + 5]
+            fi += 5
+            for s_i, t in enumerate(slots):
+                i, strand, read, grefw, c2r, C, Cp = jobs[t]
+                score = int(sc[s_i])
+                if score < min_score:
+                    continue
+                match = msa_jax.finish_match(sym[s_i], int(ln[s_i]),
+                                             int(gaps[s_i]))
+                max_col = int(col[s_i])
+                flat_stop = int(c2r[min(max_col, C) - 1])
+                ref_consumed = sum(1 for ch in match if ch in b"mSND")
+                flat_start = flat_stop - ref_consumed + 1
+                res = results[i]
+                res.mapped = True
+                res.strand = strand
+                res.score = score
+                res.perfect = False
+                res.n_sites = 1
+                chrom, loc = self._chrom_of(flat_start)
+                res.chrom = chrom
+                res.start = loc
+                res.stop = loc + ref_consumed - 1
+                res.match = match
 
     def _score_candidates(self, batch: ReadBatch, L: int,
                           idxs: np.ndarray) -> Optional[dict]:
@@ -936,17 +1186,21 @@ class BBMapAligner:
 
     def _dp_score(self, cand_reads: np.ndarray, wstart: np.ndarray,
                   wlen: np.ndarray, dp_jobs: np.ndarray, L: int,
-                  dp_cache: Optional[Dict[int, tuple]] = None
-                  ) -> np.ndarray:
-        """Score DP-needing candidates, bucketed by window length. The
-        fused fill+walk kernel returns match symbols directly, so no
-        per-winner device traffic remains (prev codes stay on device)."""
+                  dp_cache: Optional[Dict[int, tuple]] = None,
+                  score_only: bool = False) -> np.ndarray:
+        """Score DP-needing candidates, bucketed by window length.
+        score_only skips the traceback walk (half the sequential DP
+        steps) — winners are re-aligned with traceback afterwards
+        (reference: fillAndScoreLimited scores all sites, traceback runs
+        on kept sites only, align2/BBMapThread.java:309-345)."""
         out = np.zeros(len(dp_jobs), np.int64)
         buckets: Dict[int, List[int]] = {}
         for t, j in enumerate(dp_jobs):
             buckets.setdefault(int(wlen[j]), []).append(t)
+        launches = []   # (slot list, device output arrays)
+        max_chunk = DP_SCORE_CHUNK if score_only else DP_CHUNK
         for C, slots in buckets.items():
-            chunk = min(DP_CHUNK, _bucket_pad(len(slots)))
+            chunk = min(max_chunk, _bucket_pad(len(slots)))
             for a, b in _fixed_chunks(len(slots), chunk):
                 reads = np.full((chunk, L), ord("N"), np.uint8)
                 refs = np.full((chunk, C), ord("N"), np.uint8)
@@ -954,19 +1208,32 @@ class BBMapAligner:
                     j = int(dp_jobs[t])
                     reads[s_i] = cand_reads[j]
                     refs[s_i] = self._window(int(wstart[j]), C)
-                sym, ln, gaps, sc, col, st = msa_jax.msa_align_batch(
-                    reads, refs, L, C)
-                sc = np.asarray(sc)
-                sym = np.asarray(sym)
-                ln = np.asarray(ln)
-                gaps = np.asarray(gaps)
-                col = np.asarray(col)
-                for s_i, t in enumerate(slots[a:b]):
+                if score_only:
+                    sc, col, st = msa_jax.msa_score_batch(reads, refs,
+                                                          L, C)
+                    launches.append((slots[a:b], (sc,)))
+                else:
+                    sym, ln, gaps, sc, col, st = msa_jax.msa_align_batch(
+                        reads, refs, L, C)
+                    launches.append((slots[a:b], (sc, sym, ln, gaps, col)))
+        # all chunks dispatched; fetch everything with overlapping copies
+        fetched = _fetch([a for _, outs in launches for a in outs])
+        fi = 0
+        for slots_chunk, outs in launches:
+            if len(outs) == 1:
+                sc = fetched[fi]
+                fi += 1
+                for s_i, t in enumerate(slots_chunk):
                     out[t] = int(sc[s_i])
-                    if dp_cache is not None:
-                        j = int(dp_jobs[t])
-                        dp_cache[j] = (sym[s_i], int(ln[s_i]),
-                                       int(gaps[s_i]), int(col[s_i]))
+                continue
+            sc, sym, ln, gaps, col = fetched[fi:fi + 5]
+            fi += 5
+            for s_i, t in enumerate(slots_chunk):
+                out[t] = int(sc[s_i])
+                if dp_cache is not None:
+                    j = int(dp_jobs[t])
+                    dp_cache[j] = (sym[s_i], int(ln[s_i]),
+                                   int(gaps[s_i]), int(col[s_i]))
         return out
 
     def _finalize_winners(self, cand_reads, refs_g, cs, winners, results,
@@ -1017,6 +1284,7 @@ class BBMapAligner:
         buckets: Dict[int, List[int]] = {}
         for w in uncached:
             buckets.setdefault(dp_winners[w][3], []).append(w)
+        launches = []
         for C, idx_list in buckets.items():
             chunk = min(DP_CHUNK, _bucket_pad(len(idx_list)))
             for a, b in _fixed_chunks(len(idx_list), chunk):
@@ -1028,18 +1296,20 @@ class BBMapAligner:
                     refs[slot] = self._window(ws, C)
                 sym, ln, gaps, sc, col, st = msa_jax.msa_align_batch(
                     reads, refs, L, C)
-                sym = np.asarray(sym)
-                ln = np.asarray(ln)
-                gaps = np.asarray(gaps)
-                sc = np.asarray(sc)
-                col = np.asarray(col)
-                for slot, w in enumerate(idx_list[a:b]):
-                    read_global, j, ws, wl, score, _dp = dp_winners[w]
-                    match = msa_jax.finish_match(sym[slot], int(ln[slot]),
-                                                 int(gaps[slot]))
-                    self._apply_dp_result(results, read_global, j, match,
-                                          ws, wl, int(col[slot]),
-                                          int(sc[slot]), retries, depth)
+                launches.append((idx_list[a:b],
+                                 (sym, ln, gaps, sc, col)))
+        fetched = _fetch([a for _, outs in launches for a in outs])
+        fi = 0
+        for idx_chunk, _ in launches:
+            sym, ln, gaps, sc, col = fetched[fi:fi + 5]
+            fi += 5
+            for slot, w in enumerate(idx_chunk):
+                read_global, j, ws, wl, score, _dp = dp_winners[w]
+                match = msa_jax.finish_match(sym[slot], int(ln[slot]),
+                                             int(gaps[slot]))
+                self._apply_dp_result(results, read_global, j, match,
+                                      ws, wl, int(col[slot]),
+                                      int(sc[slot]), retries, depth)
         if retries:
             self._traceback_dp(cand_reads, retries, results, L, depth + 1)
 
@@ -1072,6 +1342,18 @@ class BBMapAligner:
         # a wider retry window may have found a better alignment; use the
         # fill's own score for the final record
         res.score = score
+
+
+def _fetch(arrs):
+    """Start all device->host copies, then block — N transfers overlap
+    instead of paying N serial round-trips (the tunnel's per-transfer
+    latency dominates over bandwidth)."""
+    for a in arrs:
+        try:
+            a.copy_to_host_async()
+        except Exception:
+            pass
+    return [np.asarray(a) for a in arrs]
 
 
 def _round_up(x: int, m: int) -> int:

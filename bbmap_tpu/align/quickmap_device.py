@@ -1,22 +1,29 @@
-"""Device quickmap: seeding -> chaining -> gapless scoring -> selection as
-ONE jitted XLA program.
+"""Device quickmap: seeding -> chaining -> gapless scoring -> match
+generation as ONE jitted XLA program with ONE packed result transfer.
 
 TPU-native replacement for the whole per-read search loop of the
 reference (reference: align2/AbstractMapThread.quickMap:643 +
 align2/BBIndex.find:403/slowWalk2:855): the CSR index (starts/sites) and
-packed genome live in HBM; a batch of reads flows through
+2-bit packed genome live in HBM; a batch of reads flows through
 
 1. key extraction at spaced offsets (2-bit packing, both strands)
-2. bounded site-list gather from the CSR arrays (lists capped at
-   MAX_SITES_PER_KEY; longer lists are skipped like the reference's
-   over-long list exclusion, BBIndex.find:421-440)
+2. bounded site-list gather from the CSR arrays. The per-key cap is
+   index-adaptive: lists up to ``min(32, max_usable_length)`` are used;
+   longer lists are SKIPPED entirely, the reference's over-long list
+   exclusion (reference: BBIndex.find:421-440, analyzeIndex:101-191) —
+   never silently truncated.
 3. diagonal sort + chain segmentation (replaces the Quad heap merge)
 4. per-chain vote counts, spread, and modal diagonal via segment ops
 5. top-K candidate selection per read
-6. gapless streak scoring of every candidate at its modal diagonal
-7. per-read best/second selection with clearzone ambiguity
+6. gapless streak scoring of every candidate at its modal diagonal,
+   against the 2-bit packed genome (one int32 word gather per 16 ref
+   bases + register shifts — not a byte gather per base)
+7. per-read best/second selection and the best site's m/S/N match
+   symbols (reference: genMatchNoIndels:1956-1972), packed 2 bits/base
 
-The host receives one fixed-shape result bundle per batch; only DP
+The host receives exactly TWO arrays per batch — one (B, meta+candidates)
+int32 matrix and one (B, ceil(L/4)) uint8 packed match block — so a batch
+costs two device->host transfers regardless of content. Only DP
 escalation (indels) and SAM formatting remain host-side.
 
 Deviations from the host path (documented): votes = chain hit count
@@ -27,7 +34,7 @@ run (ties -> lowest diagonal).
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Optional, Tuple
+from typing import Dict, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -37,44 +44,139 @@ from ..core import constants as K
 from ..core.bases import BASE_TO_NUMBER
 from ..index.build import KmerIndex
 from . import seed as seed_host
-from .gapless import score_no_indels_jax
+from .gapless import score_match_sub_vec
 
-MAX_SITES_PER_KEY = 8
+MAX_SITES_CAP = 32     # upper bound on the adaptive per-key site-list cap
+SLOT_BUDGET = 64       # total site slots per (read, strand) — the dense
+# equivalent of the reference's per-read hit-list working set; keys are
+# packed into the budget by exclusive prefix sum, so short lists don't
+# pay for the longest list's padding. Random HBM gathers are the
+# dominant cost on TPU, so the budget is sized to cover ~3x the average
+# per-read site total rather than the worst case.
 MAX_CANDIDATES = 8
 I32 = jnp.int32
+U32 = jnp.uint32
 BIG = np.int32(2 ** 30)
 
-_B2N = np.full(256, -1, np.int8)
-_B2N[:] = BASE_TO_NUMBER
+# ASCII -> 2-bit code, undefined -> 4
+_B2C = np.full(256, 4, np.uint8)
+for _i, _ch in enumerate("ACGT"):
+    _B2C[ord(_ch)] = _i
+    _B2C[ord(_ch.lower())] = _i
+_B2C[ord("U")] = 3
+_B2C[ord("u")] = 3
+
+# match-symbol 2-bit codes (packed transfer): 0=m 1=S 2=N 3=pad
+_SYM_TABLE = np.frombuffer(b"mSNN", np.uint8)
+# byte -> 4 symbols LUT for host unpacking
+_UNPACK_LUT = np.zeros((256, 4), np.uint8)
+for _b in range(256):
+    for _s in range(4):
+        _UNPACK_LUT[_b, _s] = _SYM_TABLE[(_b >> (2 * _s)) & 3]
+
+N_META = 7  # best_score, best_diag, best_strand, best_start, best_spread,
+#             second_score, n_good
+N_CFIELD = 5  # scores, diag, strand, start, spread
 
 
-class QuickmapResult(NamedTuple):
-    best_score: jnp.ndarray    # (B,) int32 gapless score of best site
-    best_diag: jnp.ndarray     # (B,) int32 flat genome pos of read base 0
-    best_strand: jnp.ndarray   # (B,) int32
-    best_start: jnp.ndarray    # (B,) int32 chain min-diagonal
-    best_spread: jnp.ndarray   # (B,) int32 chain diagonal spread
-    second_score: jnp.ndarray  # (B,) int32
-    n_good: jnp.ndarray        # (B,) int32 candidates above cutoff
-    cand_scores: jnp.ndarray   # (B, MAX_CANDIDATES) int32 (debug/DP)
-    cand_diag: jnp.ndarray     # (B, MAX_CANDIDATES) int32
-    cand_strand: jnp.ndarray   # (B, MAX_CANDIDATES) int32
-    cand_start: jnp.ndarray    # (B, MAX_CANDIDATES) int32
-    cand_spread: jnp.ndarray   # (B, MAX_CANDIDATES) int32
+def pack_genome_2bit(codes: np.ndarray):
+    """uint8 code array (0..3, 4=N) -> (gpack uint32 16 bases/word,
+    nmask uint32 32 bases/word). Both padded so window gathers never
+    index out of range."""
+    G = len(codes)
+    nw = (G + 15) // 16 + 2
+    c = np.minimum(codes, 3).astype(np.uint32)
+    cpad = np.zeros(nw * 16, np.uint32)
+    cpad[:G] = c
+    shifts = (2 * np.arange(16, dtype=np.uint32))
+    gpack = (cpad.reshape(nw, 16) << shifts[None, :]).sum(
+        axis=1, dtype=np.uint32)
+    nwn = (G + 31) // 32 + 2
+    nbit = (codes > 3).astype(np.uint32)
+    npad = np.zeros(nwn * 32, np.uint32)
+    npad[:G] = nbit
+    bshift = np.arange(32, dtype=np.uint32)
+    nmask = (npad.reshape(nwn, 32) << bshift[None, :]).sum(
+        axis=1, dtype=np.uint32)
+    return gpack, nmask
 
 
-def _keys_from_ascii(bases, offsets, k):
-    """(B, L) ASCII -> (B, nk) int32 keys, -1 invalid."""
-    table = jnp.asarray(_B2N, jnp.int32)
-    codes = table[bases.astype(jnp.int32)]
-    nk = offsets.shape[0]
-    keys = jnp.zeros(bases.shape[:1] + (nk,), jnp.int32)
-    bad = jnp.zeros_like(keys, dtype=bool)
+def extract_ref_codes(gpack, nmask, base, L: int, G: int):
+    """Gather L consecutive genome codes starting at flat position
+    ``base`` (any leading shape; may be out of range). Returns
+    (codes uint8 (..., L) in 0..3, is_n bool (..., L) — N or out of
+    bounds). One uint32 gather per 16 bases + register shifts instead of
+    a byte gather per base."""
+    base = base.astype(I32)
+    NW = (L + 15) // 16 + 1
+    w0 = base >> 4                       # arithmetic shift = floor div
+    o = (base & 15).astype(U32)
+    idx = w0[..., None] + jnp.arange(NW, dtype=I32)
+    idx = jnp.clip(idx, 0, gpack.shape[0] - 1)
+    w = gpack[idx]                       # (..., NW) uint32
+    sh = (2 * o)[..., None]
+    lo = w[..., :-1] >> sh
+    hi = jnp.where(sh == 0, jnp.uint32(0),
+                   w[..., 1:] << ((jnp.uint32(32) - sh) & jnp.uint32(31)))
+    aligned = lo | hi                    # (..., NW-1) = 16*(NW-1) bases
+    slots = jnp.arange(16, dtype=U32) * 2
+    codes = ((aligned[..., :, None] >> slots) & 3).astype(jnp.uint8)
+    codes = codes.reshape(codes.shape[:-2] + ((NW - 1) * 16,))[..., :L]
+
+    NWn = (L + 31) // 32 + 1
+    nw0 = base >> 5
+    no = (base & 31).astype(U32)
+    nidx = nw0[..., None] + jnp.arange(NWn, dtype=I32)
+    nidx = jnp.clip(nidx, 0, nmask.shape[0] - 1)
+    nwords = nmask[nidx]
+    nsh = no[..., None]
+    nlo = nwords[..., :-1] >> nsh
+    nhi = jnp.where(nsh == 0, jnp.uint32(0),
+                    nwords[..., 1:] << ((jnp.uint32(32) - nsh)
+                                        & jnp.uint32(31)))
+    naligned = nlo | nhi
+    bslots = jnp.arange(32, dtype=U32)
+    nbits = ((naligned[..., :, None] >> bslots) & 1).astype(bool)
+    nbits = nbits.reshape(nbits.shape[:-2] + ((NWn - 1) * 32,))[..., :L]
+
+    pos = base[..., None] + jnp.arange(L, dtype=I32)
+    oob = (pos < 0) | (pos >= G)
+    return codes, nbits | oob
+
+
+def ascii_to_codes(bases):
+    """(..., L) ASCII -> 2-bit codes 0..3 (A0 C1 G2 T3), 4 for anything
+    else. Pure arithmetic — a 256-entry table gather costs ~40x more than
+    these compares on TPU."""
+    c = bases.astype(I32)
+    x = (c >> 1) & 3          # A->0 C->1 G->3 T->2
+    x = x ^ (x >> 1)          # swap 2<->3: A0 C1 G2 T3
+    ok = (c == 65) | (c == 67) | (c == 71) | (c == 84) \
+        | (c == 97) | (c == 99) | (c == 103) | (c == 116) \
+        | (c == 85) | (c == 117)                    # ACGT/acgt/Uu
+    return jnp.where(ok, x, 4).astype(jnp.uint8)
+
+
+def _keys_all_positions(codes, k, L):
+    """(B, L) 2-bit codes -> (B, L-k+1) int32 keys via shifted slices
+    (no gathers), -1 where the window contains an undefined base."""
+    m = L - k + 1
+    ci = codes.astype(I32)
+    keys = jnp.zeros(codes.shape[:1] + (m,), I32)
+    bad = jnp.zeros(codes.shape[:1] + (m,), bool)
     for j in range(k):
-        c = codes[:, offsets + j]
-        bad |= c < 0
-        keys = (keys << 2) | jnp.where(c < 0, 0, c)
+        c = ci[:, j:m + j]
+        bad |= c > 3
+        keys = (keys << 2) | jnp.where(c > 3, 0, c)
     return jnp.where(bad, -1, keys)
+
+
+def _keys_from_codes(codes, offsets_list, k, L):
+    """(B, L) 2-bit codes -> (B, nk) keys at the static seed offsets.
+    offsets_list is a Python tuple, so the per-offset picks compile to
+    static slices instead of a gather."""
+    keys_all = _keys_all_positions(codes, k, L)
+    return jnp.stack([keys_all[:, o] for o in offsets_list], axis=1)
 
 
 def _rc_keys(keys, k):
@@ -84,40 +186,91 @@ def _rc_keys(keys, k):
     x = ((x & 0x00FF00FF) << 8) | ((x >> 8) & 0x00FF00FF)
     x = ((x & 0x0000FFFF) << 16) | (x >> 16)
     x = x >> (32 - 2 * k)
-    return x.astype(jnp.int32)
+    return x.astype(I32)
+
+
+class QuickmapRun:
+    """Handle for an in-flight quickmap dispatch: keeps the two device
+    result arrays so callers can overlap host work with device compute;
+    ``host()`` blocks, transfers both, and unpacks into the result dict."""
+
+    def __init__(self, out_i32, out_match, L: int):
+        self._out_i32 = out_i32
+        self._out_match = out_match
+        self._L = L
+        # start both device->host copies in flight immediately so they
+        # overlap each other (and the rest of the dispatch queue)
+        try:
+            out_i32.copy_to_host_async()
+            out_match.copy_to_host_async()
+        except Exception:
+            pass
+
+    def host(self) -> Dict[str, np.ndarray]:
+        m = np.asarray(self._out_i32)
+        pk = np.asarray(self._out_match)
+        B = m.shape[0]
+        C = MAX_CANDIDATES
+        d = {
+            "best_score": m[:, 0],
+            "best_diag": m[:, 1],
+            "best_strand": m[:, 2],
+            "best_start": m[:, 3],
+            "best_spread": m[:, 4],
+            "second_score": m[:, 5],
+            "n_good": m[:, 6],
+        }
+        cand = m[:, N_META:].reshape(B, N_CFIELD, C)
+        d["cand_scores"] = cand[:, 0]
+        d["cand_diag"] = cand[:, 1]
+        d["cand_strand"] = cand[:, 2]
+        d["cand_start"] = cand[:, 3]
+        d["cand_spread"] = cand[:, 4]
+        # packed 2-bit match symbols -> (B, L) ASCII m/S/N
+        d["best_match"] = _UNPACK_LUT[pk].reshape(B, -1)[:, :self._L]
+        return d
 
 
 def build_quickmap(index: KmerIndex, L: int, chain_dist: int = 400,
                    min_ratio: float = 0.56,
                    max_list_length: Optional[int] = None):
-    """Returns a jitted quickmap(bases_ascii (B, L) uint8) -> QuickmapResult.
-    Device-resident constants (CSR index + genome) are closed over."""
+    """Returns quickmap(bases_ascii (B, L) uint8) -> QuickmapRun.
+    Device-resident constants (CSR index + packed genome) are closed
+    over. The per-key site-list cap adapts to the index's frequency
+    analysis (reference: analyzeIndex MAX_USABLE_LENGTH) and to the
+    actual longest list, bounded by MAX_SITES_CAP."""
     k = index.k
     offsets_np = seed_host.make_offsets(L, k)
     if offsets_np is None:
         raise ValueError(f"read length {L} < k {k}")
     nk = len(offsets_np)
+    actual_max = int(np.diff(index.starts).max()) if len(index.sites) \
+        else 1
     if max_list_length is None:
-        max_list_length = min(index.max_usable_length, MAX_SITES_PER_KEY)
-    max_list_length = min(max_list_length, MAX_SITES_PER_KEY)
+        max_list_length = min(index.max_usable_length, MAX_SITES_CAP,
+                              max(actual_max, 1))
+    S = int(max(2, min(max_list_length, MAX_SITES_CAP, SLOT_BUDGET)))
 
     starts_d = jax.device_put(index.starts.astype(np.int32))
     sites_d = jax.device_put(index.sites.astype(np.int32))
-    from ..core.bases import codes_to_ascii
-    genome_ascii = codes_to_ascii(index.genome_codes)
-    genome_d = jax.device_put(genome_ascii)
-    G = len(genome_ascii)
+    gpack_np, nmask_np = pack_genome_2bit(index.genome_codes)
+    gpack_d = jax.device_put(gpack_np)
+    nmask_d = jax.device_put(nmask_np)
+    G = len(index.genome_codes)
     offsets_d = jnp.asarray(offsets_np.astype(np.int32))
     offadj_minus = jnp.asarray((L - (offsets_np + k)).astype(np.int32))
-    n_slots = 2 * nk * MAX_SITES_PER_KEY
     max_sw = K.max_quality(L)
     min_score = int(max_sw * min_ratio)
 
     INVALID = jnp.int32(2 ** 30)
+    L4 = (L + 3) // 4
 
-    def quickmap(bases, starts_d, sites_d, genome_d):
+    offsets_list = tuple(int(o) for o in offsets_np)
+
+    def quickmap(bases, starts_d, sites_d, gpack_d, nmask_d):
         B = bases.shape[0]
-        kp = _keys_from_ascii(bases, offsets_d, k)          # (B, nk)
+        rcodes = ascii_to_codes(bases)                      # (B, L) 0..4
+        kp = _keys_from_codes(rcodes, offsets_list, k, L)   # (B, nk)
         km = jnp.where(kp < 0, -1, _rc_keys(jnp.where(kp < 0, 0, kp), k))
         keys = jnp.stack([kp, km], axis=1)                  # (B, 2, nk)
         offadj = jnp.stack([
@@ -127,17 +280,31 @@ def build_quickmap(index: KmerIndex, L: int, chain_dist: int = 400,
         safe = jnp.where(valid, keys, 0)
         s0 = starts_d[safe]
         cnt = starts_d[safe + 1] - s0
-        cnt = jnp.where(valid & (cnt <= max_list_length), cnt, 0)
-        # bounded gather: (B, 2, nk, S)
-        sl = jnp.arange(MAX_SITES_PER_KEY, dtype=I32)
-        gather_idx = s0[..., None] + sl
+        # over-long lists are skipped entirely (reference exclusion
+        # semantics, BBIndex.find:421-440), not truncated
+        cnt = jnp.where(valid & (cnt <= S), cnt, 0)
+        # budget-slot gather: pack each (read, strand)'s site lists into
+        # SLOT_BUDGET contiguous slots via prefix sums — the compute cost
+        # scales with the budget, not nk * (longest allowed list)
+        WB = SLOT_BUDGET
+        cum = jnp.cumsum(cnt, axis=-1)                      # (B, 2, nk)
+        wslot = jnp.arange(WB, dtype=I32)
+        # key of slot w = #{keys whose cumulative count <= w}
+        kidx = jnp.sum((cum[..., None] <= wslot).astype(I32),
+                       axis=2)                              # (B, 2, WB)
+        valid_slot = wslot < cum[..., -1:]
+        kidx_c = jnp.clip(kidx, 0, nk - 1)
+        cum0 = jnp.concatenate(
+            [jnp.zeros(cum.shape[:-1] + (1,), I32), cum], axis=-1)
+        prev = jnp.take_along_axis(cum0, kidx_c, axis=-1)   # sites before
+        s0_slot = jnp.take_along_axis(s0, kidx_c, axis=-1)
+        offadj_slot = jnp.take_along_axis(offadj, kidx_c, axis=-1)
+        gather_idx = s0_slot + (wslot - prev)
         gather_idx = jnp.clip(gather_idx, 0, sites_d.shape[0] - 1)
-        site = sites_d[gather_idx]
-        have = sl[None, None, None, :] < cnt[..., None]
-        diag = jnp.where(have, site - offadj[..., None],
-                         INVALID)
+        site = sites_d[gather_idx]                          # (B, 2, WB)
+        diag = jnp.where(valid_slot, site - offadj_slot, INVALID)
         # sort diagonals within each (read, strand)
-        flat = diag.reshape(B * 2, nk * MAX_SITES_PER_KEY)
+        flat = diag.reshape(B * 2, WB)
         flat = jnp.sort(flat, axis=1)
         valid_f = flat < INVALID
 
@@ -145,7 +312,7 @@ def build_quickmap(index: KmerIndex, L: int, chain_dist: int = 400,
         # carried by each chain's FIRST element via prefix scans + gathers
         # (segment_sum/min/max lower to scatters on TPU; cumsum/cummax do
         # not)
-        W = nk * MAX_SITES_PER_KEY
+        W = WB
         nseg = W
         R2 = B * 2
         dd = jnp.diff(flat, axis=1)
@@ -210,20 +377,17 @@ def build_quickmap(index: KmerIndex, L: int, chain_dist: int = 400,
         cd_spread = jnp.where(cd_valid,
                               (cd_stop - cd_start).astype(I32), 0)
 
-        # gapless scoring at modal diagonal
-        pos = jnp.clip(cd_mode[..., None] + jnp.arange(L), 0, G - 1)
-        inb = (cd_mode[..., None] + jnp.arange(L) >= 0) & \
-              (cd_mode[..., None] + jnp.arange(L) < G)
-        refs = jnp.where(inb, genome_d[pos], ord("N")).astype(jnp.uint8)
-        # strand-adjusted reads
-        comp = jnp.asarray(_COMP_TABLE)
-        rc = comp[bases.astype(jnp.int32)][:, ::-1].astype(jnp.uint8)
-        cand_reads = jnp.where((cd_strand == 0)[..., None],
-                               bases[:, None, :], rc[:, None, :])
-        scores = score_no_indels_jax(
-            cand_reads.reshape(B * MAX_CANDIDATES, L),
-            refs.reshape(B * MAX_CANDIDATES, L), L
-        ).reshape(B, MAX_CANDIDATES)
+        # gapless scoring at modal diagonal, against the packed genome
+        ref_codes, ref_n = extract_ref_codes(
+            gpack_d, nmask_d, cd_mode, L, G)         # (B, C, L)
+        rc = jnp.where(rcodes <= 3, 3 - rcodes, rcodes)[:, ::-1]
+        cand_codes = jnp.where((cd_strand == 0)[..., None],
+                               rcodes[:, None, :], rc[:, None, :])
+        read_n = cand_codes > 3
+        eq = (cand_codes == ref_codes) & ~ref_n
+        is_match = eq & ~read_n
+        is_sub = ~eq & ~read_n & ~ref_n
+        scores = score_match_sub_vec(is_match, is_sub)  # (B, C)
         scores = jnp.where(cd_valid, scores, -(2 ** 30))
 
         # per-read best/second (deterministic: score desc, then slot order,
@@ -235,25 +399,36 @@ def build_quickmap(index: KmerIndex, L: int, chain_dist: int = 400,
         best_score = g1(scores, o0)
         second_score = g1(scores, o1)
         n_good = jnp.sum(scores >= min_score, axis=1).astype(I32)
-        return QuickmapResult(
-            best_score=best_score.astype(I32),
-            best_diag=g1(cd_mode, o0),
-            best_strand=g1(cd_strand, o0),
-            best_start=g1(cd_start, o0),
-            best_spread=g1(cd_spread, o0).astype(I32),
-            second_score=second_score.astype(I32),
-            n_good=n_good,
-            cand_scores=scores.astype(I32),
-            cand_diag=cd_mode,
-            cand_strand=cd_strand,
-            cand_start=cd_start,
-            cand_spread=cd_spread.astype(I32),
-        )
+
+        # match symbols of the best site: 2-bit codes 0=m 1=S 2=N
+        sym2 = jnp.where(read_n | ref_n, 2,
+                         jnp.where(eq, 0, 1)).astype(jnp.uint8)  # (B,C,L)
+        best_sym = jnp.take_along_axis(
+            sym2, o0[..., None], axis=1)[:, 0]                   # (B, L)
+        pad = jnp.full((B, L4 * 4 - L), 3, jnp.uint8)
+        padded = jnp.concatenate([best_sym, pad], axis=1)
+        quads = padded.reshape(B, L4, 4).astype(jnp.uint32)
+        packshift = jnp.arange(4, dtype=U32) * 2
+        out_match = (quads << packshift[None, None, :]).sum(
+            axis=2, dtype=jnp.uint32).astype(jnp.uint8)
+
+        meta_cols = jnp.stack([
+            best_score.astype(I32), g1(cd_mode, o0), g1(cd_strand, o0),
+            g1(cd_start, o0), g1(cd_spread, o0).astype(I32),
+            second_score.astype(I32), n_good], axis=1)        # (B, 7)
+        cand_block = jnp.stack([
+            scores.astype(I32), cd_mode, cd_strand, cd_start,
+            cd_spread.astype(I32)], axis=1).reshape(B, N_CFIELD *
+                                                    MAX_CANDIDATES)
+        out_i32 = jnp.concatenate([meta_cols, cand_block], axis=1)
+        return out_i32, out_match
 
     jitted = jax.jit(quickmap)
 
-    def run(bases):
-        return jitted(bases, starts_d, sites_d, genome_d)
+    def run(bases) -> QuickmapRun:
+        out_i32, out_match = jitted(bases, starts_d, sites_d, gpack_d,
+                                    nmask_d)
+        return QuickmapRun(out_i32, out_match, L)
 
     return run
 

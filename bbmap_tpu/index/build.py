@@ -32,6 +32,8 @@ class KmerIndex:
     chrom_offsets: np.ndarray  # int64 [n_chroms + 1]
     counts_canonical: Optional[np.ndarray] = None  # int32 [4^k], key+rc hits
     max_usable_length: int = 1 << 30  # list-length exclusion threshold
+    max_usable_length2: int = 1 << 30  # staged re-admission threshold
+    # (reference: BBIndex.MAX_USABLE_LENGTH2, find:421-440)
 
     @property
     def n_keys(self) -> int:
@@ -109,27 +111,108 @@ def build_index(genome: Genome, k: int = 13,
                      chrom_offsets=offsets)
 
 
+# reference: align2/BBIndex.java:3243-3251, AbstractIndex.java:141
+SMALL_GENOME_LIST = 20
+CLUMPY_MAX_DIST = 5
+CLUMPY_MIN_LENGTH_INDEX = 2000
+CLUMPY_FRACTION = 0.75
+DOUBLE_SEARCH_THRESH_MULT = 0.25
+HIST_BUCKETS = 1000
+
+
 def analyze_index(index: KmerIndex,
-                  fraction_to_exclude: float = 0.03) -> None:
-    """Frequency analysis: canonical (key + rc) list lengths -> histogram ->
-    exclusion threshold (reference: align2/BBIndex.java:101-191
-    analyzeIndex). Over-long lists are skipped at search time with staged
-    re-admission (reference: BBIndex.find:421-440)."""
+                  fraction_to_exclude: float = 0.03,
+                  remove_clumpy: bool = True) -> None:
+    """Frequency analysis (reference: align2/BBIndex.analyzeIndex:101-191):
+
+    1. canonical (key + rc summed) per-key site counts
+    2. clumpy-key removal: keys whose site list is long (>2000 canonical)
+       and >=75% tandem (consecutive sites within 5 bp) are zeroed — both
+       the key and its rc (reference: :125-169); here the CSR arrays are
+       compacted so every consumer sees the exclusion
+    3. SITE-weighted length histogram with 1000 quantile buckets
+       (reference: Tools.makeLengthHistogram3/4:1797-1852 — the quantile
+       is over genome positions, NOT distinct keys) ->
+       MAX_USABLE_LENGTH = max(2*SMALL_GENOME_LIST, hist[(1-f)*1000])
+       (reference: :176-184) with the re-admission threshold
+       MAX_USABLE_LENGTH2 likewise.
+    """
+    lengths = np.diff(index.starts)
+    nzk = np.nonzero(lengths)[0]
+    if len(nzk) == 0:
+        index.max_usable_length = 1 << 30
+        return
+    rc_nzk = reverse_complement_key(nzk, index.k)
+    canon_nzk = (lengths[nzk] + lengths[rc_nzk]).astype(np.int64)
+
+    if remove_clumpy:
+        # only canonical lists > 2000 are candidates — enumerate them and
+        # check tandemness directly on their (sorted) site slices
+        cand = nzk[canon_nzk > CLUMPY_MIN_LENGTH_INDEX]
+        drop = set()
+        for key in cand:
+            key = int(key)
+            if key in drop:
+                continue
+            rk = int(reverse_complement_key(key, index.k))
+            clumps = 0
+            ln = 0
+            for kk in {key, rk}:
+                s = index.sites[index.starts[kk]:index.starts[kk + 1]]
+                if len(s) > 1:
+                    d = np.diff(s.astype(np.int64))
+                    clumps += int(((d > 0) & (d <= CLUMPY_MAX_DIST)).sum())
+                ln += len(s)
+            if ln > CLUMPY_MIN_LENGTH_INDEX and \
+                    clumps > CLUMPY_FRACTION * ln:
+                drop.add(key)
+                drop.add(rk)
+        if drop:
+            keep = np.ones(len(index.sites), bool)
+            for key in drop:
+                keep[index.starts[key]:index.starts[key + 1]] = False
+            new_counts = np.diff(index.starts).copy()
+            for key in drop:
+                new_counts[key] = 0
+            index.sites = index.sites[keep]
+            starts = np.zeros(len(index.starts), np.int64)
+            np.cumsum(new_counts, out=starts[1:])
+            index.starts = starts
+            lengths = np.diff(index.starts)
+            nzk = np.nonzero(lengths)[0]
+            if len(nzk) == 0:
+                index.max_usable_length = 1 << 30
+                return
+            rc_nzk = reverse_complement_key(nzk, index.k)
+            canon_nzk = (lengths[nzk] + lengths[rc_nzk]).astype(np.int64)
+
     if fraction_to_exclude <= 0:
         index.max_usable_length = 1 << 30
         return
-    lengths = np.diff(index.starts)
-    rc = reverse_complement_key(np.arange(index.n_keys, dtype=np.int64),
-                                index.k)
-    canonical = (lengths + lengths[rc]).astype(np.int64)
-    index.counts_canonical = canonical.astype(np.int32)
-    nz = canonical[canonical > 0]
-    if len(nz) == 0:
-        index.max_usable_length = 1 << 30
-        return
-    # length histogram with 1000 quantiles (reference: :172)
-    q = np.quantile(nz, 1.0 - fraction_to_exclude, method="lower")
-    index.max_usable_length = max(int(q), 1)
+
+    # canonical values live on every key of each (key, rc) pair in the
+    # reference's COUNTS array; reproduce the same multiset over the
+    # union of present keys and their rcs (zero-length keys whose rc is
+    # present carry the pair's canonical value too)
+    all_keys = np.unique(np.concatenate([nzk, rc_nzk]))
+    rc_all = reverse_complement_key(all_keys, index.k)
+    canon = (lengths[all_keys] + lengths[rc_all]).astype(np.int64)
+
+    # site-weighted histogram: cum[l] = total weight of lists <= l
+    nkeys_by_len = np.bincount(canon)
+    w = nkeys_by_len * np.arange(len(nkeys_by_len), dtype=np.int64)
+    cum = np.cumsum(w)
+    total = int(cum[-1])
+    bucket_idx = np.arange(HIST_BUCKETS, dtype=np.int64)
+    limits = (total * bucket_idx + HIST_BUCKETS // 2) // HIST_BUCKETS
+    hist = np.searchsorted(cum, limits, side="left")
+    hist = np.append(hist, len(nkeys_by_len) - 1)
+
+    i1 = int((1 - fraction_to_exclude) * HIST_BUCKETS)
+    i2 = int((1 - fraction_to_exclude * DOUBLE_SEARCH_THRESH_MULT)
+             * HIST_BUCKETS)
+    index.max_usable_length = max(2 * SMALL_GENOME_LIST, int(hist[i1]))
+    index.max_usable_length2 = max(6 * SMALL_GENOME_LIST, int(hist[i2]))
 
 
 def set_fraction_to_exclude(genome_bases: int) -> float:

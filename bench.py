@@ -9,6 +9,14 @@ Baseline: the reference publishes no numeric throughput table
 BBMap on 2x150bp vs E. coli with 32 threads, a mid-range estimate of the
 poster-era "similar in speed to bwa" claim (BASELINE.md rows 1-2).
 vs_baseline = value / 30000.
+
+Workload honesty (VERDICT r1 "the bench flatters the mapper"): the genome
+is E. coli-sized with implanted repeat families (7x 5 kbp rRNA-like
+operons, 20x 1.2 kbp IS-element-like, 30x 700 bp diverged copies) so
+k-mer site lists are NOT uniformly short; reads carry substitutions AND
+1-10 bp indels; `sensitivity` reports the strict-correct fraction
+(mapped within +-20 bp of the sampled origin, gradesam-strict style,
+reference: align2/GradeSamFile.java:17).
 """
 
 import os
@@ -22,28 +30,63 @@ BASELINE_READS_PER_SEC = 30_000.0
 
 
 def make_genome(n=4_600_000, seed=7):
+    """Random body + implanted repeat families (divergence 1%)."""
     rng = np.random.default_rng(seed)
     bases = np.frombuffer(b"ACGT", np.uint8)
-    return rng.choice(bases, size=n).astype(np.uint8)
+    g = rng.choice(bases, size=n).astype(np.uint8)
+
+    def implant(length, copies, divergence=0.01):
+        unit = rng.choice(bases, size=length).astype(np.uint8)
+        for _ in range(copies):
+            at = int(rng.integers(0, n - length))
+            u = unit.copy()
+            nmut = int(length * divergence)
+            if nmut:
+                pos = rng.choice(length, size=nmut, replace=False)
+                u[pos] = bases[rng.integers(0, 4, size=nmut)]
+            g[at:at + length] = u
+
+    implant(5000, 7)     # rRNA-operon-like
+    implant(1200, 20)    # IS-element-like
+    implant(700, 30)     # short diverged repeats
+    return g
 
 
-def make_reads(genome, n_reads, L=150, err_rate=0.1, seed=11):
-    """Sample reads; ~err_rate of them get 1-3 substitutions; half are
-    reverse-complemented."""
+def make_reads(genome, n_reads, L=150, seed=11):
+    """Sample reads with truth starts. Error model: ~78% clean, 12% with
+    1-3 substitutions, 5% with one 1-10 bp deletion, 5% with one 1-10 bp
+    insertion; half reverse-complemented. Returns (reads (N, L) uint8
+    ASCII, truth_start (N,) int64)."""
     from bbmap_tpu.core.bases import COMP_ASCII
     rng = np.random.default_rng(seed)
-    starts = rng.integers(0, len(genome) - L, size=n_reads)
-    idx = starts[:, None] + np.arange(L)[None, :]
-    reads = genome[idx].copy()
-    n_err = int(n_reads * err_rate)
-    err_rows = rng.choice(n_reads, size=n_err, replace=False)
-    for r in err_rows:
+    W = L + 12
+    starts = rng.integers(0, len(genome) - W, size=n_reads)
+    idx = starts[:, None] + np.arange(W)[None, :]
+    windows = genome[idx]
+    reads = windows[:, :L].copy()
+    r = rng.random(n_reads)
+    sub_rows = np.nonzero((r >= 0.78) & (r < 0.90))[0]
+    del_rows = np.nonzero((r >= 0.90) & (r < 0.95))[0]
+    ins_rows = np.nonzero(r >= 0.95)[0]
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    for i in sub_rows:
         for _ in range(int(rng.integers(1, 4))):
             p = int(rng.integers(0, L))
-            reads[r, p] = ord("ACGT"[int(rng.integers(0, 4))])
+            reads[i, p] = bases[int(rng.integers(0, 4))]
+    for i in del_rows:
+        d = int(rng.integers(1, 11))
+        p = int(rng.integers(10, L - 10))
+        w = windows[i]
+        reads[i] = np.concatenate([w[:p], w[p + d:p + d + (L - p)]])
+    for i in ins_rows:
+        d = int(rng.integers(1, 11))
+        p = int(rng.integers(10, L - 10))
+        ins = bases[rng.integers(0, 4, size=d)]
+        reads[i] = np.concatenate([reads[i, :p], ins,
+                                   reads[i, p:L - d]])
     flip = rng.random(n_reads) < 0.5
     reads[flip] = COMP_ASCII[reads[flip]][:, ::-1]
-    return reads
+    return reads, starts.astype(np.int64)
 
 
 def main():
@@ -54,7 +97,6 @@ def main():
     from bbmap_tpu.core.batch import ReadBatch
     from bbmap_tpu.core.genome import Genome, Scaffold
     from bbmap_tpu.index.build import analyze_index, build_index
-    from bbmap_tpu.io.fastx import SeqRecord
 
     gbases = make_genome()
     g = Genome(chroms=[gbases], scaffolds=[
@@ -67,30 +109,46 @@ def main():
 
     L = 150
     batch_size = int(os.environ.get("BENCH_BATCH", 32768))
-    reads = make_reads(gbases, batch_size * 4, L=L)
+    n_batches = 1 + int(os.environ.get("BENCH_STEADY_BATCHES", 3))
+    reads, truth = make_reads(gbases, batch_size * n_batches, L=L)
 
-    def run_batch(lo):
-        recs = [SeqRecord(str(i), bytes(reads[i]), b"I" * L, i)
-                for i in range(lo, lo + batch_size)]
-        b = ReadBatch.from_records(recs)
-        res = aligner.map_batch(b)
-        return sum(r.mapped for r in res)
+    def mk_batch(b):
+        lo = b * batch_size
+        rows = reads[lo:lo + batch_size]
+        return ReadBatch(
+            bases=rows, quality=None,
+            lengths=np.full(batch_size, L, np.int32),
+            ids=[str(i) for i in range(lo, lo + batch_size)],
+            numeric_ids=np.arange(lo, lo + batch_size, dtype=np.int64))
 
-    # warmup (compiles)
-    n_mapped = run_batch(0)
+    # warmup batch compiles every steady-state program shape
+    mb0 = aligner.map_batch_columnar(mk_batch(0))
+    stats = [mb0]
+
     t0 = time.time()
-    total = 0
-    for lo in (batch_size, 2 * batch_size, 3 * batch_size):
-        n_mapped += run_batch(lo)
-        total += batch_size
+    for mb in aligner.map_stream(mk_batch(b) for b in range(1, n_batches)):
+        stats.append(mb)
     dt = time.time() - t0
+    total = (n_batches - 1) * batch_size
     rps = total / dt
+
+    # grade all batches (strict-correct within +-20 of the truth origin)
+    n_mapped = 0
+    n_correct = 0
+    for b, mb in enumerate(stats):
+        lo = b * batch_size
+        n_mapped += int(mb.mapped.sum())
+        ok = mb.mapped & (np.abs(mb.start - truth[lo:lo + batch_size])
+                          <= 20)
+        n_correct += int(ok.sum())
+    n_total = n_batches * batch_size
     print(json.dumps({
         "metric": "reads_per_sec_per_chip_2x150_ecoli",
         "value": round(rps, 1),
         "unit": "reads/s",
         "vs_baseline": round(rps / BASELINE_READS_PER_SEC, 3),
-        "mapped_fraction": round(n_mapped / (4 * batch_size), 4),
+        "mapped_fraction": round(n_mapped / n_total, 4),
+        "sensitivity": round(n_correct / n_total, 4),
         "setup_seconds": round(setup_s, 1),
     }))
     return 0
