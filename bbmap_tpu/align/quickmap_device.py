@@ -231,6 +231,21 @@ class QuickmapRun:
         return d
 
 
+def device_arrays(index: KmerIndex):
+    """Device-resident (starts, sites, gpack, nmask, G) for an index,
+    uploaded once and shared by the quickmap and the DP escalation
+    programs (the packed genome is the biggest single HBM tenant)."""
+    ent = getattr(index, "_device_arrays", None)
+    if ent is None:
+        gpack_np, nmask_np = pack_genome_2bit(index.genome_codes)
+        ent = (jax.device_put(index.starts.astype(np.int32)),
+               jax.device_put(index.sites.astype(np.int32)),
+               jax.device_put(gpack_np), jax.device_put(nmask_np),
+               len(index.genome_codes))
+        index._device_arrays = ent
+    return ent
+
+
 def build_quickmap(index: KmerIndex, L: int, chain_dist: int = 400,
                    min_ratio: float = 0.56,
                    max_list_length: Optional[int] = None):
@@ -251,12 +266,7 @@ def build_quickmap(index: KmerIndex, L: int, chain_dist: int = 400,
                               max(actual_max, 1))
     S = int(max(2, min(max_list_length, MAX_SITES_CAP, SLOT_BUDGET)))
 
-    starts_d = jax.device_put(index.starts.astype(np.int32))
-    sites_d = jax.device_put(index.sites.astype(np.int32))
-    gpack_np, nmask_np = pack_genome_2bit(index.genome_codes)
-    gpack_d = jax.device_put(gpack_np)
-    nmask_d = jax.device_put(nmask_np)
-    G = len(index.genome_codes)
+    starts_d, sites_d, gpack_d, nmask_d, G = device_arrays(index)
     offsets_d = jnp.asarray(offsets_np.astype(np.int32))
     offadj_minus = jnp.asarray((L - (offsets_np + k)).astype(np.int32))
     max_sw = K.max_quality(L)
