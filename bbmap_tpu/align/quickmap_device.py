@@ -295,22 +295,27 @@ def build_quickmap(index: KmerIndex, L: int, chain_dist: int = 400,
         cnt = jnp.where(valid & (cnt <= S), cnt, 0)
         # budget-slot gather: pack each (read, strand)'s site lists into
         # SLOT_BUDGET contiguous slots via prefix sums — the compute cost
-        # scales with the budget, not nk * (longest allowed list)
+        # scales with the budget, not nk * (longest allowed list). The
+        # slot->key assignment is an unrolled interval test per key
+        # (3D elementwise ops) rather than a (B, 2, nk, WB) searchsorted
+        # tensor + take_along chains, which XLA lowers ~2x slower.
         WB = SLOT_BUDGET
         cum = jnp.cumsum(cnt, axis=-1)                      # (B, 2, nk)
         wslot = jnp.arange(WB, dtype=I32)
-        # key of slot w = #{keys whose cumulative count <= w}
-        kidx = jnp.sum((cum[..., None] <= wslot).astype(I32),
-                       axis=2)                              # (B, 2, WB)
+        base = jnp.zeros((B, 2, WB), I32)   # s0_t - cum0_t of owning key
+        offadj_slot = jnp.zeros((B, 2, WB), I32)
+        cum_prev = jnp.zeros((B, 2), I32)
+        for t in range(nk):
+            cum_t = cum[:, :, t]
+            m = (cum_prev[..., None] <= wslot) \
+                & (wslot < cum_t[..., None])
+            base = jnp.where(m, (s0[:, :, t] - cum_prev)[..., None],
+                             base)
+            offadj_slot = jnp.where(m, offadj[:, :, t][..., None],
+                                    offadj_slot)
+            cum_prev = cum_t
         valid_slot = wslot < cum[..., -1:]
-        kidx_c = jnp.clip(kidx, 0, nk - 1)
-        cum0 = jnp.concatenate(
-            [jnp.zeros(cum.shape[:-1] + (1,), I32), cum], axis=-1)
-        prev = jnp.take_along_axis(cum0, kidx_c, axis=-1)   # sites before
-        s0_slot = jnp.take_along_axis(s0, kidx_c, axis=-1)
-        offadj_slot = jnp.take_along_axis(offadj, kidx_c, axis=-1)
-        gather_idx = s0_slot + (wslot - prev)
-        gather_idx = jnp.clip(gather_idx, 0, sites_d.shape[0] - 1)
+        gather_idx = jnp.clip(base + wslot, 0, sites_d.shape[0] - 1)
         site = sites_d[gather_idx]                          # (B, 2, WB)
         diag = jnp.where(valid_slot, site - offadj_slot, INVALID)
         # sort diagonals within each (read, strand)
@@ -339,8 +344,6 @@ def build_quickmap(index: KmerIndex, L: int, chain_dist: int = 400,
             [nxt[:, 1:], jnp.full((R2, 1), W, I32)], axis=1)
         size = jnp.where(new_chain, next_start - idx, 0)
         last_idx = jnp.clip(next_start - 1, 0, W - 1)
-        smin = flat                                  # first elem = chain min
-        smax = jnp.take_along_axis(flat, last_idx, axis=1)
 
         # modal diagonal: longest equal-diag run in the chain; ties ->
         # lowest diag. Encode (run_size, earliness) per run-first element
@@ -360,28 +363,32 @@ def build_quickmap(index: KmerIndex, L: int, chain_dist: int = 400,
         seg_ord = jnp.cumsum(new_chain.astype(I32), axis=1)  # 1..W
         glob = (seg_ord << 16) | jnp.where(new_run, meta, 0)
         gmax = jax.lax.cummax(glob, axis=1)
-        # winner meta at the chain's last element
-        win = jnp.take_along_axis(gmax, last_idx, axis=1)
-        win_off = 255 - (win & 0xFF)
-        mode_idx = jnp.clip(seg_start + win_off, 0, W - 1)
-        mode = jnp.take_along_axis(flat, mode_idx, axis=1)
 
         # candidate table per read: (B, 2*W); non-first elements have 0
-        # votes and never reach the top-k
+        # votes and never reach the top-k. Full-width per-row gathers
+        # (take_along_axis) are deferred until after top_k — a
+        # (B, 2W)-wide take costs ~10x the whole top_k, a (B, K)-wide
+        # take is noise.
         votes = size.reshape(B, 2 * nseg)
-        c_start = smin.reshape(B, 2 * nseg)
-        c_stop = smax.reshape(B, 2 * nseg)
-        c_mode = mode.reshape(B, 2 * nseg)
-        c_strand = jnp.concatenate(
-            [jnp.zeros((B, nseg), I32), jnp.ones((B, nseg), I32)], axis=1)
-
-        topv, topi = jax.lax.top_k(votes, MAX_CANDIDATES)
-        gi = topi
-        take = lambda a: jnp.take_along_axis(a, gi, axis=1)
-        cd_start = take(c_start)
-        cd_stop = take(c_stop)
-        cd_mode = take(c_mode)
-        cd_strand = jnp.take_along_axis(c_strand, gi, axis=1)
+        topv, topi = jax.lax.top_k(votes, MAX_CANDIDATES)  # (B, K)
+        # global-slot helpers: second half of the slot axis is strand 1
+        half = (topi >= nseg).astype(I32)
+        cd_strand = half
+        strand_off = half * nseg
+        flat2 = flat.reshape(B, 2 * nseg)
+        last2 = last_idx.reshape(B, 2 * nseg)
+        segs2 = seg_start.reshape(B, 2 * nseg)
+        gmax2 = gmax.reshape(B, 2 * nseg)
+        take = lambda a, i: jnp.take_along_axis(a, i, axis=1)
+        cd_start = take(flat2, topi)                 # chain min diag
+        cd_last = jnp.clip(take(last2, topi) + strand_off,
+                           0, 2 * nseg - 1)          # global last idx
+        cd_stop = take(flat2, cd_last)               # chain max diag
+        win = take(gmax2, cd_last)                   # winner-run meta
+        win_off = 255 - (win & 0xFF)
+        cd_mode_idx = jnp.clip(take(segs2, topi) + win_off, 0, nseg - 1)
+        cd_mode = take(flat2, jnp.clip(cd_mode_idx + strand_off,
+                                       0, 2 * nseg - 1))
         cd_votes = topv
         cd_valid = cd_votes > 0
         cd_spread = jnp.where(cd_valid,
