@@ -1074,7 +1074,12 @@ class BBMapAligner:
             C = len(grefw)
             if C < L or C > 8192:
                 continue
-            Cp = _round_up(C, 256)
+            # canonical power-of-two widths (>=512) so at most 5 DP
+            # programs ever compile for this pass — variable widths made
+            # steady state recompile nearly every batch
+            Cp = 512
+            while Cp < C:
+                Cp <<= 1
             read = row if strand == 0 else COMP_ASCII[row][::-1]
             jobs.append((i, strand, read, grefw, c2r, C, Cp))
         if not jobs:
@@ -1086,7 +1091,7 @@ class BBMapAligner:
             buckets.setdefault(job[6], []).append(t)
         launches = []
         for Cp, slots in buckets.items():
-            chunk = min(256, _bucket_pad(len(slots)))
+            chunk = 16   # fixed: job counts here are tiny (tens/batch)
             for a, b in _fixed_chunks(len(slots), chunk):
                 reads = np.full((chunk, L), ord("N"), np.uint8)
                 refs = np.full((chunk, Cp), ord("!"), np.uint8)
