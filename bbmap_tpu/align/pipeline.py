@@ -224,7 +224,13 @@ class BBMapAligner:
                  chain_dist: int = 400,
                  ambig_mode: str = "best", maxindel: int = 16000,
                  device_quickmap: bool = True, local: bool = False,
-                 print_secondary: bool = False, max_sites: int = 5):
+                 print_secondary: bool = False, max_sites: int = 5,
+                 mesh=None, n_index_shards: int = 1):
+        # multi-chip: shard the CSR index over the mesh's "index" axis
+        # and read batches over "data" (reference P4/P5; VERDICT r1 #2)
+        self.mesh = mesh
+        self.n_index_shards = n_index_shards
+        self._sharded_index = None
         self.print_secondary = print_secondary
         self.max_sites = max_sites
         self.local = local
@@ -296,9 +302,19 @@ class BBMapAligner:
         stream/ConcurrentGenericReadInputStream.java:122-166)."""
         from . import quickmap_device
         if L not in self._qm_cache:
-            self._qm_cache[L] = quickmap_device.build_quickmap(
-                self.index, L, chain_dist=self.chain_dist,
-                min_ratio=self.min_ratio)
+            if self.mesh is not None:
+                from ..parallel import sharded
+                if self._sharded_index is None:
+                    self._sharded_index = sharded.shard_index(
+                        self.index, self.n_index_shards)
+                self._qm_cache[L] = sharded.build_sharded_quickmap(
+                    self.mesh, self.index, self._sharded_index, L,
+                    chain_dist=self.chain_dist,
+                    min_ratio=self.min_ratio)
+            else:
+                self._qm_cache[L] = quickmap_device.build_quickmap(
+                    self.index, L, chain_dist=self.chain_dist,
+                    min_ratio=self.min_ratio)
         return self._qm_cache[L](batch.bases[:, :L])
 
     def _qm_run(self, batch: ReadBatch, L: int):

@@ -246,38 +246,60 @@ def device_arrays(index: KmerIndex):
     return ent
 
 
-def build_quickmap(index: KmerIndex, L: int, chain_dist: int = 400,
-                   min_ratio: float = 0.56,
-                   max_list_length: Optional[int] = None):
-    """Returns quickmap(bases_ascii (B, L) uint8) -> QuickmapRun.
-    Device-resident constants (CSR index + packed genome) are closed
-    over. The per-key site-list cap adapts to the index's frequency
-    analysis (reference: analyzeIndex MAX_USABLE_LENGTH) and to the
-    actual longest list, bounded by MAX_SITES_CAP."""
+class QmConfig(NamedTuple):
+    """Static quickmap configuration shared by the single-device and the
+    mesh-sharded builds (parallel/sharded.py)."""
+    k: int
+    L: int
+    S: int                 # per-key site-list cap (GLOBAL list length)
+    chain_dist: int
+    min_score: int
+    offsets_list: tuple    # static seed offsets
+    G: int                 # flat genome length
+
+
+def make_config(index: KmerIndex, L: int, chain_dist: int = 400,
+                min_ratio: float = 0.56,
+                max_list_length: Optional[int] = None) -> QmConfig:
     k = index.k
     offsets_np = seed_host.make_offsets(L, k)
     if offsets_np is None:
         raise ValueError(f"read length {L} < k {k}")
-    nk = len(offsets_np)
     actual_max = int(np.diff(index.starts).max()) if len(index.sites) \
         else 1
     if max_list_length is None:
         max_list_length = min(index.max_usable_length, MAX_SITES_CAP,
                               max(actual_max, 1))
     S = int(max(2, min(max_list_length, MAX_SITES_CAP, SLOT_BUDGET)))
-
-    starts_d, sites_d, gpack_d, nmask_d, G = device_arrays(index)
-    offsets_d = jnp.asarray(offsets_np.astype(np.int32))
-    offadj_minus = jnp.asarray((L - (offsets_np + k)).astype(np.int32))
     max_sw = K.max_quality(L)
-    min_score = int(max_sw * min_ratio)
+    return QmConfig(k=k, L=L, S=S, chain_dist=chain_dist,
+                    min_score=int(max_sw * min_ratio),
+                    offsets_list=tuple(int(o) for o in offsets_np),
+                    G=len(index.genome_codes))
 
+
+def candidate_stage(cfg: QmConfig, bases, starts_d, sites_d,
+                    okpack_d=None):
+    """Steps 1-5 (seed -> chain -> vote -> top-K candidates) against ONE
+    CSR index shard. Returns (rcodes (B, L), cand dict of (B, K) arrays:
+    votes, mode, strand, start, spread).
+
+    ``okpack_d``: optional packed per-key admission bitmask (bit = global
+    list length <= S). On the sharded path each shard sees only its local
+    list, so over-long-list exclusion (reference: BBIndex.find:421-440)
+    must consult the GLOBAL length — single-device passes None and uses
+    the local (= global) count directly."""
+    k, L, S = cfg.k, cfg.L, cfg.S
+    chain_dist = cfg.chain_dist
+    offsets_list = cfg.offsets_list
+    nk = len(offsets_list)
+    offsets_d = jnp.asarray(np.asarray(offsets_list, np.int32))
+    offadj_minus = jnp.asarray(
+        (L - (np.asarray(offsets_list) + k)).astype(np.int32))
     INVALID = jnp.int32(2 ** 30)
-    L4 = (L + 3) // 4
 
-    offsets_list = tuple(int(o) for o in offsets_np)
-
-    def quickmap(bases, starts_d, sites_d, gpack_d, nmask_d):
+    if True:
+        bases = bases
         B = bases.shape[0]
         rcodes = ascii_to_codes(bases)                      # (B, L) 0..4
         kp = _keys_from_codes(rcodes, offsets_list, k, L)   # (B, nk)
@@ -292,7 +314,12 @@ def build_quickmap(index: KmerIndex, L: int, chain_dist: int = 400,
         cnt = starts_d[safe + 1] - s0
         # over-long lists are skipped entirely (reference exclusion
         # semantics, BBIndex.find:421-440), not truncated
-        cnt = jnp.where(valid & (cnt <= S), cnt, 0)
+        if okpack_d is None:
+            admit = cnt <= S
+        else:
+            okbit = (okpack_d[safe >> 5] >> (safe & 31).astype(U32)) & 1
+            admit = okbit.astype(bool)
+        cnt = jnp.where(valid & admit, cnt, 0)
         # budget-slot gather: pack each (read, strand)'s site lists into
         # SLOT_BUDGET contiguous slots via prefix sums — the compute cost
         # scales with the budget, not nk * (longest allowed list). The
@@ -393,7 +420,28 @@ def build_quickmap(index: KmerIndex, L: int, chain_dist: int = 400,
         cd_valid = cd_votes > 0
         cd_spread = jnp.where(cd_valid,
                               (cd_stop - cd_start).astype(I32), 0)
+        return rcodes, {"votes": cd_votes, "mode": cd_mode,
+                        "strand": cd_strand, "start": cd_start,
+                        "spread": cd_spread}
 
+
+def finalize_stage(cfg: QmConfig, rcodes, cand, gpack_d, nmask_d):
+    """Steps 6-7: gapless scoring of the candidate table at each modal
+    diagonal + best/second selection + packed match symbols. ``cand`` is
+    the dict produced by candidate_stage (possibly merged across index
+    shards). Returns (out_i32 (B, N_META + 5K), out_match packed)."""
+    L, G, min_score = cfg.L, cfg.G, cfg.min_score
+    INVALID = jnp.int32(2 ** 30)
+    L4 = (L + 3) // 4
+    B = rcodes.shape[0]
+    cd_votes = cand["votes"]
+    cd_mode = cand["mode"]
+    cd_strand = cand["strand"]
+    cd_start = cand["start"]
+    cd_spread = cand["spread"]
+    cd_valid = cd_votes > 0
+
+    if True:
         # gapless scoring at modal diagonal, against the packed genome
         ref_codes, ref_n = extract_ref_codes(
             gpack_d, nmask_d, cd_mode, L, G)         # (B, C, L)
@@ -435,10 +483,26 @@ def build_quickmap(index: KmerIndex, L: int, chain_dist: int = 400,
             second_score.astype(I32), n_good], axis=1)        # (B, 7)
         cand_block = jnp.stack([
             scores.astype(I32), cd_mode, cd_strand, cd_start,
-            cd_spread.astype(I32)], axis=1).reshape(B, N_CFIELD *
-                                                    MAX_CANDIDATES)
+            cd_spread.astype(I32)], axis=1).reshape(
+                B, N_CFIELD * cd_votes.shape[1])
         out_i32 = jnp.concatenate([meta_cols, cand_block], axis=1)
         return out_i32, out_match
+
+
+def build_quickmap(index: KmerIndex, L: int, chain_dist: int = 400,
+                   min_ratio: float = 0.56,
+                   max_list_length: Optional[int] = None):
+    """Returns quickmap(bases_ascii (B, L) uint8) -> QuickmapRun.
+    Device-resident constants (CSR index + packed genome) are closed
+    over. The per-key site-list cap adapts to the index's frequency
+    analysis (reference: analyzeIndex MAX_USABLE_LENGTH) and to the
+    actual longest list, bounded by MAX_SITES_CAP."""
+    cfg = make_config(index, L, chain_dist, min_ratio, max_list_length)
+    starts_d, sites_d, gpack_d, nmask_d, _G = device_arrays(index)
+
+    def quickmap(bases, starts_d, sites_d, gpack_d, nmask_d):
+        rcodes, cand = candidate_stage(cfg, bases, starts_d, sites_d)
+        return finalize_stage(cfg, rcodes, cand, gpack_d, nmask_d)
 
     jitted = jax.jit(quickmap)
 

@@ -75,3 +75,168 @@ def sharded_score_step(mesh: Mesh, R: int, C: int):
 
 def shard_batch(mesh: Mesh, arr: np.ndarray, spec: P) -> jax.Array:
     return jax.device_put(arr, NamedSharding(mesh, spec))
+
+
+# ---------------------------------------------------------------------------
+# Real sharded pipeline (VERDICT r1 next-step #2): the CSR k-mer index —
+# the dominant HBM tenant at ~5 bytes/genome-base vs 0.25 for the packed
+# genome — is partitioned into contiguous genome blocks over the mesh's
+# "index" axis (reference P4: per-block sub-indexes,
+# align2/BBIndex.java:616-642, IndexMaker4 CHROMS_PER_BLOCK). Each shard
+# runs the quickmap candidate stage (seed->chain->vote->top-K) against
+# its block; candidates all-gather over "index" and merge with the exact
+# single-device selection order; gapless scoring + match generation run
+# on the merged top-K against the replicated packed genome. Reads are
+# data-parallel over the "data" axis (reference P1/P5).
+# ---------------------------------------------------------------------------
+
+from dataclasses import dataclass
+
+from ..align import quickmap_device as qd
+from ..index.build import KmerIndex
+
+
+@dataclass
+class ShardedIndex:
+    """CSR index partitioned into contiguous genome blocks. Sites keep
+    GLOBAL flat positions, so merged candidates need no coordinate
+    translation."""
+    n_shards: int
+    bounds: np.ndarray      # (n_shards + 1,) block boundaries (flat)
+    starts_s: np.ndarray    # (n_shards, 4^k + 1) int32 per-block CSR
+    sites_s: np.ndarray     # (n_shards, width) int32, padded
+
+
+def shard_index(index: KmerIndex, n_shards: int,
+                bounds: Optional[np.ndarray] = None) -> ShardedIndex:
+    """Partition the CSR index at genome-block boundaries. Default
+    bounds: equal flat splits snapped to scaffold starts when one lies
+    within 25% of the block size (the reference packs whole chromosomes
+    per block; chains never straddle blocks there — snapping preserves
+    that property for multi-scaffold genomes)."""
+    G = len(index.genome_codes)
+    if bounds is None:
+        raw = np.linspace(0, G, n_shards + 1).astype(np.int64)
+        snapped = raw.copy()
+        offs = np.asarray(index.chrom_offsets, np.int64)
+        blk = G / max(n_shards, 1)
+        for i in range(1, n_shards):
+            j = np.argmin(np.abs(offs - raw[i]))
+            if abs(int(offs[j]) - int(raw[i])) <= 0.25 * blk:
+                snapped[i] = offs[j]
+        bounds = snapped
+    bounds = np.asarray(bounds, np.int64)
+    assert len(bounds) == n_shards + 1
+    n_keys = index.n_keys
+    lengths = np.diff(index.starts)
+    key_of_site = np.repeat(np.arange(n_keys, dtype=np.int64), lengths)
+    block_of_site = np.clip(
+        np.searchsorted(bounds, index.sites, side="right") - 1,
+        0, n_shards - 1)
+    starts_list = []
+    sites_list = []
+    for b in range(n_shards):
+        sel = block_of_site == b
+        counts_b = np.bincount(key_of_site[sel], minlength=n_keys)
+        st = np.zeros(n_keys + 1, np.int64)
+        np.cumsum(counts_b, out=st[1:])
+        starts_list.append(st.astype(np.int32))
+        # selection preserves order, and global per-key lists are in
+        # ascending position order, so per-block lists stay sorted
+        sites_list.append(index.sites[sel])
+    width = max(1, max(len(s) for s in sites_list))
+    sites_s = np.zeros((n_shards, width), np.int32)
+    for b, s in enumerate(sites_list):
+        sites_s[b, :len(s)] = s
+    return ShardedIndex(n_shards=n_shards, bounds=bounds,
+                        starts_s=np.stack(starts_list), sites_s=sites_s)
+
+
+def _pack_ok_bitmask(index: KmerIndex, S: int) -> np.ndarray:
+    """bit[key] = global site-list length <= S (the over-long-list
+    exclusion must see GLOBAL lengths on every shard)."""
+    ok = (np.diff(index.starts) <= S)
+    n_keys = len(ok)
+    nw = (n_keys + 31) // 32
+    pad = np.zeros(nw * 32, bool)
+    pad[:n_keys] = ok
+    bits = pad.reshape(nw, 32).astype(np.uint32)
+    return (bits << np.arange(32, dtype=np.uint32)[None, :]).sum(
+        axis=1, dtype=np.uint32)
+
+
+def _merge_candidates(cand, K: int):
+    """Merge per-shard candidate tables (B, n_shards*K arrays) down to
+    the global top-K with EXACTLY the single-device selection order:
+    votes desc, then strand asc, then chain-start diagonal asc (the
+    single-device top_k's slot order — strand-major, diagonals sorted
+    ascending within strand)."""
+    votes = cand["votes"]
+    # two stable argsorts emulate the lexicographic key without int64:
+    # sort by start asc, then stably by (budget-votes)*2+strand asc
+    ord1 = jnp.argsort(cand["start"], axis=1, stable=True)
+    take1 = lambda a: jnp.take_along_axis(a, ord1, axis=1)
+    v1 = take1(votes)
+    s1 = take1(cand["strand"])
+    key1 = (jnp.int32(1 << 20) - v1) * 2 + s1
+    ord2 = jnp.argsort(key1, axis=1, stable=True)[:, :K]
+    final = jnp.take_along_axis(ord1, ord2, axis=1)
+    take = lambda a: jnp.take_along_axis(a, final, axis=1)
+    return {k: take(v) for k, v in cand.items()}
+
+
+def build_sharded_quickmap(mesh: Mesh, index: KmerIndex,
+                           sindex: ShardedIndex, L: int,
+                           chain_dist: int = 400,
+                           min_ratio: float = 0.56,
+                           max_list_length: Optional[int] = None):
+    """Mesh-sharded quickmap over the REAL pipeline candidate/finalize
+    stages. Returns run(bases (B, L) uint8) -> QuickmapRun with B
+    divisible by the mesh "data" axis size. Output semantics match
+    build_quickmap exactly when chains do not straddle block bounds
+    (guaranteed for scaffold-aligned bounds)."""
+    from jax.experimental.shard_map import shard_map
+
+    cfg = qd.make_config(index, L, chain_dist, min_ratio,
+                         max_list_length)
+    K = qd.MAX_CANDIDATES
+    okpack = _pack_ok_bitmask(index, cfg.S)
+    gpack_np, nmask_np = qd.pack_genome_2bit(index.genome_codes)
+
+    repl = NamedSharding(mesh, P())
+    okpack_d = jax.device_put(okpack, repl)
+    gpack_d = jax.device_put(gpack_np, repl)
+    nmask_d = jax.device_put(nmask_np, repl)
+    starts_d = jax.device_put(sindex.starts_s,
+                              NamedSharding(mesh, P("index", None)))
+    sites_d = jax.device_put(sindex.sites_s,
+                             NamedSharding(mesh, P("index", None)))
+
+    def worker(bases, starts_s, sites_s, okpack, gpack, nmask):
+        # local shapes: starts_s (1, 4^k+1), sites_s (1, width)
+        rcodes, cand = qd.candidate_stage(
+            cfg, bases, starts_s[0], sites_s[0], okpack)
+        # all-gather candidate tables over the index axis -> (B, n*K)
+        gathered = {
+            k: jax.lax.all_gather(v, "index", axis=1, tiled=True)
+            for k, v in cand.items()}
+        merged = _merge_candidates(gathered, K)
+        return qd.finalize_stage(cfg, rcodes, merged, gpack, nmask)
+
+    sm = shard_map(
+        worker, mesh=mesh,
+        in_specs=(P("data", None), P("index", None), P("index", None),
+                  P(), P(), P()),
+        out_specs=(P("data", None), P("data", None)),
+        check_rep=False)
+    jitted = jax.jit(sm)
+
+    def run(bases) -> qd.QuickmapRun:
+        bases_d = jax.device_put(
+            np.ascontiguousarray(bases),
+            NamedSharding(mesh, P("data", None)))
+        out_i32, out_match = jitted(bases_d, starts_d, sites_d,
+                                    okpack_d, gpack_d, nmask_d)
+        return qd.QuickmapRun(out_i32, out_match, L)
+
+    return run

@@ -1,0 +1,112 @@
+"""Multi-chip sharded pipeline tests (VERDICT r1 #2): the CSR index is
+partitioned into genome blocks over the mesh "index" axis, reads are
+data-parallel over "data", and merged results must match the
+single-device path exactly (reference P4: align2/BBIndex.java:616-642,
+P5: stream/ConcurrentReadInputStreamD.java:157).
+
+conftest forces 8 virtual CPU devices, so a (4 data x 2 index) mesh is
+always available.
+"""
+
+import numpy as np
+import pytest
+
+from bbmap_tpu.align import quickmap_device as qd
+from bbmap_tpu.align.pipeline import BBMapAligner
+from bbmap_tpu.core.batch import ReadBatch
+from bbmap_tpu.core.genome import Genome, Scaffold
+from bbmap_tpu.index.build import analyze_index, build_index
+from bbmap_tpu.parallel import sharded
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = np.random.default_rng(0)
+    bases4 = np.frombuffer(b"ACGT", np.uint8)
+    chroms = [rng.choice(bases4, size=n).astype(np.uint8)
+              for n in (40_000, 44_000)]
+    g = Genome(chroms=chroms, scaffolds=[
+        Scaffold(chrom=i + 1, sid=i + 1, start=0, length=len(c),
+                 name=f"s{i + 1}") for i, c in enumerate(chroms)
+    ]).finalize()
+    index = build_index(g, 10)
+    analyze_index(index, 0.01)
+    return g, index, rng
+
+
+def _reads(index, rng, B, L):
+    gc = index.genome_codes
+    A = np.frombuffer(b"ACGTN", np.uint8)
+    ok = np.lib.stride_tricks.sliding_window_view(gc < 4, L).all(axis=1)
+    starts = rng.choice(np.nonzero(ok)[0], size=B)
+    reads = A[np.minimum(np.stack([gc[s:s + L] for s in starts]), 4)]
+    bases4 = np.frombuffer(b"ACGT", np.uint8)
+    for i in range(0, B, 3):
+        for _ in range(2):
+            reads[i, rng.integers(0, L)] = bases4[rng.integers(0, 4)]
+    return reads, starts
+
+
+def test_shard_index_partition(setup):
+    """Every site lands in exactly one shard; per-key lists stay sorted;
+    concatenation over shards reproduces the global CSR."""
+    _, index, _ = setup
+    sidx = sharded.shard_index(index, 2)
+    total = 0
+    for b in range(2):
+        n = int(sidx.starts_s[b, -1])
+        total += n
+        sites_b = sidx.sites_s[b, :n]
+        lo, hi = sidx.bounds[b], sidx.bounds[b + 1]
+        assert ((sites_b >= lo) & (sites_b < hi)).all()
+    assert total == len(index.sites)
+    # spot-check a few keys: global list == concat of shard lists
+    lengths = np.diff(index.starts)
+    for key in np.nonzero(lengths > 1)[0][:20]:
+        glob = index.sites[index.starts[key]:index.starts[key + 1]]
+        parts = [
+            sidx.sites_s[b][sidx.starts_s[b, key]:
+                            sidx.starts_s[b, key + 1]]
+            for b in range(2)]
+        assert np.array_equal(np.sort(glob), np.concatenate(parts))
+
+
+def test_sharded_quickmap_parity(setup):
+    """Full quickmap output dict identical between the sharded mesh path
+    and the single-device path."""
+    _, index, rng = setup
+    L, B = 100, 64
+    reads, _ = _reads(index, rng, B, L)
+    run1 = qd.build_quickmap(index, L)
+    d1 = run1(reads).host()
+    mesh = sharded.make_mesh(n_data=4, n_index=2)
+    sidx = sharded.shard_index(index, 2)
+    run2 = sharded.build_sharded_quickmap(mesh, index, sidx, L)
+    d2 = run2(reads).host()
+    for k in d1:
+        assert np.array_equal(d1[k], d2[k]), f"mismatch in {k}"
+
+
+def test_sharded_pipeline_end_to_end_parity(setup):
+    """BBMapAligner.map_batch_columnar over the mesh == single device,
+    including the escalation tiers."""
+    g, index, rng = setup
+    L, B = 100, 64
+    reads, starts = _reads(index, rng, B, L)
+    batch = ReadBatch(
+        bases=reads, quality=None, lengths=np.full(B, L, np.int32),
+        ids=[str(i) for i in range(B)],
+        numeric_ids=np.arange(B, dtype=np.int64))
+    mesh = sharded.make_mesh(n_data=4, n_index=2)
+    multi = BBMapAligner(g, index, mesh=mesh, n_index_shards=2)
+    single = BBMapAligner(g, index)
+    mb_m = multi.map_batch_columnar(batch)
+    mb_s = single.map_batch_columnar(batch)
+    for field in ("mapped", "strand", "chrom", "start", "stop",
+                  "score", "ambiguous"):
+        assert np.array_equal(getattr(mb_s, field),
+                              getattr(mb_m, field)), field
+    assert int(mb_m.mapped.sum()) == B
+    offs = np.asarray(index.chrom_offsets)
+    flat = offs[np.asarray(mb_m.chrom) - 1] + np.asarray(mb_m.start)
+    assert (np.abs(flat - starts) <= 5).all()
