@@ -61,12 +61,15 @@ class DeviceWindows:
         self.G = G
 
 
-def make_programs(L: int, dw: DeviceWindows):
+def make_programs(L: int, dw: DeviceWindows, profile=None):
     """Build the four fixed-shape programs for read length L. Returns a
     dict with 'score_n', 'score_w', 'trace_n', 'trace_w' callables taking
     (reads (J, L) uint8 ascii, wstart (J,) int32) -> device arrays."""
     G = dw.G
     gpack_d, nmask_d = dw.gpack_d, dw.nmask_d
+    if profile is None:
+        from ..core.constants import SHORT_PROFILE
+        profile = SHORT_PROFILE
 
     def build(C: int, trace: bool):
         def prog(reads, wstart):
@@ -75,10 +78,12 @@ def make_programs(L: int, dw: DeviceWindows):
             refs = _codes_to_ascii_dev(codes, isn)          # (J, C)
             if trace:
                 return jax.vmap(
-                    lambda rd, rf: msa_jax._align_single(rd, rf, L, C)
+                    lambda rd, rf: msa_jax._align_single(rd, rf, L, C,
+                                                         P=profile)
                 )(reads, refs)
             return jax.vmap(
-                lambda rd, rf: msa_jax.msa_score_single(rd, rf, L, C)
+                lambda rd, rf: msa_jax.msa_score_single(rd, rf, L, C,
+                                                        profile)
             )(reads, refs)
         return jax.jit(prog)
 

@@ -27,13 +27,19 @@ _N = ord("N")
 
 def score_no_indels_flat(reads: np.ndarray, lengths: np.ndarray,
                          genome: np.ndarray,
-                         ref_starts: np.ndarray) -> np.ndarray:
+                         ref_starts: np.ndarray,
+                         prof=None) -> np.ndarray:
     """Score J gapless alignments.
 
     reads: (J, Lmax) ASCII; lengths: (J,); genome: flat ASCII genome;
     ref_starts: (J,) flat genome position aligned to read base 0.
     Returns int32 scores. Positions outside the genome score POINTS_NOREF
     (reference: :1902-1913)."""
+    PM, PM2, PSUB, PSUB2, PSUB3, LIM3 = (
+        (POINTS_MATCH, POINTS_MATCH2, POINTS_SUB, POINTS_SUB2,
+         POINTS_SUB3, 5) if prof is None else
+        (prof.POINTS_MATCH, prof.POINTS_MATCH2, prof.POINTS_SUB,
+         prof.POINTS_SUB2, prof.POINTS_SUB3, prof.LIMIT_FOR_COST_3))
     J, Lmax = reads.shape
     G = len(genome)
     pos = ref_starts[:, None] + np.arange(Lmax)[None, :]
@@ -67,11 +73,11 @@ def score_no_indels_flat(reads: np.ndarray, lengths: np.ndarray,
     run_start[run_id[newrun]] = np.nonzero(newrun)[0]
     pos_in_run = np.arange(len(rows)) - run_start[run_id]
 
-    pts = np.where(
-        kinds == 0,
-        np.where(pos_in_run == 0, POINTS_MATCH, POINTS_MATCH2),
-        POINTS_SUB_ARRAY[np.minimum(pos_in_run + 1,
-                                    len(POINTS_SUB_ARRAY) - 1)])
+    sub_i = pos_in_run + 1
+    sub_pts = np.where(sub_i > LIM3, PSUB3,
+                       np.where(sub_i > 1, PSUB2, PSUB))
+    pts = np.where(kinds == 0,
+                   np.where(pos_in_run == 0, PM, PM2), sub_pts)
     scores = np.zeros(J, np.int64)
     np.add.at(scores, rows, pts)
     # NOCALL/NOREF points are 0 with default constants; kept for clarity
@@ -116,12 +122,16 @@ from ..core.constants import (LIMIT_FOR_COST_3 as _LIM3,
 _MODE_NONE, _MODE_MS, _MODE_SUB = 0, 1, 2
 
 
-@_functools.partial(_jax.jit, static_argnums=(2,))
-def score_no_indels_jax(reads, refs, L: int):
+@_functools.partial(_jax.jit, static_argnums=(2, 3))
+def score_no_indels_jax(reads, refs, L: int, prof=None):
     """reads, refs: (J, L) uint8 ASCII (refs pre-gathered at each
     candidate's diagonal, out-of-genome positions as 'N').
     Returns (J,) int32 scores. Reference: scoreNoIndels :1885-1952."""
     J = reads.shape[0]
+    PM, PM2, PS, PS2, PS3, LIM3 = (
+        (_PM, _PM2, _PS, _PS2, _PS3, _LIM3) if prof is None else
+        (prof.POINTS_MATCH, prof.POINTS_MATCH2, prof.POINTS_SUB,
+         prof.POINTS_SUB2, prof.POINTS_SUB3, prof.LIMIT_FOR_COST_3))
 
     def step(carry, cr):
         score, mode, t = carry
@@ -131,11 +141,11 @@ def score_no_indels_jax(reads, refs, L: int):
         is_noref = (~is_match) & (~is_nocall) & (r == _N)
         is_sub = (~is_match) & (~is_nocall) & (~is_noref)
 
-        m_pts = _jnp.where(mode == _MODE_MS, _PM2, _PM)
+        m_pts = _jnp.where(mode == _MODE_MS, PM2, PM)
         new_t_m = _jnp.where(mode == _MODE_MS, t + 1, 0)
         s_t = _jnp.where(mode == _MODE_SUB, t + 1, 0)
-        s_pts = _jnp.where(s_t + 1 > _LIM3, _PS3,
-                           _jnp.where(s_t + 1 > 1, _PS2, _PS))
+        s_pts = _jnp.where(s_t + 1 > LIM3, PS3,
+                           _jnp.where(s_t + 1 > 1, PS2, PS))
 
         score = score + _jnp.where(is_match, m_pts,
                                    _jnp.where(is_sub, s_pts, 0))
@@ -157,7 +167,7 @@ def _shift_right(x, fill):
     return _jnp.concatenate([pad, x[..., :-1]], axis=-1)
 
 
-def score_match_sub_vec(is_match, is_sub):
+def score_match_sub_vec(is_match, is_sub, prof=None):
     """Closed-form gapless streak scoring — no sequential scan.
 
     Same semantics as score_no_indels_jax (reference:
@@ -173,6 +183,11 @@ def score_match_sub_vec(is_match, is_sub):
     is_match/is_sub: bool (..., L), mutually exclusive.
     Returns int32 scores (...,).
     """
+    PM, PM2, PS, PS2, PS3, LIM3 = (
+        (POINTS_MATCH, POINTS_MATCH2, POINTS_SUB, POINTS_SUB2,
+         POINTS_SUB3, _LIM3) if prof is None else
+        (prof.POINTS_MATCH, prof.POINTS_MATCH2, prof.POINTS_SUB,
+         prof.POINTS_SUB2, prof.POINTS_SUB3, prof.LIMIT_FOR_COST_3))
     L = is_match.shape[-1]
     l = _jnp.arange(L, dtype=_jnp.int32)
     lm = _jnp.where(is_match, l, -1)
@@ -190,11 +205,10 @@ def score_match_sub_vec(is_match, is_sub):
     r = _jnp.cumsum(ns.astype(_jnp.int32), axis=-1)   # 1-based nonskip rank
     rstart = _jax.lax.cummax(_jnp.where(s_start, r, 0), axis=ax)
     p = r - rstart + 1                                # position in sub run
-    sub_pts = _jnp.where(p <= 1, POINTS_SUB,
-                         _jnp.where(p <= _LIM3, POINTS_SUB2, POINTS_SUB3))
+    sub_pts = _jnp.where(p <= 1, PS, _jnp.where(p <= LIM3, PS2, PS3))
     pts = _jnp.where(
         is_match,
-        _jnp.where(m_start, POINTS_MATCH, POINTS_MATCH2),
+        _jnp.where(m_start, PM, PM2),
         _jnp.where(is_sub, sub_pts, 0)).astype(_jnp.int32)
     return _jnp.sum(pts, axis=-1, dtype=_jnp.int32)
 

@@ -177,6 +177,25 @@ def clearzone_vec(score: np.ndarray, max_sw: int,
     return np.where(perfect, CLEARZONEP, cz.astype(np.int64))
 
 
+# PacBio clearzone model: step thresholds, no interpolation, no flat
+# offsets (reference: align2/BBMapThreadPacBio.java:38-54, 1096-1112)
+CZP_RATIOP, CZP_RATIO1, CZP_RATIO1b, CZP_RATIO1c = 1.5, 2.2, 2.8, 4.8
+CZP_1B_CUTOFF, CZP_1C_CUTOFF = 0.92, 0.82
+
+
+def clearzone_vec_pacbio(score: np.ndarray, max_sw: int,
+                         perfect: np.ndarray) -> np.ndarray:
+    m2 = K.POINTS_MATCH2
+    czp = int(CZP_RATIOP * m2)
+    cz1 = int(CZP_RATIO1 * m2)
+    cz1b = int(CZP_RATIO1b * m2)
+    cz1c = int(CZP_RATIO1c * m2)
+    cz = np.where(score >= int(max_sw * CZP_1B_CUTOFF), cz1,
+                  np.where(score >= int(max_sw * CZP_1C_CUTOFF),
+                           cz1b, cz1c))
+    return np.where(perfect, czp, cz).astype(np.int64)
+
+
 def _bucket_pad(n: int) -> int:
     """Pad job counts to powers of two (min 16) to bound recompilation."""
     p = 16
@@ -225,12 +244,18 @@ class BBMapAligner:
                  ambig_mode: str = "best", maxindel: int = 16000,
                  device_quickmap: bool = True, local: bool = False,
                  print_secondary: bool = False, max_sites: int = 5,
-                 mesh=None, n_index_shards: int = 1):
+                 mesh=None, n_index_shards: int = 1, profile=None):
         # multi-chip: shard the CSR index over the mesh's "index" axis
         # and read batches over "data" (reference P4/P5; VERDICT r1 #2)
         self.mesh = mesh
         self.n_index_shards = n_index_shards
         self._sharded_index = None
+        # scoring profile: SHORT (MSA11ts) or PACBIO (MSA9PacBio) with
+        # its own clearzone model (reference: BBMapThreadPacBio.java)
+        self.profile = profile if profile is not None else K.SHORT_PROFILE
+        self._czvec = (clearzone_vec_pacbio
+                       if self.profile.name == "pacbio"
+                       else clearzone_vec)
         self.print_secondary = print_secondary
         self.max_sites = max_sites
         self.local = local
@@ -314,7 +339,7 @@ class BBMapAligner:
             else:
                 self._qm_cache[L] = quickmap_device.build_quickmap(
                     self.index, L, chain_dist=self.chain_dist,
-                    min_ratio=self.min_ratio)
+                    min_ratio=self.min_ratio, profile=self.profile)
         return self._qm_cache[L](batch.bases[:, :L])
 
     def _qm_run(self, batch: ReadBatch, L: int):
@@ -330,7 +355,7 @@ class BBMapAligner:
         eff = best if scored is None else scored
         snd = d["second_score"].astype(np.int64) if second is None \
             else second
-        max_sw = K.max_quality(L)
+        max_sw = self.profile.max_quality(L)
         min_score = int(max_sw * self.min_ratio)
         if scored is not None:
             # paired path: boosted sites use the relaxed paired ratio
@@ -344,7 +369,7 @@ class BBMapAligner:
         else:
             mapped = direct & (best >= min_score)
         perfect = best >= max_sw
-        cz = clearzone_vec(eff, max_sw, perfect)
+        cz = self._czvec(eff, max_sw, perfect)
         ambiguous = (snd > -(2 ** 29)) & (eff - snd < cz)
         diags = d["best_diag"].astype(np.int64)
         chroms = np.clip(np.searchsorted(self.chrom_offsets, diags,
@@ -412,7 +437,7 @@ class BBMapAligner:
         sel_mapped = np.nonzero(mapped)[0]
         sec_data = None
         if self.print_secondary:
-            max_sw = K.max_quality(L)
+            max_sw = self.profile.max_quality(L)
             min_score = int(max_sw * self.min_ratio)
             sec_data = (d["cand_scores"], d["cand_diag"],
                         d["cand_strand"], min_score)
@@ -464,7 +489,7 @@ class BBMapAligner:
                           d: dict) -> MappedBatch:
         B = batch.size
         mb = MappedBatch(B, L)
-        max_imp = K.max_imperfect_score(L)
+        max_imp = self.profile.max_imperfect_score(L)
         best = d["best_score"].astype(np.int64)
         escalate = best < max_imp if self.maxindel > 0 \
             else np.zeros(len(best), bool)
@@ -482,7 +507,8 @@ class BBMapAligner:
             _, _, gpack_d, nmask_d, G = quickmap_device.device_arrays(
                 self.index)
             dw = escalate_device.DeviceWindows(gpack_d, nmask_d, G)
-            self._esc_cache[L] = escalate_device.make_programs(L, dw)
+            self._esc_cache[L] = escalate_device.make_programs(
+                L, dw, self.profile)
         return self._esc_cache[L]
 
     def _escalate_columnar(self, batch: ReadBatch, L: int,
@@ -537,11 +563,11 @@ class BBMapAligner:
         w0 = ord2[:, 0]
         best = eff[ar, w0]
         second = eff[ar, ord2[:, 1]]
-        max_sw = K.max_quality(L)
+        max_sw = self.profile.max_quality(L)
         min_score = int(max_sw * self.min_ratio)
         mapped = best >= min_score
         perfect = best >= max_sw
-        cz = clearzone_vec(best, max_sw, perfect)
+        cz = self._czvec(best, max_sw, perfect)
         ambiguous = (second > -(2 ** 29)) & (best - second < cz)
         n_sites = (eff >= min_score).sum(axis=1).astype(np.int32)
         toss = self.ambig_mode == "toss"
@@ -694,7 +720,7 @@ class BBMapAligner:
         mb.fill_objects(results)
         if self.print_secondary:
             # secondary sites need the candidate table (object path only)
-            max_sw = K.max_quality(L)
+            max_sw = self.profile.max_quality(L)
             min_score = int(max_sw * self.min_ratio)
             scs, dgs, sts = (d["cand_scores"], d["cand_diag"],
                              d["cand_strand"])
@@ -904,8 +930,8 @@ class BBMapAligner:
         sc2 = np.maximum(d2["cand_scores"].astype(np.int64), b2m)
         p1, eff1, snd1 = self._repick(d1, sc1)
         p2, eff2, snd2 = self._repick(d2, sc2)
-        max_imp1 = K.max_imperfect_score(L1)
-        max_imp2 = K.max_imperfect_score(L2)
+        max_imp1 = self.profile.max_imperfect_score(L1)
+        max_imp2 = self.profile.max_imperfect_score(L2)
         best1 = p1["best_score"].astype(np.int64)
         best2 = p2["best_score"].astype(np.int64)
         escalate = np.zeros(len(best1), bool)
@@ -986,8 +1012,8 @@ class BBMapAligner:
             diag = int(offs[bidx])
             score = int(gapless.score_no_indels_flat(
                 mate_read[None, :], np.array([Lm]), g,
-                np.array([diag]))[0])
-            max_sw = K.max_quality(Lm)
+                np.array([diag]), self.profile)[0])
+            max_sw = self.profile.max_quality(Lm)
             ratio_rescue = max(self.min_ratio * 0.60,
                                1 - (1 - self.min_ratio) * 1.8)
             if score < int(max_sw * ratio_rescue):
@@ -1036,7 +1062,7 @@ class BBMapAligner:
         offsets = seed.make_offsets(L, k)
         if offsets is None:
             return
-        max_sw = K.max_quality(L)
+        max_sw = self.profile.max_quality(L)
         min_score = int(max_sw * self.min_ratio)
         jobs = []   # (read_idx, strand, read_row, gref_padded, c2r, C)
         for i in idxs:
@@ -1116,7 +1142,7 @@ class BBMapAligner:
                     reads[s_i] = read
                     refs[s_i, :C] = grefw
                 sym, ln, gaps, sc, col, st = msa_jax.msa_align_batch(
-                    reads, refs, L, Cp)
+                    reads, refs, L, Cp, self.profile)
                 launches.append((slots[a:b], (sym, ln, gaps, sc, col)))
         fetched = _fetch([a for _, outs in launches for a in outs])
         fi = 0
@@ -1189,9 +1215,10 @@ class BBMapAligner:
             reads_p[:b - a] = cand_reads[a:b]
             refs_p[:b - a] = refs_g[a:b]
             g_scores[a:b] = np.asarray(
-                gapless.score_no_indels_jax(reads_p, refs_p, L))[:b - a]
-        max_imp = K.max_imperfect_score(L)
-        max_sw_q = K.max_quality(L)
+                gapless.score_no_indels_jax(
+                    reads_p, refs_p, L, self.profile))[:b - a]
+        max_imp = self.profile.max_imperfect_score(L)
+        max_sw_q = self.profile.max_quality(L)
         slow = g_scores.astype(np.int64)
         needs_dp = np.zeros(n, bool)
         if self.maxindel > 0:
@@ -1294,7 +1321,7 @@ class BBMapAligner:
         L = g["L"]
         n = len(cs)
         scored = slow if boost is None else np.maximum(slow, boost)
-        max_sw = K.max_quality(L)
+        max_sw = self.profile.max_quality(L)
         min_score = int(max_sw * self.min_ratio)
         if paired:
             # reference: MINIMUM_ALIGNMENT_SCORE_RATIO_PAIRED
@@ -1333,7 +1360,7 @@ class BBMapAligner:
                                    np.where(best >= cz1c_lim, CLEARZONE1b,
                                             CLEARZONE1c)))
         else:
-            cz = clearzone_vec(best, max_sw, perfect)
+            cz = self._czvec(best, max_sw, perfect)
         ambiguous = has_second & (best - second < cz)
         good_c = scored[order] >= min_score
         grp = np.cumsum(boundaries) - 1
@@ -1423,12 +1450,12 @@ class BBMapAligner:
                     reads[s_i] = cand_reads[j]
                     refs[s_i] = self._window(int(wstart[j]), C)
                 if score_only:
-                    sc, col, st = msa_jax.msa_score_batch(reads, refs,
-                                                          L, C)
+                    sc, col, st = msa_jax.msa_score_batch(
+                        reads, refs, L, C, self.profile)
                     launches.append((slots[a:b], (sc,)))
                 else:
                     sym, ln, gaps, sc, col, st = msa_jax.msa_align_batch(
-                        reads, refs, L, C)
+                        reads, refs, L, C, self.profile)
                     launches.append((slots[a:b], (sc, sym, ln, gaps, col)))
         # all chunks dispatched; fetch everything with overlapping copies
         fetched = _fetch([a for _, outs in launches for a in outs])
@@ -1509,7 +1536,7 @@ class BBMapAligner:
                     reads[slot] = cand_reads[j]
                     refs[slot] = self._window(ws, C)
                 sym, ln, gaps, sc, col, st = msa_jax.msa_align_batch(
-                    reads, refs, L, C)
+                    reads, refs, L, C, self.profile)
                 launches.append((idx_list[a:b],
                                  (sym, ln, gaps, sc, col)))
         fetched = _fetch([a for _, outs in launches for a in outs])

@@ -256,11 +256,13 @@ class QmConfig(NamedTuple):
     min_score: int
     offsets_list: tuple    # static seed offsets
     G: int                 # flat genome length
+    profile: object = None  # ScoringProfile (None = SHORT)
 
 
 def make_config(index: KmerIndex, L: int, chain_dist: int = 400,
                 min_ratio: float = 0.56,
-                max_list_length: Optional[int] = None) -> QmConfig:
+                max_list_length: Optional[int] = None,
+                profile=None) -> QmConfig:
     k = index.k
     offsets_np = seed_host.make_offsets(L, k)
     if offsets_np is None:
@@ -271,11 +273,12 @@ def make_config(index: KmerIndex, L: int, chain_dist: int = 400,
         max_list_length = min(index.max_usable_length, MAX_SITES_CAP,
                               max(actual_max, 1))
     S = int(max(2, min(max_list_length, MAX_SITES_CAP, SLOT_BUDGET)))
-    max_sw = K.max_quality(L)
+    max_sw = profile.max_quality(L) if profile is not None \
+        else K.max_quality(L)
     return QmConfig(k=k, L=L, S=S, chain_dist=chain_dist,
                     min_score=int(max_sw * min_ratio),
                     offsets_list=tuple(int(o) for o in offsets_np),
-                    G=len(index.genome_codes))
+                    G=len(index.genome_codes), profile=profile)
 
 
 def candidate_stage(cfg: QmConfig, bases, starts_d, sites_d,
@@ -452,7 +455,8 @@ def finalize_stage(cfg: QmConfig, rcodes, cand, gpack_d, nmask_d):
         eq = (cand_codes == ref_codes) & ~ref_n
         is_match = eq & ~read_n
         is_sub = ~eq & ~read_n & ~ref_n
-        scores = score_match_sub_vec(is_match, is_sub)  # (B, C)
+        scores = score_match_sub_vec(is_match, is_sub,
+                                     cfg.profile)       # (B, C)
         scores = jnp.where(cd_valid, scores, -(2 ** 30))
 
         # per-read best/second (deterministic: score desc, then slot order,
@@ -491,13 +495,15 @@ def finalize_stage(cfg: QmConfig, rcodes, cand, gpack_d, nmask_d):
 
 def build_quickmap(index: KmerIndex, L: int, chain_dist: int = 400,
                    min_ratio: float = 0.56,
-                   max_list_length: Optional[int] = None):
+                   max_list_length: Optional[int] = None,
+                   profile=None):
     """Returns quickmap(bases_ascii (B, L) uint8) -> QuickmapRun.
     Device-resident constants (CSR index + packed genome) are closed
     over. The per-key site-list cap adapts to the index's frequency
     analysis (reference: analyzeIndex MAX_USABLE_LENGTH) and to the
     actual longest list, bounded by MAX_SITES_CAP."""
-    cfg = make_config(index, L, chain_dist, min_ratio, max_list_length)
+    cfg = make_config(index, L, chain_dist, min_ratio, max_list_length,
+                      profile)
     starts_d, sites_d, gpack_d, nmask_d, _G = device_arrays(index)
 
     def quickmap(bases, starts_d, sites_d, gpack_d, nmask_d):

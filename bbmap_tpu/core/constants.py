@@ -9,6 +9,8 @@ gap/sub model.
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import numpy as np
 
 # --- packing (reference: align2/MultiStateAligner11ts.java:2387-2396) ---
@@ -161,6 +163,108 @@ def max_imperfect_score(length: int) -> int:
     """Best possible score containing at least one error
     (reference: align2/MultiStateAligner11ts.java:2214-2225)."""
     return max_quality(length) + min(POINTS_DEL, POINTS_INS - POINTS_MATCH2)
+
+
+class ScoringProfile(NamedTuple):
+    """One aligner scoring model. SHORT = MultiStateAligner11ts
+    (reference: align2/MultiStateAligner11ts.java:2387-2436); PACBIO =
+    MultiStateAligner9PacBio (reference:
+    align2/MultiStateAligner9PacBio.java:2359-2408 — flatter sub/indel
+    penalties, TIMEBITS=9, barriers 1/1) for ~15% error long reads.
+    Hashable, so it can be a static jit argument."""
+    name: str
+    TIMEBITS: int
+    SCOREOFFSET: int
+    TIMEMASK: int
+    MAX_TIME: int
+    MASK5: int
+    BARRIER_I1: int
+    BARRIER_D1: int
+    LIMIT_FOR_COST_3: int
+    LIMIT_FOR_COST_4: int
+    LIMIT_FOR_COST_5: int
+    POINTS_MATCH: int
+    POINTS_MATCH2: int
+    POINTS_SUB: int
+    POINTS_SUBR: int
+    POINTS_SUB2: int
+    POINTS_SUB3: int
+    POINTS_NOCALL: int
+    POINTS_INS: int
+    POINTS_INS2: int
+    POINTS_INS3: int
+    POINTS_INS4: int
+    POINTS_DEL: int
+    POINTS_DEL2: int
+    POINTS_DEL3: int
+    POINTS_DEL4: int
+    POINTS_DEL5: int
+    POINTS_DEL_REF_N: int
+    POINTS_GAP: int
+    POINTSoff_MATCH: int
+    POINTSoff_MATCH2: int
+    POINTSoff_SUB: int
+    POINTSoff_SUBR: int
+    POINTSoff_SUB2: int
+    POINTSoff_SUB3: int
+    POINTSoff_NOCALL: int
+    POINTSoff_INS: int
+    POINTSoff_INS2: int
+    POINTSoff_INS3: int
+    POINTSoff_INS4: int
+    POINTSoff_DEL: int
+    POINTSoff_DEL2: int
+    POINTSoff_DEL3: int
+    POINTSoff_DEL4: int
+    POINTSoff_DEL5: int
+    POINTSoff_DEL_REF_N: int
+    POINTSoff_GAP: int
+    BADoff: int
+
+    def max_quality(self, length: int) -> int:
+        return self.POINTS_MATCH + (length - 1) * self.POINTS_MATCH2
+
+    def max_imperfect_score(self, length: int) -> int:
+        return self.max_quality(length) + min(
+            self.POINTS_DEL, self.POINTS_INS - self.POINTS_MATCH2)
+
+
+def _make_profile(name: str, timebits: int, barrier_i1: int,
+                  barrier_d1: int, pts: dict) -> ScoringProfile:
+    off = timebits
+    max_score = ((1 << (32 - timebits - 1)) - 1) - 2000
+    bad = -max_score - 1
+    offs = {("POINTSoff_" + k[7:]): v << off for k, v in pts.items()}
+    return ScoringProfile(
+        name=name, TIMEBITS=timebits, SCOREOFFSET=off,
+        TIMEMASK=(1 << timebits) - 1, MAX_TIME=(1 << timebits) - 1,
+        MASK5=MASK5, BARRIER_I1=barrier_i1, BARRIER_D1=barrier_d1,
+        LIMIT_FOR_COST_3=5, LIMIT_FOR_COST_4=20, LIMIT_FOR_COST_5=80,
+        BADoff=bad << off, **pts, **offs)
+
+
+SHORT_PROFILE = _make_profile(
+    "short", TIMEBITS, BARRIER_I1, BARRIER_D1, dict(
+        POINTS_MATCH=70, POINTS_MATCH2=100, POINTS_SUB=-127,
+        POINTS_SUBR=-147, POINTS_SUB2=-51, POINTS_SUB3=-25,
+        POINTS_NOCALL=0, POINTS_INS=-395, POINTS_INS2=-39,
+        POINTS_INS3=-23, POINTS_INS4=-8, POINTS_DEL=-472,
+        POINTS_DEL2=-33, POINTS_DEL3=-9, POINTS_DEL4=-1,
+        POINTS_DEL5=-1, POINTS_DEL_REF_N=-10, POINTS_GAP=POINTS_GAP))
+
+# reference: align2/MultiStateAligner9PacBio.java:2359-2408
+PACBIO_PROFILE = _make_profile(
+    "pacbio", 9, 1, 1, dict(
+        POINTS_MATCH=90, POINTS_MATCH2=100, POINTS_SUB=-137,
+        POINTS_SUBR=-157, POINTS_SUB2=-49, POINTS_SUB3=-25,
+        POINTS_NOCALL=0, POINTS_INS=-205, POINTS_INS2=-42,
+        POINTS_INS3=-23, POINTS_INS4=-8, POINTS_DEL=-292,
+        POINTS_DEL2=-37, POINTS_DEL3=-17, POINTS_DEL4=-2,
+        POINTS_DEL5=-1, POINTS_DEL_REF_N=-10, POINTS_GAP=POINTS_GAP))
+
+# reference: align2/BBMapThreadPacBio.java:27-28 — the long-read DP
+# envelope (ALIGN_ROWS=6020; columns follow BBIndexPacBio.ALIGN_COLUMNS)
+PACBIO_ALIGN_ROWS = 6020
 
 
 def min_id_to_min_ratio(minid: float) -> float:

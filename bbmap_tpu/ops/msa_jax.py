@@ -37,76 +37,83 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.constants import (
-    BADoff, BARRIER_D1, BARRIER_I1, GAPC, GAPLEN, LIMIT_FOR_COST_3,
-    LIMIT_FOR_COST_4, LIMIT_FOR_COST_5, MASK5, MAX_TIME, MODE_DEL, MODE_INS,
-    MODE_MS, POINTSoff_DEL, POINTSoff_DEL2, POINTSoff_DEL3, POINTSoff_DEL4,
-    POINTSoff_DEL5, POINTSoff_DEL_REF_N, POINTSoff_GAP, POINTSoff_INS,
-    POINTSoff_INS2, POINTSoff_INS3, POINTSoff_INS4, POINTSoff_INS_ARRAY,
-    POINTSoff_MATCH, POINTSoff_MATCH2, POINTSoff_NOCALL, POINTSoff_SUB,
-    POINTSoff_SUB2, POINTSoff_SUB3, POINTSoff_SUBR, SCOREOFFSET, TIMEMASK,
+    GAPC, GAPLEN, MODE_DEL, MODE_INS, MODE_MS, SHORT_PROFILE,
+    ScoringProfile,
 )
 
 _N = ord("N")
 I32 = jnp.int32
-_SCOREMASK_I32 = jnp.int32(~TIMEMASK)  # clears low TIMEBITS, keeps sign
+_SHORT = SHORT_PROFILE
 
 
-def _score(p):
-    return jnp.bitwise_and(p, _SCOREMASK_I32)
+def _score(p, P: ScoringProfile = _SHORT):
+    # clears low TIMEBITS, keeps sign
+    return jnp.bitwise_and(p, jnp.int32(~P.TIMEMASK))
 
 
-def _time(p):
-    return jnp.bitwise_and(p, jnp.int32(TIMEMASK))
+def _time(p, P: ScoringProfile = _SHORT):
+    return jnp.bitwise_and(p, jnp.int32(P.TIMEMASK))
 
 
-def _clamp_time(t):
-    return jnp.where(t > MAX_TIME, MAX_TIME - MASK5, t)
+def _clamp_time(t, P: ScoringProfile = _SHORT):
+    return jnp.where(t > P.MAX_TIME, P.MAX_TIME - P.MASK5, t)
 
 
-def _sub_array(i):
+def _sub_array(i, P: ScoringProfile = _SHORT):
     """POINTSoff_SUB_ARRAY[i] as selects (reference static block)."""
     return jnp.where(
-        i > LIMIT_FOR_COST_3, POINTSoff_SUB3,
-        jnp.where(i > 1, POINTSoff_SUB2, POINTSoff_SUB)).astype(I32)
+        i > P.LIMIT_FOR_COST_3, P.POINTSoff_SUB3,
+        jnp.where(i > 1, P.POINTSoff_SUB2, P.POINTSoff_SUB)).astype(I32)
 
 
-def _ins_array(i):
+def _ins_array(i, P: ScoringProfile = _SHORT):
     return jnp.where(
-        i > LIMIT_FOR_COST_4, POINTSoff_INS4,
-        jnp.where(i > LIMIT_FOR_COST_3, POINTSoff_INS3,
-                  jnp.where(i > 1, POINTSoff_INS2, POINTSoff_INS))).astype(I32)
+        i > P.LIMIT_FOR_COST_4, P.POINTSoff_INS4,
+        jnp.where(i > P.LIMIT_FOR_COST_3, P.POINTSoff_INS3,
+                  jnp.where(i > 1, P.POINTSoff_INS2,
+                            P.POINTSoff_INS))).astype(I32)
 
 
-def _del_ext(streak):
+def _del_ext(streak, P: ScoringProfile = _SHORT):
     """Deletion extension penalty by current run length
     (reference: :770-776)."""
     return jnp.where(
-        streak == 0, POINTSoff_DEL,
-        jnp.where(streak < LIMIT_FOR_COST_3, POINTSoff_DEL2,
-                  jnp.where(streak < LIMIT_FOR_COST_4, POINTSoff_DEL3,
-                            jnp.where(streak < LIMIT_FOR_COST_5,
-                                      POINTSoff_DEL4,
-                                      jnp.where((streak & MASK5) == 0,
-                                                POINTSoff_DEL5, 0))))
+        streak == 0, P.POINTSoff_DEL,
+        jnp.where(streak < P.LIMIT_FOR_COST_3, P.POINTSoff_DEL2,
+                  jnp.where(streak < P.LIMIT_FOR_COST_4, P.POINTSoff_DEL3,
+                            jnp.where(streak < P.LIMIT_FOR_COST_5,
+                                      P.POINTSoff_DEL4,
+                                      jnp.where((streak & P.MASK5) == 0,
+                                                P.POINTSoff_DEL5, 0))))
     ).astype(I32)
 
 
-def _ins0_column(R: int) -> np.ndarray:
+def _ins0_column(R: int, P: ScoringProfile) -> np.ndarray:
     """Cumulative insertion penalty for column 0 (reference ctor :95-104)."""
+    ins_off = np.zeros(R + 2, np.int64)
+    for i in range(1, R + 2):
+        if i > P.LIMIT_FOR_COST_4:
+            ins_off[i] = P.POINTSoff_INS4
+        elif i > P.LIMIT_FOR_COST_3:
+            ins_off[i] = P.POINTSoff_INS3
+        elif i > 1:
+            ins_off[i] = P.POINTSoff_INS2
+        else:
+            ins_off[i] = P.POINTSoff_INS
     col = np.zeros(R + 1, np.int64)
     for i in range(R + 1):
         prev = 0 if i < 2 else col[i - 1]
-        col[i] = prev + POINTSoff_INS_ARRAY[i]
+        col[i] = prev + ins_off[i]
     return col.astype(np.int32)
 
 
 @functools.lru_cache(maxsize=64)
-def _ins0_np(R: int):
-    return _ins0_column(R)
+def _ins0_np(R: int, P: ScoringProfile = _SHORT):
+    return _ins0_column(R, P)
 
 
 def _wave_step(R: int, C: int, read1, read0, ref_rev_pad, rtrue,
-               prev1, prev2, d):
+               prev1, prev2, d, P: ScoringProfile = _SHORT):
     """One anti-diagonal. prev1/prev2 = waves d-1, d-2, each (3, R+1).
     R is the padded lane count; `rtrue` (scalar, may be traced) is the
     read's actual row count, so one compiled shape serves mixed read
@@ -139,33 +146,35 @@ def _wave_step(R: int, C: int, read1, read0, ref_rev_pad, rtrue,
     ms_up = jnp.roll(prev1[MODE_MS], 1)   # (r-1) of wave d-1
     ins_up = jnp.roll(prev1[MODE_INS], 1)
 
-    maxGain = (rtrue - 1) * POINTSoff_MATCH2 + POINTSoff_MATCH
+    maxGain = (rtrue - 1) * P.POINTSoff_MATCH2 + P.POINTSoff_MATCH
     subfloor = (-2 * maxGain).astype(I32) if hasattr(maxGain, 'astype') \
         else jnp.int32(-2 * maxGain)
 
     # ---- MS ----
-    s_diag, s_del, s_ins = _score(ms_dd), _score(del_dd), _score(ins_dd)
-    streak = _time(ms_dd)
-    m_ms = s_diag + jnp.where(prev_match, POINTSoff_MATCH2, POINTSoff_MATCH)
-    m_d = s_del + POINTSoff_MATCH
-    m_i = s_ins + POINTSoff_MATCH
+    s_diag, s_del, s_ins = (_score(ms_dd, P), _score(del_dd, P),
+                            _score(ins_dd, P))
+    streak = _time(ms_dd, P)
+    m_ms = s_diag + jnp.where(prev_match, P.POINTSoff_MATCH2,
+                              P.POINTSoff_MATCH)
+    m_d = s_del + P.POINTSoff_MATCH
+    m_i = s_ins + P.POINTSoff_MATCH
     m_best = jnp.maximum(m_ms, jnp.maximum(m_d, m_i))
     m_from_ms = jnp.logical_and(m_ms >= m_d, m_ms >= m_i)
     m_time = jnp.where(m_from_ms & prev_match, streak + 1, 1)
     sub_pen = jnp.where(
         prev_match,
-        jnp.where(streak <= 1, POINTSoff_SUBR, POINTSoff_SUB),
-        _sub_array(streak + 1))
+        jnp.where(streak <= 1, P.POINTSoff_SUBR, P.POINTSoff_SUB),
+        _sub_array(streak + 1, P))
     x_ms = jnp.where(jnp.logical_and(ref1 != _N, call1 != _N),
-                     s_diag + sub_pen, s_diag + POINTSoff_NOCALL)
-    x_d = s_del + POINTSoff_SUB
-    x_i = s_ins + POINTSoff_SUB
+                     s_diag + sub_pen, s_diag + P.POINTSoff_NOCALL)
+    x_d = s_del + P.POINTSoff_SUB
+    x_i = s_ins + P.POINTSoff_SUB
     x_best = jnp.maximum(x_ms, jnp.maximum(x_d, x_i))
     x_from_ms = jnp.logical_and(x_ms >= x_d, x_ms >= x_i)
     x_time = jnp.where(x_from_ms,
                        jnp.where(prev_match, 1, streak + 1), 1)
     ms_score = jnp.where(match, m_best, x_best)
-    ms_time = _clamp_time(jnp.where(match, m_time, x_time))
+    ms_time = _clamp_time(jnp.where(match, m_time, x_time), P)
     ms_val = jnp.where(gap, subfloor,
                        jnp.bitwise_or(ms_score, ms_time))
     # traceback prev code (reference: traceback2 :1122-1133 — time>1 stays
@@ -176,45 +185,46 @@ def _wave_step(R: int, C: int, read1, read0, ref_rev_pad, rtrue,
     ms_prev = jnp.where(ms_time > 1, jnp.uint8(MODE_MS), ms_prev_arg)
 
     # ---- DEL ----
-    dstreak = _time(del_left)
-    d_ms = _score(ms_left) + POINTSoff_DEL
-    d_d = _score(del_left) + _del_ext(dstreak)
-    refn_adj = jnp.where(ref1 == _N, POINTSoff_DEL_REF_N,
-                         jnp.where(gap, POINTSoff_GAP, 0)).astype(I32)
+    dstreak = _time(del_left, P)
+    d_ms = _score(ms_left, P) + P.POINTSoff_DEL
+    d_d = _score(del_left, P) + _del_ext(dstreak, P)
+    refn_adj = jnp.where(ref1 == _N, P.POINTSoff_DEL_REF_N,
+                         jnp.where(gap, P.POINTSoff_GAP, 0)).astype(I32)
     d_ms = d_ms + refn_adj
     d_d = d_d + refn_adj
     del_score = jnp.maximum(d_ms, d_d)
-    del_time = _clamp_time(jnp.where(d_ms >= d_d, 1, dstreak + 1))
-    del_barrier = jnp.logical_or(r_idx < BARRIER_D1,
-                                 r_idx > rtrue - BARRIER_D1)
+    del_time = _clamp_time(jnp.where(d_ms >= d_d, 1, dstreak + 1), P)
+    del_barrier = jnp.logical_or(r_idx < P.BARRIER_D1,
+                                 r_idx > rtrue - P.BARRIER_D1)
     del_val = jnp.where(del_barrier, subfloor,
                         jnp.bitwise_or(del_score, del_time))
-    del_prev_arg = jnp.where(_score(ms_left) >= _score(del_left),
+    del_prev_arg = jnp.where(_score(ms_left, P) >= _score(del_left, P),
                              MODE_MS, MODE_DEL).astype(jnp.uint8)
     del_prev = jnp.where(del_time > 1, jnp.uint8(MODE_DEL), del_prev_arg)
 
     # ---- INS ----
-    istreak = _time(ins_up)
-    i_ms = _score(ms_up) + POINTSoff_INS
-    i_i = _score(ins_up) + _ins_array(istreak + 1)
+    istreak = _time(ins_up, P)
+    i_ms = _score(ms_up, P) + P.POINTSoff_INS
+    i_i = _score(ins_up, P) + _ins_array(istreak + 1, P)
     ins_score = jnp.maximum(i_ms, i_i)
-    ins_time = _clamp_time(jnp.where(i_ms >= i_i, 1, istreak + 1))
+    ins_time = _clamp_time(jnp.where(i_ms >= i_i, 1, istreak + 1), P)
     # reference: BARRIER_I2b = columns - 1 (:633)
     ins_barrier = jnp.logical_or(
         gap,
         jnp.logical_or(
-            jnp.logical_and(r_idx < BARRIER_I1, c_idx > 1),
-            jnp.logical_and(r_idx > rtrue - BARRIER_I1, c_idx < C - 1)))
+            jnp.logical_and(r_idx < P.BARRIER_I1, c_idx > 1),
+            jnp.logical_and(r_idx > rtrue - P.BARRIER_I1,
+                            c_idx < C - 1)))
     ins_val = jnp.where(ins_barrier, subfloor,
                         jnp.bitwise_or(ins_score, ins_time))
-    ins_prev_arg = jnp.where(_score(ms_up) >= _score(ins_up),
+    ins_prev_arg = jnp.where(_score(ms_up, P) >= _score(ins_up, P),
                              MODE_MS, MODE_INS).astype(jnp.uint8)
     ins_prev = jnp.where(ins_time > 1, jnp.uint8(MODE_INS), ins_prev_arg)
 
     wave = jnp.stack([ms_val, del_val, ins_val])
 
     # boundary overrides: r==0 (row 0, c>=1) -> 0 ; r==d (col 0) -> INS0[r]
-    ins0 = jnp.asarray(_ins0_np(R))
+    ins0 = jnp.asarray(_ins0_np(R, P))
     is_row0 = r_idx == 0
     is_col0 = r_idx == d
     bound = jnp.where(is_row0, 0, jnp.where(is_col0, ins0, 0))
@@ -222,16 +232,16 @@ def _wave_step(R: int, C: int, read1, read0, ref_rev_pad, rtrue,
     wave = jnp.where(use_bound[None, :], bound[None, :], wave)
     invalid = jnp.logical_or(jnp.logical_or(c_idx < 0, c_idx > C),
                              r_idx > rtrue)
-    wave = jnp.where(invalid[None, :], jnp.int32(BADoff), wave)
+    wave = jnp.where(invalid[None, :], jnp.int32(P.BADoff), wave)
 
     prevs = (ms_prev | (del_prev << 2) | (ins_prev << 4)).astype(jnp.uint8)
     return wave, prevs
 
 
-def _init_carry(R: int):
-    w0 = np.full((3, R + 1), BADoff, np.int32)
+def _init_carry(R: int, P: ScoringProfile = _SHORT):
+    w0 = np.full((3, R + 1), P.BADoff, np.int32)
     w0[:, 0] = 0  # cell (0, 0)
-    wm1 = np.full((3, R + 1), BADoff, np.int32)
+    wm1 = np.full((3, R + 1), P.BADoff, np.int32)
     return jnp.asarray(w0), jnp.asarray(wm1)
 
 
@@ -248,12 +258,12 @@ def _prep_ref(ref_ascii, R):
     return jnp.concatenate([pad, ref_ascii.astype(I32)[::-1], pad])
 
 
-def _update_best(best, wave, d, rtrue, C):
+def _update_best(best, wave, d, rtrue, C, P: ScoringProfile = _SHORT):
     """Track per-state running max over last-row cells (strict >, so the
     first/lowest column wins ties, matching the reference's scan order,
     :857-878). The last row is lane `rtrue` (may be traced)."""
     best_scores, best_cols = best
-    val = _score(jnp.take(wave, rtrue, axis=1))  # (3,) last-row lane
+    val = _score(jnp.take(wave, rtrue, axis=1), P)  # (3,) last-row lane
     col = d - rtrue
     on_last = jnp.logical_and(col >= 1, col <= C)
     take = jnp.logical_and(on_last, val > best_scores)
@@ -262,30 +272,31 @@ def _update_best(best, wave, d, rtrue, C):
     return best_scores, best_cols
 
 
-def _finish_best(best):
+def _finish_best(best, P: ScoringProfile = _SHORT):
     """Combine per-state bests in state-major order (ties -> lowest
     state), exactly the reference's final scan."""
     best_scores, best_cols = best
     # first index of max in order MS, DEL, INS
     state = jnp.argmax(best_scores)  # argmax returns first max
-    return (best_scores[state] >> SCOREOFFSET, best_cols[state],
+    return (best_scores[state] >> P.SCOREOFFSET, best_cols[state],
             state.astype(I32))
 
 
 def _scan(read, ref, R: int, C: int, want_prevs: bool,
-          want_waves: bool = False, rtrue=None):
+          want_waves: bool = False, rtrue=None,
+          P: ScoringProfile = _SHORT):
     if rtrue is None:
         rtrue = R
     read1, read0 = _prep_read(read, R)
     ref_rev_pad = _prep_ref(ref, R)
-    w0, wm1 = _init_carry(R)
+    w0, wm1 = _init_carry(R, P)
     best0 = (jnp.full((3,), -(2 ** 31) + 1, I32), jnp.zeros((3,), I32))
 
     def step(carry, d):
         prev1, prev2, best = carry
         wave, prevs = _wave_step(R, C, read1, read0, ref_rev_pad, rtrue,
-                                 prev1, prev2, d)
-        best = _update_best(best, wave, d, rtrue, C)
+                                 prev1, prev2, d, P)
+        best = _update_best(best, wave, d, rtrue, C, P)
         ys = ()
         if want_prevs:
             ys = prevs
@@ -295,40 +306,46 @@ def _scan(read, ref, R: int, C: int, want_prevs: bool,
 
     carry, ys = jax.lax.scan(step, (w0, wm1, best0),
                              jnp.arange(1, R + C + 1))
-    score, col, state = _finish_best(carry[2])
+    score, col, state = _finish_best(carry[2], P)
     return ys, score, col, state
 
 
-def msa_score_single(read, ref, R: int, C: int):
-    _, score, col, state = _scan(read, ref, R, C, False)
+def msa_score_single(read, ref, R: int, C: int,
+                     P: ScoringProfile = _SHORT):
+    _, score, col, state = _scan(read, ref, R, C, False, P=P)
     return score, col, state
 
 
-def msa_trace_single(read, ref, R: int, C: int):
+def msa_trace_single(read, ref, R: int, C: int,
+                     P: ScoringProfile = _SHORT):
     """Returns (prevs (R+C, R+1) uint8, score, col, state)."""
-    return _scan(read, ref, R, C, True)
+    return _scan(read, ref, R, C, True, P=P)
 
 
-def msa_full_single(read, ref, R: int, C: int):
+def msa_full_single(read, ref, R: int, C: int,
+                    P: ScoringProfile = _SHORT):
     """Testing: returns raw packed waves (R+C, 3, R+1)."""
-    return _scan(read, ref, R, C, False, want_waves=True)
+    return _scan(read, ref, R, C, False, want_waves=True, P=P)
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3))
-def msa_score_batch(reads, refs, R: int, C: int):
-    return jax.vmap(lambda rd, rf: msa_score_single(rd, rf, R, C))(
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def msa_score_batch(reads, refs, R: int, C: int,
+                    P: ScoringProfile = _SHORT):
+    return jax.vmap(lambda rd, rf: msa_score_single(rd, rf, R, C, P))(
         reads, refs)
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3))
-def msa_trace_batch(reads, refs, R: int, C: int):
-    return jax.vmap(lambda rd, rf: msa_trace_single(rd, rf, R, C))(
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def msa_trace_batch(reads, refs, R: int, C: int,
+                    P: ScoringProfile = _SHORT):
+    return jax.vmap(lambda rd, rf: msa_trace_single(rd, rf, R, C, P))(
         reads, refs)
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3))
-def msa_full_batch(reads, refs, R: int, C: int):
-    return jax.vmap(lambda rd, rf: msa_full_single(rd, rf, R, C))(
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def msa_full_batch(reads, refs, R: int, C: int,
+                   P: ScoringProfile = _SHORT):
+    return jax.vmap(lambda rd, rf: msa_full_single(rd, rf, R, C, P))(
         reads, refs)
 
 
@@ -387,11 +404,12 @@ def _defined(c: int) -> bool:
     return c in (ord("A"), ord("C"), ord("G"), ord("T"), ord("U"))
 
 
-def waves_to_packed(waves: np.ndarray, R: int, C: int) -> np.ndarray:
+def waves_to_packed(waves: np.ndarray, R: int, C: int,
+                    P: ScoringProfile = _SHORT) -> np.ndarray:
     """Host-side: wave layout (R+C, 3, R+1) -> matrix layout
     (3, R+1, C+1) for the oracle traceback walk (testing)."""
-    out = np.full((3, R + 1, C + 1), BADoff, np.int64)
-    ins0 = _ins0_np(R)
+    out = np.full((3, R + 1, C + 1), P.BADoff, np.int64)
+    ins0 = _ins0_np(R, P)
     out[:, 0, :] = 0
     for r in range(R + 1):
         out[:, r, 0] = ins0[r]
@@ -401,19 +419,21 @@ def waves_to_packed(waves: np.ndarray, R: int, C: int) -> np.ndarray:
     return out
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4))
-def msa_score_batch_var(reads, refs, rows, R: int, C: int):
+@functools.partial(jax.jit, static_argnums=(3, 4, 5))
+def msa_score_batch_var(reads, refs, rows, R: int, C: int,
+                        P: ScoringProfile = _SHORT):
     """Variable-row batched scoring: reads (B, R) padded with 'N' beyond
     each read's true length rows[b]. One compile serves all lengths <= R."""
     return jax.vmap(
-        lambda rd, rf, rt: _scan(rd, rf, R, C, False, rtrue=rt)[1:]
+        lambda rd, rf, rt: _scan(rd, rf, R, C, False, rtrue=rt, P=P)[1:]
     )(reads, refs, rows)
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4))
-def msa_trace_batch_var(reads, refs, rows, R: int, C: int):
+@functools.partial(jax.jit, static_argnums=(3, 4, 5))
+def msa_trace_batch_var(reads, refs, rows, R: int, C: int,
+                        P: ScoringProfile = _SHORT):
     return jax.vmap(
-        lambda rd, rf, rt: _scan(rd, rf, R, C, True, rtrue=rt)
+        lambda rd, rf, rt: _scan(rd, rf, R, C, True, rtrue=rt, P=P)
     )(reads, refs, rows)
 
 
@@ -475,19 +495,22 @@ def _walk_device(prevs, read, ref, col0, st0, R: int, C: int):
     return out, outpos, gaps
 
 
-def _align_single(read, ref, R: int, C: int, rtrue=None):
-    prevs, score, col, state = _scan(read, ref, R, C, True, rtrue=rtrue)
+def _align_single(read, ref, R: int, C: int, rtrue=None,
+                  P: ScoringProfile = _SHORT):
+    prevs, score, col, state = _scan(read, ref, R, C, True, rtrue=rtrue,
+                                     P=P)
     symbols, out_len, gaps = _walk_device(prevs, read, ref, col, state,
                                           R, C)
     return symbols, out_len, gaps, score, col, state
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3))
-def msa_align_batch(reads, refs, R: int, C: int):
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def msa_align_batch(reads, refs, R: int, C: int,
+                    P: ScoringProfile = _SHORT):
     """Fill + traceback in one device call. Returns (symbols (B, R+C)
     uint8 in reverse order, lengths (B,), gaps (B,), scores, cols,
     states)."""
-    return jax.vmap(lambda rd, rf: _align_single(rd, rf, R, C))(
+    return jax.vmap(lambda rd, rf: _align_single(rd, rf, R, C, P=P))(
         reads, refs)
 
 

@@ -40,16 +40,60 @@ def time_part(packed):
     return packed & TIMEMASK
 
 
-def fill_unlimited(read: np.ndarray, ref: np.ndarray
+def fill_unlimited(read: np.ndarray, ref: np.ndarray,
+                   P: "ScoringProfile" = None
                    ) -> Tuple[np.ndarray, Tuple[int, int, int, int]]:
     """Fill the 3-state DP over full matrices.
 
     read/ref: ASCII uint8 arrays (read = the query; ref = the reference
     window, possibly gap-compressed with GAPC symbols).
+    ``P``: scoring profile (default SHORT = MSA11ts; pass PACBIO_PROFILE
+    for MultiStateAligner9PacBio semantics).
     Returns (packed[3, rows+1, cols+1] int64-as-int32-semantics,
     (rows, maxCol, maxState, maxScore)).
-    Reference: align2/MultiStateAligner11ts.java:623-866.
+    Reference: align2/MultiStateAligner11ts.java:623-866,
+    align2/MultiStateAligner9PacBio.java:623-866.
     """
+    from ..core.constants import SHORT_PROFILE
+    if P is None:
+        P = SHORT_PROFILE
+    (POINTSoff_MATCH, POINTSoff_MATCH2, POINTSoff_SUB, POINTSoff_SUBR,
+     POINTSoff_SUB2, POINTSoff_SUB3, POINTSoff_NOCALL, POINTSoff_INS,
+     POINTSoff_DEL, POINTSoff_DEL2, POINTSoff_DEL3, POINTSoff_DEL4,
+     POINTSoff_DEL5, POINTSoff_DEL_REF_N, POINTSoff_GAP, BADoff,
+     MAX_TIME, MASK5, TIMEMASK, SCOREOFFSET, BARRIER_I1, BARRIER_D1,
+     LIMIT_FOR_COST_3, LIMIT_FOR_COST_4, LIMIT_FOR_COST_5) = (
+        P.POINTSoff_MATCH, P.POINTSoff_MATCH2, P.POINTSoff_SUB,
+        P.POINTSoff_SUBR, P.POINTSoff_SUB2, P.POINTSoff_SUB3,
+        P.POINTSoff_NOCALL, P.POINTSoff_INS, P.POINTSoff_DEL,
+        P.POINTSoff_DEL2, P.POINTSoff_DEL3, P.POINTSoff_DEL4,
+        P.POINTSoff_DEL5, P.POINTSoff_DEL_REF_N, P.POINTSoff_GAP,
+        P.BADoff, P.MAX_TIME, P.MASK5, P.TIMEMASK, P.SCOREOFFSET,
+        P.BARRIER_I1, P.BARRIER_D1, P.LIMIT_FOR_COST_3,
+        P.LIMIT_FOR_COST_4, P.LIMIT_FOR_COST_5)
+
+    def POINTSoff_INS_ARRAY(i):
+        if i > LIMIT_FOR_COST_4:
+            return P.POINTSoff_INS4
+        if i > LIMIT_FOR_COST_3:
+            return P.POINTSoff_INS3
+        if i > 1:
+            return P.POINTSoff_INS2
+        return POINTSoff_INS if i == 1 else 0
+
+    def POINTSoff_SUB_ARRAY(i):
+        if i > LIMIT_FOR_COST_3:
+            return POINTSoff_SUB3
+        if i > 1:
+            return POINTSoff_SUB2
+        return POINTSoff_SUB if i == 1 else 0
+
+    def score_part(p):
+        return p & ~TIMEMASK
+
+    def time_part(p):
+        return p & TIMEMASK
+
     rows = len(read)
     cols = len(ref)
     read = read.astype(np.int64)
@@ -68,7 +112,7 @@ def fill_unlimited(read: np.ndarray, ref: np.ndarray
     for mat in range(3):
         for i in range(rows + 1):
             prev = 0 if i < 2 else packed[mat, i - 1, 0]
-            packed[mat, i, 0] = prev + POINTSoff_INS_ARRAY[i]
+            packed[mat, i, 0] = prev + POINTSoff_INS_ARRAY(i)
 
     for row in range(1, rows + 1):
         for col in range(1, cols + 1):
@@ -107,7 +151,7 @@ def fill_unlimited(read: np.ndarray, ref: np.ndarray
                             sub = (POINTSoff_SUBR if streak <= 1
                                    else POINTSoff_SUB)
                         else:
-                            sub = POINTSoff_SUB_ARRAY[streak + 1]
+                            sub = POINTSoff_SUB_ARRAY(streak + 1)
                         score_ms = s_diag + sub
                     else:
                         score_ms = s_diag + POINTSoff_NOCALL
@@ -168,7 +212,7 @@ def fill_unlimited(read: np.ndarray, ref: np.ndarray
                 s_diag = score_part(packed[MODE_MS, row - 1, col])
                 s_ins = score_part(up_ins)
                 score_ms = s_diag + POINTSoff_INS
-                score_i = s_ins + POINTSoff_INS_ARRAY[streak + 1]
+                score_i = s_ins + POINTSoff_INS_ARRAY(streak + 1)
                 if score_ms >= score_i:
                     score, time = score_ms, 1
                 else:
@@ -190,10 +234,16 @@ def fill_unlimited(read: np.ndarray, ref: np.ndarray
 
 
 def traceback(read: np.ndarray, ref: np.ndarray, packed: np.ndarray,
-              row: int, col: int, state: int) -> bytes:
+              row: int, col: int, state: int,
+              P: "ScoringProfile" = None) -> bytes:
     """Generate the long-form match string by walking the packed planes
     (reference: align2/MultiStateAligner11ts.java traceback2 :1102-1232).
     Symbols: m=match S=sub N=nocall I=ins D=del X=clipped-tip -=gap."""
+    from ..core.constants import SHORT_PROFILE
+    if P is None:
+        P = SHORT_PROFILE
+    time_part = lambda p: p & P.TIMEMASK
+    score_part = lambda p: p & ~P.TIMEMASK
     cols = len(ref)
     out = bytearray()
     gaps = 0
@@ -274,14 +324,15 @@ def _defined(c: int) -> bool:
     return c in (ord("A"), ord("C"), ord("G"), ord("T"), ord("U"))
 
 
-def align(read: np.ndarray, ref_window: np.ndarray
-          ) -> Tuple[int, int, bytes]:
+def align(read: np.ndarray, ref_window: np.ndarray,
+          P: "ScoringProfile" = None) -> Tuple[int, int, bytes]:
     """Convenience: fill + traceback. Returns (score, ref_start_offset,
     match_string). ref_start_offset is 0-based offset of the alignment's
     first ref column within ref_window."""
     packed, (rows, max_col, max_state, max_score) = fill_unlimited(
-        read, ref_window)
-    match = traceback(read, ref_window, packed, rows, max_col, max_state)
+        read, ref_window, P)
+    match = traceback(read, ref_window, packed, rows, max_col, max_state,
+                      P)
     # number of ref bases consumed = count of m/S/D/N symbols
     ref_len = sum(1 for ch in match if ch in b"mSDN")
     start = max_col - ref_len

@@ -97,12 +97,18 @@ def main(argv: List[str]) -> int:
             save_index(index, cache)
     sys.stderr.write(f"Generated Index:\t{time.time()-t1:.3f} seconds.\n")
 
+    # scoring profile: profile=pacbio selects the MSA9PacBio stack
+    # (reference: align2/BBMapPacBio.java MSA_TYPE, BBMapThreadPacBio)
+    profile = None
+    if (args.get("profile") or "").lower() in ("pacbio", "pb"):
+        from ..core.constants import PACBIO_PROFILE
+        profile = PACBIO_PROFILE
     aligner = BBMapAligner(genome, index, min_ratio=min_ratio,
                            ambig_mode=ambig,
                            chain_dist=min(400, maxindel) if maxindel > 0
                            else 0, local=local,
                            print_secondary=secondary,
-                           max_sites=max_sites)
+                           max_sites=max_sites, profile=profile)
 
     out_fh = fastx.xopen(out, "wt") if out else None
     if out_fh is not None and (out is None or out.endswith(".sam")

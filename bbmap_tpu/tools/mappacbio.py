@@ -152,6 +152,11 @@ def main(argv: List[str]) -> int:
         fwd.append("maxindel=400")
     if not args.has("batchsize"):
         fwd.append("batchsize=256")
+    if not args.has("profile"):
+        # MSA9PacBio scoring stack + PacBio clearzone model
+        # (reference: align2/MultiStateAligner9PacBio.java:2359-2408,
+        # BBMapThreadPacBio.java:38-54)
+        fwd.append("profile=pacbio")
     rejoin = args.get_bool("rejoin", default=True)
     out_path = args.get("out")
     try:

@@ -1,0 +1,100 @@
+"""PacBio scoring stack (VERDICT r1 #5): MSA9PacBio constants
+(reference: align2/MultiStateAligner9PacBio.java:2359-2408 — TIMEBITS=9,
+flat indel penalties, barriers 1/1) wired through the oracle, the XLA
+wavefront kernel, and the mapping pipeline with the PacBio clearzone
+model (reference: align2/BBMapThreadPacBio.java:38-54)."""
+
+import numpy as np
+import pytest
+
+from bbmap_tpu.core.constants import PACBIO_PROFILE, SHORT_PROFILE
+
+
+def _pb_read(rng, g, L, err):
+    """Indel-dominated PacBio-style corruption (~60% ins, 25% del,
+    15% sub by event count)."""
+    start = int(rng.integers(0, len(g) - 2 * L))
+    out = []
+    i = start
+    while len(out) < L:
+        r = rng.random()
+        if r < err * 0.60:
+            out.append(int(rng.integers(0, 4)))     # insertion
+        elif r < err * 0.85:
+            i += 1                                  # deletion
+        elif r < err:
+            out.append((int(g[i]) + 1 + int(rng.integers(0, 3))) % 4)
+            i += 1                                  # substitution
+        else:
+            out.append(int(g[i]))
+            i += 1
+    A = np.frombuffer(b"ACGT", np.uint8)
+    return A[np.array(out[:L])], start
+
+
+def test_pacbio_profile_constants():
+    P = PACBIO_PROFILE
+    assert P.TIMEBITS == 9 and P.SCOREOFFSET == 9
+    assert P.POINTS_MATCH == 90 and P.POINTS_SUB == -137
+    assert P.POINTS_INS == -205 and P.POINTS_DEL == -292
+    assert P.BARRIER_I1 == 1 and P.BARRIER_D1 == 1
+    assert P.max_quality(100) == 90 + 99 * 100
+
+
+def test_pacbio_oracle_vs_xla():
+    """PACBIO-profile XLA kernel == PACBIO-profile oracle on noisy long
+    fragments (score, col, state)."""
+    from bbmap_tpu.ops import msa_jax, msa_ref
+    rng = np.random.default_rng(4)
+    A = np.frombuffer(b"ACGT", np.uint8)
+    for t in range(6):
+        g = rng.integers(0, 4, size=400).astype(np.uint8)
+        read, start = _pb_read(rng, g, 120, 0.15)
+        ref = A[g[start:start + 170]]
+        packed, (rows, mc, ms, msc) = msa_ref.fill_unlimited(
+            read, ref, PACBIO_PROFILE)
+        sc, col, st = msa_jax.msa_score_single(
+            read, ref, len(read), len(ref), PACBIO_PROFILE)
+        assert int(sc) == msc, t
+        assert int(col) == mc, t
+        assert int(st) == ms, t
+        # and the profiles genuinely differ on this input
+        _, (_, _, _, msc_short) = msa_ref.fill_unlimited(
+            read, ref, SHORT_PROFILE)
+        assert msc != msc_short or t > 3
+
+
+def test_pacbio_mapping_15pct_error(tmp_path):
+    """The reference envelope claim (BASELINE.md): reads at 15% error
+    map correctly with the PacBio stack. >=90% strict-correct."""
+    from bbmap_tpu.align.pipeline import BBMapAligner
+    from bbmap_tpu.core.batch import ReadBatch
+    from bbmap_tpu.core.genome import build_genome
+    from bbmap_tpu.index.build import build_index
+    from bbmap_tpu.tools import randomreads
+    from bbmap_tpu.io import fastx
+
+    rng = np.random.default_rng(31)
+    g = bytes(rng.choice(np.frombuffer(b"ACGT", np.uint8), 60_000))
+    ref = tmp_path / "ref.fa"
+    ref.write_bytes(b">s1\n" + g + b"\n")
+    fq = tmp_path / "pb.fq"
+    assert randomreads.main([f"ref={ref}", f"out={fq}", "reads=20",
+                             "pacbio=t", "pbmin=300", "pbmax=500",
+                             "pberror=0.15", "seed=9"]) == 0
+    genome = build_genome(str(ref))
+    index = build_index(genome, k=12)
+    al = BBMapAligner(genome, index, min_ratio=0.46,
+                      device_quickmap=False, profile=PACBIO_PROFILE)
+    recs = list(fastx.read_seqs(str(fq)))
+    assert len(recs) == 20
+    correct = 0
+    for r in recs:
+        res = al.map_batch(ReadBatch.from_records([r]))[0]
+        if not res.mapped:
+            continue
+        rel = int(r.id.split("_")[5])
+        scaf, loc = genome.locate(res.chrom, res.start)
+        if abs(loc - rel) <= 50:
+            correct += 1
+    assert correct >= 18, correct
