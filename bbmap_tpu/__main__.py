@@ -37,7 +37,7 @@ TOOLS = {
     "calctruequality": "bbmap_tpu.tools.calctruequality",
     "rqcfilter": "bbmap_tpu.tools.rqcfilter",
     "bbqc": "bbmap_tpu.tools.rqcfilter",
-    "bbduk2": "bbmap_tpu.tools.bbduk",
+    "bbduk2": "bbmap_tpu.tools.bbduk2",
     "removesmartbell": "bbmap_tpu.tools.removesmartbell",
 }
 
