@@ -37,8 +37,13 @@ from . import seed
 MIN_RATIO = 0.56
 SLOW_ALIGN_PADDING = 4
 MAX_PAIR_DIST = 32000            # reference: AbstractMapThread.java:2975
-AVERAGE_PAIR_DIST = 100          # initial value (:2948); the reference
-# updates a running average during the run — static here (determinism)
+MIN_PAIR_DIST = -160             # reference: AbstractMapThread.java:2974
+MAX_RESCUE_DIST = 1200           # reference: AbstractMapThread.java:2976
+MAX_RESCUE_MISMATCHES = 32       # reference: AbstractMapThread.java:2977
+AVERAGE_PAIR_DIST = 100          # initial (:2948); updated to the
+# cumulative mated-inner-distance mean once >1000 pairs observed
+# (DYNAMIC_INSERT_LENGTH, reference: BBMapThread.java:1307-1309)
+_NB = ord("N")
 OUTER_DIST_MULT = 14             # reference: AbstractMapThread.java:2991
 OUTER_DIST_DIV = 32
 # clearzone model (reference: align2/BBMapThread.java:38-57,114-134)
@@ -68,6 +73,7 @@ class MappedRead:
     ambiguous: bool = False
     perfect: bool = False
     paired: bool = False    # proper-pair
+    rescued: bool = False   # found by mate rescue (SiteScore.rescued)
     n_sites: int = 1
     secondary: Optional[list] = None  # [(chrom, start, stop, strand,
     #   score, match)] when secondary-site output is enabled
@@ -122,6 +128,7 @@ class MappedBatch:
             self.ambiguous[i] = r.ambiguous
             self.perfect[i] = r.perfect
             self.paired[i] = r.paired
+            self.rescued[i] = r.rescued
             self.n_sites[i] = r.n_sites
             self.match_is_row[i] = False
             self.match_override[i] = r.match
@@ -135,6 +142,7 @@ class MappedBatch:
             r.ambiguous = bool(self.ambiguous[i])
             r.n_sites = int(self.n_sites[i])
             r.paired = bool(self.paired[i])
+            r.rescued = bool(self.rescued[i])
             if mapped[i]:
                 r.mapped = True
                 r.strand = int(self.strand[i])
@@ -276,6 +284,9 @@ class BBMapAligner:
         # INITIAL_AVERAGE_PAIR_DIST=100)
         self.average_pair_dist = float(AVERAGE_PAIR_DIST)
         self._pair_obs = 0
+        self._inner_sum = 0      # innerLengthSum (reference: :3037)
+        self._num_mated = 0      # numMated (:3033)
+        self._mapped_retained = 0  # mappedRetained2 rescue cutoff (:1146)
         self.codes_ascii = self._genome_ascii()
         self.chrom_offsets = index.chrom_offsets
 
@@ -963,13 +974,95 @@ class BBMapAligner:
         self._set_pair_flags(res1, res2, L1, L2)
         return res1, res2
 
+    def _quick_rescue(self, mate_read: np.ndarray, loc: int,
+                      search_dist: int, search_right: bool, ideal: int,
+                      max_mm: int, chrom: int):
+        """Exact quickRescue scan (reference:
+        AbstractMapThread.quickRescue:2303-2404): per-offset mismatch
+        count (read N = mismatch) + longest exact-run ("contig") bonus,
+        score = (L - mismatches) + contig, acceptance is sequential in
+        scan order with a monotonically tightening mismatch bound and an
+        absdif-to-ideal tiebreak; an exact match shrinks the remaining
+        scan to |ideal - start|. Returns (best_start, mismatches) or
+        None. The heavy per-offset arrays are vectorized; only the
+        order-dependent acceptance walk stays scalar."""
+        g = self.codes_ascii
+        Lm = len(mate_read)
+        ch_lo = int(self.chrom_offsets[chrom - 1])
+        ch_hi = int(self.chrom_offsets[chrom]) \
+            if chrom < len(self.chrom_offsets) - 1 else len(g)
+        if search_right:
+            lo = max(ch_lo, loc)
+            hi = min(ch_hi - Lm, loc + search_dist)
+        else:
+            lo = max(ch_lo, loc - search_dist)
+            hi = min(ch_hi - Lm, loc)
+        if hi < lo:
+            return None
+        n = hi - lo + 1
+        win = np.lib.stride_tricks.sliding_window_view(
+            g[lo:hi + Lm], Lm)[:n]
+        bad = (win != mate_read[None, :]) | (mate_read[None, :] == _NB)
+        mism = bad.sum(1).astype(np.int64)
+        # longest run of matches per offset: boundaries via cumsum reset
+        run_id = np.cumsum(bad, axis=1)
+        contig = np.zeros(n, np.int64)
+        # per row: count occurrences of each run_id among non-bad cells;
+        # vectorized with bincount over (row * (L+1) + run_id)
+        rows_f, cols_f = np.nonzero(~bad)
+        if len(rows_f):
+            key = rows_f * (Lm + 1) + run_id[rows_f, cols_f]
+            cnt = np.bincount(key, minlength=n * (Lm + 1))
+            contig = cnt.reshape(n, Lm + 1).max(1).astype(np.int64)
+        score = (Lm - mism) + contig
+        absdif = np.abs(np.arange(lo, hi + 1, dtype=np.int64) - ideal)
+
+        min_mm = max_mm + 1
+        best_score = 0
+        best_start = -1
+        best_absdif = 1 << 60
+        order = range(n) if search_right else range(n - 1, -1, -1)
+        bound_lo, bound_hi = lo, hi
+        for t in order:
+            start = lo + t
+            if start < bound_lo or start > bound_hi:
+                break
+            m = int(mism[t])
+            if m > min_mm:
+                continue
+            s = int(score[t])
+            a = int(absdif[t])
+            if s > best_score or (s == best_score and a < best_absdif):
+                best_start = start
+                min_mm = m
+                best_score = s
+                best_absdif = a
+                if m == 0:
+                    if search_right:
+                        bound_hi = min(bound_hi, ideal + a)
+                    else:
+                        bound_lo = max(bound_lo, ideal - a)
+        if best_start < 0:
+            return None
+        return best_start, min_mm
+
     def _rescue(self, b1, b2, L1, L2, res1, res2) -> None:
-        """Mate rescue: brute gapless scan near the mapped anchor for an
-        unmapped mate (reference: AbstractMapThread.rescue:1144 /
-        quickRescue:2303 — strided mismatch count over candidate
-        offsets, ideal for vector compare)."""
+        """Mate rescue (reference: AbstractMapThread.rescue:1144-1250):
+        directional quickRescue scan from each anchor with the dynamic
+        pair-distance model, disabled when pairing is failing (<5%
+        mated, :1146), gapless re-score + DP escalation of the rescued
+        site (slowRescue), retain thresholds 0.4/0.55 of max score."""
         from ..core.bases import COMP_ASCII
         from . import gapless
+
+        # skip rescue when mating is not working (reference: :1146)
+        if self._mapped_retained > 1000 and \
+                self._num_mated * 20 < self._mapped_retained:
+            return
+        apd = int(self.average_pair_dist)
+        search_dist = min(MAX_PAIR_DIST, 2 * apd + 100)
+        if search_dist > MAX_RESCUE_DIST:
+            return  # too slow (reference: :1147)
 
         jobs = []  # (pair_idx, which_missing)
         for i, (r1, r2) in enumerate(zip(res1, res2)):
@@ -979,59 +1072,95 @@ class BBMapAligner:
                 jobs.append((i, 1))
         if not jobs:
             return
-        span = 1400  # scan half-width around the ideal mate position
         for i, which in jobs:
             anchor = res1[i] if which == 2 else res2[i]
             bm = b2 if which == 2 else b1
             Lm = L2 if which == 2 else L1
+            La = L1 if which == 2 else L2
             resm = res2 if which == 2 else res1
             row = bm.bases[i, :Lm]
             anchor_flat = int(self.chrom_offsets[anchor.chrom - 1]) \
                 + anchor.start
-            apd = int(self.average_pair_dist)
+            # fragments down to 68% of a read length overlap the anchor
+            # (reference: :1187)
+            search_into = (anchor.stop - anchor.start - 1) \
+                + (La * 11) // 16
             if anchor.strand == 0:
-                # mate expected downstream on minus strand
-                ideal = anchor_flat + apd
+                # FR innie: mate downstream on the minus strand
                 mate_strand = 1
                 mate_read = COMP_ASCII[row][::-1]
+                loc = anchor_flat + (anchor.stop - anchor.start) \
+                    - search_into
+                ideal = anchor_flat + (anchor.stop - anchor.start) + apd
+                search_right = True
             else:
-                ideal = anchor_flat - apd - Lm
                 mate_strand = 0
                 mate_read = row
-            lo = max(0, ideal - span)
-            hi = min(len(self.codes_ascii) - Lm, ideal + span)
-            if hi <= lo:
+                loc = anchor_flat + search_into
+                ideal = anchor_flat - apd
+                search_right = False
+            max_sw = self.profile.max_quality(Lm)
+            max_imp = self.profile.max_imperfect_score(Lm)
+            # loose read is unmapped here -> bestLooseScore = 0
+            # (reference: :1170-1171)
+            max_mm = min(MAX_RESCUE_MISMATCHES, int(0.60 * Lm - 1))
+            found = self._quick_rescue(
+                mate_read, loc, search_dist + search_into, search_right,
+                ideal, max_mm, anchor.chrom)
+            if found is None:
                 continue
-            offs = np.arange(lo, hi, dtype=np.int64)
-            # mismatch counts via shifted compares
+            diag, mm = found
+            if mm > max_mm:
+                continue
+            # slowRescue (reference: :1247-1303): gapless re-score, DP
+            # escalation when imperfect and indels are allowed
             g = self.codes_ascii
-            win = np.lib.stride_tricks.sliding_window_view(
-                g[lo:hi + Lm], Lm)[:len(offs)]
-            mism = (win != mate_read[None, :]).sum(1)
-            bidx = int(np.argmin(mism))
-            diag = int(offs[bidx])
             score = int(gapless.score_no_indels_flat(
                 mate_read[None, :], np.array([Lm]), g,
                 np.array([diag]), self.profile)[0])
-            max_sw = self.profile.max_quality(Lm)
-            ratio_rescue = max(self.min_ratio * 0.60,
-                               1 - (1 - self.min_ratio) * 1.8)
-            if score < int(max_sw * ratio_rescue):
+            match = None
+            start_flat, stop_flat = diag, diag + Lm - 1
+            if score < max_imp and self.maxindel > 0:
+                pad = SLOW_ALIGN_PADDING + 6
+                C = Lm + 2 * pad
+                ref = self._window(diag - pad, C)
+                msc, mstart, mmatch = 0, 0, None
+                from ..ops import msa_ref as _mref
+                msc, mstart, mmatch = _mref.align(mate_read, ref,
+                                                  self.profile)
+                if msc > score:
+                    score = int(msc)
+                    start_flat = diag - pad + mstart
+                    refc = sum(1 for ch in mmatch if ch in b"mSND")
+                    stop_flat = start_flat + refc - 1
+                    match = mmatch
+            # retain limits (reference: :1168-1169 with bestLoose=0)
+            retain = int(0.4 * max_sw)
+            retain2 = int(0.55 * max_sw)
+            if score <= retain:
                 continue
             rm = resm[i]
             rm.mapped = True
+            rm.rescued = True
             rm.strand = mate_strand
             rm.score = score
             rm.perfect = score >= max_sw
             rm.ambiguous = False
             rm.n_sites = 1
-            chrom, loc = self._chrom_of(diag)
+            chrom, lloc = self._chrom_of(start_flat)
             rm.chrom = chrom
-            rm.start = loc
-            rm.stop = loc + Lm - 1
-            refs = gapless.gather_ref_rows(g, np.array([diag]), Lm)
-            rm.match = bytes(gapless.gen_match_no_indels_batch(
-                mate_read[None, :], refs)[0])
+            rm.start = lloc
+            rm.stop = lloc + (stop_flat - start_flat)
+            if match is None:
+                refs = gapless.gather_ref_rows(
+                    g, np.array([start_flat]), Lm)
+                match = bytes(gapless.gen_match_no_indels_batch(
+                    mate_read[None, :], refs)[0])
+            rm.match = match
+            if score > retain2:
+                # resistant to discard = proper pair (reference: :1229)
+                rm.paired = True
+                anchor.paired = True
 
     def _map_group(self, batch: ReadBatch, L: int, idxs: np.ndarray,
                    results: List[MappedRead]) -> None:
@@ -1414,16 +1543,19 @@ class BBMapAligner:
                 outer = r1.stop - r2.start
             if outer >= outer_limit and inner <= MAX_PAIR_DIST:
                 r1.paired = r2.paired = True
-                inner_sum += min(inner, MAX_PAIR_DIST)
+                inner_sum += max(MIN_PAIR_DIST, min(inner, MAX_PAIR_DIST))
                 inner_n += 1
-        if inner_n:
-            # exponential-ish running average, matching the reference's
-            # incremental AVERAGE_PAIR_DIST behavior
-            total = self._pair_obs + inner_n
+        # cumulative mean insert model + rescue-health counters
+        # (reference: BBMapThread.java:1307-1309 DYNAMIC_INSERT_LENGTH;
+        # AbstractMapThread.java:1146 rescue cutoff)
+        self._mapped_retained += sum(
+            1 for r in res1 if r.mapped) + sum(
+            1 for r in res2 if r.mapped)
+        self._num_mated += 2 * inner_n
+        self._inner_sum += inner_sum
+        if inner_n and self._num_mated > 2000:  # 1000 pairs (:1307)
             self.average_pair_dist = (
-                self.average_pair_dist * self._pair_obs
-                + inner_sum) / total
-            self._pair_obs = min(total, 1 << 20)
+                self._inner_sum * 2.0 / self._num_mated)
 
     def _dp_score(self, cand_reads: np.ndarray, wstart: np.ndarray,
                   wlen: np.ndarray, dp_jobs: np.ndarray, L: int,
