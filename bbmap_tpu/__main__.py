@@ -43,6 +43,13 @@ TOOLS = {
 
 # multi-command modules: tool name -> (module, function)
 SUBTOOLS = {
+    "countbarcodes": ("bbmap_tpu.tools.barcodes", "countbarcodes"),
+    "mergebarcodes": ("bbmap_tpu.tools.barcodes", "mergebarcodes"),
+    "correlatebarcodes": ("bbmap_tpu.tools.barcodes",
+                          "correlatebarcodes"),
+    "filterbarcodes": ("bbmap_tpu.tools.barcodes", "filterbarcodes"),
+    "removebadbarcodes": ("bbmap_tpu.tools.barcodes",
+                          "removebadbarcodes"),
     "mutategenome": ("bbmap_tpu.tools.synth", "mutategenome"),
     "shred": ("bbmap_tpu.tools.synth", "shred"),
     "makechimeras": ("bbmap_tpu.tools.synth", "makechimeras"),
