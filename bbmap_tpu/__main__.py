@@ -39,6 +39,8 @@ TOOLS = {
     "bbqc": "bbmap_tpu.tools.rqcfilter",
     "bbduk2": "bbmap_tpu.tools.bbduk2",
     "removesmartbell": "bbmap_tpu.tools.removesmartbell",
+    "liftover": "bbmap_tpu.tools.liftover",
+    "translator": "bbmap_tpu.tools.liftover",
 }
 
 # multi-command modules: tool name -> (module, function)
@@ -69,6 +71,7 @@ SUBTOOLS = {
     "findancestor": ("bbmap_tpu.tools.taxonomy", "findancestor"),
     "filterbytaxa": ("bbmap_tpu.tools.taxonomy", "filterbytaxa"),
     "filterbycoverage": ("bbmap_tpu.tools.covtools", "filterbycoverage"),
+    "decontaminate": ("bbmap_tpu.tools.covtools", "decontaminate"),
     "kmercoverage": ("bbmap_tpu.tools.covtools", "kmercoverage"),
     "crosscontaminate": ("bbmap_tpu.tools.covtools", "crosscontaminate"),
     "shuffle": ("bbmap_tpu.tools.misc", "shuffle"),

@@ -121,7 +121,7 @@ def main(argv: List[str]) -> int:
     from ..utils.readstats import ReadStats
     hist_flags = {h: args.get(h) for h in
                   ("qhist", "lhist", "gchist", "ihist", "idhist",
-                   "indelhist", "mhist")}
+                   "indelhist", "mhist", "ehist", "bqhist", "timehist")}
     stats = ReadStats() if any(hist_flags.values()) else None
     scafstats_path = args.get("scafstats")
     scaf_counts = {} if scafstats_path else None
@@ -199,8 +199,16 @@ def main(argv: List[str]) -> int:
             res.start -= a
             res.stop += b_
 
+    # hung-run watchdog: aborts if no batch completes for 30 min
+    # (reference: stream/KillSwitch.java:17 kill timer around the
+    # map/print loop)
+    from ..utils.watchdog import Watchdog
+    dog = Watchdog(max_seconds=float(
+        args.get_int("watchdogsecs", default=1800))).start()
     reader = fastx.PairedReader(in1, in2, interleaved)
     for chunk in batched(iter(reader), batch_size):
+        dog.tick()
+        t_batch = time.time()
         recs1 = [p[0] for p in chunk]
         recs1, info1 = trim_records(recs1)
         b1 = ReadBatch.from_records(recs1)
@@ -240,6 +248,10 @@ def main(argv: List[str]) -> int:
             accumulate(b1, res1)
         if out_fh is not None:
             out_fh.write("\n".join(lines) + "\n")
+        if stats is not None:
+            stats.add_time(time.time() - t_batch,
+                           (2 if paired else 1) * len(recs1))
+    dog.stop()
     if out_fh is not None and out_fh not in (sys.stdout,):
         out_fh.close()
     dt = time.time() - t2
@@ -248,7 +260,9 @@ def main(argv: List[str]) -> int:
                        gchist=stats.write_gchist, ihist=stats.write_ihist,
                        idhist=stats.write_idhist,
                        indelhist=stats.write_indelhist,
-                       mhist=stats.write_mhist)
+                       mhist=stats.write_mhist, ehist=stats.write_ehist,
+                       bqhist=stats.write_bqhist,
+                       timehist=stats.write_timehist)
         for flag, path in hist_flags.items():
             if path:
                 writers[flag](path)

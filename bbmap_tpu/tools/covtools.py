@@ -133,7 +133,135 @@ def crosscontaminate(argv: List[str]) -> int:
     return 0
 
 
+def decontaminate(argv: List[str]) -> int:
+    """Cross-contamination removal across multi-library assemblies
+    (reference: jgi/DecontaminateByNormalization.java:258-283 +
+    sh/decontaminate.sh). Pipeline per the reference's process():
+
+    1. rename+mux: merge every library's reads, ids prefixed lib_
+    2. (ecc=t) tadpole error correction of the pool
+    3. bbnorm the pooled reads (target=, mindepth=) — contaminant reads
+       are rare in their true library's pool slot, so normalization by
+       the POOLED depth suppresses carried-over reads
+    4. demux back per library by id prefix
+    5. map each library's normalized reads to its own assembly;
+       pileup covstats
+    6. filterbycoverage each assembly (minc/minp/minl) -> clean/dirty
+
+    reads=/ref= are comma lists (or list files) of equal length, paired
+    positionally."""
+    import os
+    import tempfile
+
+    from . import bbmap as bbmap_tool
+    from . import bbnorm as bbnorm_tool
+    from . import pileup as pileup_tool
+
+    args = Args.parse(argv)
+    reads_arg = args.get("reads", "read", "in")
+    ref_arg = args.get("ref", "refs")
+    outdir = args.get("outdir", "out", default=".")
+    tmpdir = args.get("tmpdir") or tempfile.mkdtemp(prefix="dbn_")
+    target = args.get_int("target", default=20)
+    mindepth = args.get_int("mindepth", "mind", default=2)
+    k = args.get_int("k", default=31)
+    minc = args.get_float("minc", default=3.5)
+    minp = args.get_float("minp", default=20)
+    minl = args.get_int("minl", default=500)
+    ecc = args.get_bool("ecc", default=False)
+    if reads_arg is None or ref_arg is None:
+        print("Usage: decontaminate reads=<r1.fq,r2.fq,...> "
+              "ref=<a1.fa,a2.fa,...> outdir=<dir>", file=sys.stderr)
+        return 1
+
+    def expand(val):
+        out = []
+        for part in val.split(","):
+            if os.path.isfile(part) and part.endswith(".txt"):
+                with open(part) as fh:
+                    out.extend(l.strip() for l in fh if l.strip())
+            else:
+                out.append(part)
+        return out
+
+    read_paths = expand(reads_arg)
+    ref_paths = expand(ref_arg)
+    if len(read_paths) != len(ref_paths):
+        print("decontaminate: reads= and ref= lists must pair up",
+              file=sys.stderr)
+        return 1
+    os.makedirs(outdir, exist_ok=True)
+    os.makedirs(tmpdir, exist_ok=True)
+    core = [os.path.basename(p).split(".")[0] for p in read_paths]
+
+    # 1. rename + mux (reference: renameAndMux_ST:306-335)
+    merged = os.path.join(tmpdir, "merged.fq")
+    with fastx.xopen(merged, "wb") as out_fh:
+        for c, path in zip(core, read_paths):
+            for rec in fastx.read_seqs(path, fake_quality=30):
+                out_fh.write(
+                    b"@" + c.encode() + b"~" + rec.id.encode() + b"\n"
+                    + rec.bases + b"\n+\n"
+                    + (rec.quality or b"I" * len(rec.bases)) + b"\n")
+
+    # 2. optional pooled error correction (reference: eccTadpole:451)
+    if ecc:
+        from . import tadpole as tadpole_tool
+        corrected = os.path.join(tmpdir, "corrected.fq")
+        if tadpole_tool.main([f"in={merged}", f"out={corrected}",
+                              "mode=correct", f"k={min(k, 31)}"]) == 0:
+            merged = corrected
+
+    # 3. normalize the pool (reference: normalize:481-507)
+    normed = os.path.join(tmpdir, "normalized.fq")
+    rc = bbnorm_tool.main([f"in={merged}", f"out={normed}",
+                           f"target={target}", f"mindepth={mindepth}",
+                           f"k={k}"])
+    if rc != 0:
+        return rc
+
+    # 4. demux by library prefix (reference: demux:523-563)
+    demuxed = {c: os.path.join(tmpdir, f"{c}_demuxed.fq")
+               for c in core}
+    handles = {c: fastx.xopen(p, "wb") for c, p in demuxed.items()}
+    for rec in fastx.read_seqs(normed, fake_quality=30):
+        c, _, rid = rec.id.partition("~")
+        fh = handles.get(c)
+        if fh is None:
+            continue
+        fh.write(b"@" + rid.encode() + b"\n" + rec.bases + b"\n+\n"
+                 + (rec.quality or b"I" * len(rec.bases)) + b"\n")
+    for fh in handles.values():
+        fh.close()
+
+    # 5. map + covstats (reference: map:567-609 'covstats=' flag; here
+    #    bbmap emits SAM and pileup derives the same covstats table)
+    # 6. filterbycoverage (reference: filter:612-668)
+    for c, ref in zip(core, ref_paths):
+        sam = os.path.join(tmpdir, f"{c}.sam")
+        stats1 = os.path.join(outdir, f"{c}_covstats1.txt")
+        rc = bbmap_tool.main([f"ref={ref}", f"in={demuxed[c]}",
+                              f"out={sam}", "nodisk"])
+        if rc != 0:
+            return rc
+        rc = pileup_tool.main([f"in={sam}", f"out={stats1}",
+                               f"ref={ref}"])
+        if rc != 0:
+            return rc
+        rc = filterbycoverage([
+            f"in={ref}", f"cov={stats1}",
+            f"out={os.path.join(outdir, c + '_clean.fasta')}",
+            f"outd={os.path.join(outdir, c + '_dirty.fasta')}",
+            f"minc={minc}", f"minp={minp}", f"minl={minl}"])
+        if rc != 0:
+            return rc
+    sys.stderr.write(f"Decontaminated {len(core)} libraries into "
+                     f"{outdir}\n")
+    return 0
+
+
 TOOLS = dict(filterbycoverage=filterbycoverage,
+             decontaminate=decontaminate,
              kmercoverage=kmercoverage,
              crosscontaminate=crosscontaminate)
 

@@ -27,6 +27,12 @@ class ReadStats:
         self.mhist_m = np.zeros(maxlen, np.int64)     # match by position
         self.mhist_s = np.zeros(maxlen, np.int64)
         self.mhist_io = np.zeros(maxlen, np.int64)    # ins+other
+        self.ehist = np.zeros(256, np.int64)          # errors per read
+        self.maxq = maxq
+        # per-position quality histogram for bqhist quartiles
+        self.bq = np.zeros((maxlen, maxq + 1), np.int64)
+        # per-read processing time, microsecond log2 buckets (timehist)
+        self.timehist = np.zeros(64, np.int64)
 
     def add_batch(self, bases: np.ndarray, quality: Optional[np.ndarray],
                   lengths: np.ndarray) -> None:
@@ -37,6 +43,9 @@ class ReadStats:
             q = quality[:, :Lcap]
             self.qhist_sum[:Lcap] += np.where(valid, q, 0).sum(0)
             self.qhist_cnt[:Lcap] += valid.sum(0)
+            qc = np.clip(q, 0, self.maxq)
+            rows, cols = np.nonzero(valid)
+            np.add.at(self.bq, (cols, qc[rows, cols]), 1)
         np.add.at(self.lhist, np.minimum(lengths, len(self.lhist) - 1), 1)
         gc = ((bases[:, :Lcap] == ord("G")) |
               (bases[:, :Lcap] == ord("C"))) & valid
@@ -64,6 +73,7 @@ class ReadStats:
         dels = int((m == ord("D")).sum())
         inss = int((m == ord("I")).sum())
         self.indelhist[min(dels + inss, 255)] += 1
+        self.ehist[min(subs + dels + inss, 255)] += 1
         ident = 100.0 * int((m == ord("m")).sum()) / max(1, n)
         self.idhist[int(np.clip(round(ident), 0, 100))] += 1
 
@@ -104,6 +114,51 @@ class ReadStats:
             fh.write("#Indels\tCount\n")
             for i in np.nonzero(self.indelhist)[0]:
                 fh.write(f"{i}\t{self.indelhist[i]}\n")
+
+    def add_time(self, seconds: float, n_reads: int) -> None:
+        """Per-read wall time in log2 microsecond buckets (reference:
+        ReadStats TIME_HIST / timehist= flag)."""
+        if n_reads <= 0 or seconds <= 0:
+            return
+        us = seconds * 1e6 / n_reads
+        b = int(np.clip(np.log2(max(us, 1.0)), 0, 63))
+        self.timehist[b] += n_reads
+
+    def write_ehist(self, path: str) -> None:
+        """#Errors per mapped read (reference: ReadStats errorHistogram,
+        ehist= flag)."""
+        with open(path, "w") as fh:
+            fh.write("#Errors\tCount\n")
+            for i in np.nonzero(self.ehist)[0]:
+                fh.write(f"{i}\t{self.ehist[i]}\n")
+
+    def write_bqhist(self, path: str) -> None:
+        """Per-position quality quartile box data (reference: ReadStats
+        bqHistogram, bqhist= flag)."""
+        with open(path, "w") as fh:
+            fh.write("#BaseNum\tcount_1\tmin_1\tmax_1\tmean_1\tQ1_1\t"
+                     "med_1\tQ3_1\n")
+            for i in range(self.bq.shape[0]):
+                row = self.bq[i]
+                n = int(row.sum())
+                if n == 0:
+                    continue
+                qs = np.arange(len(row))
+                cum = np.cumsum(row)
+                mn = int(qs[np.nonzero(row)[0][0]])
+                mx = int(qs[np.nonzero(row)[0][-1]])
+                mean = float((qs * row).sum() / n)
+                q1 = int(np.searchsorted(cum, 0.25 * n, side="left"))
+                med = int(np.searchsorted(cum, 0.50 * n, side="left"))
+                q3 = int(np.searchsorted(cum, 0.75 * n, side="left"))
+                fh.write(f"{i}\t{n}\t{mn}\t{mx}\t{mean:.2f}\t{q1}\t"
+                         f"{med}\t{q3}\n")
+
+    def write_timehist(self, path: str) -> None:
+        with open(path, "w") as fh:
+            fh.write("#Time_us_log2\tReads\n")
+            for i in np.nonzero(self.timehist)[0]:
+                fh.write(f"{1 << i}\t{self.timehist[i]}\n")
 
     def write_mhist(self, path: str) -> None:
         with open(path, "w") as fh:
