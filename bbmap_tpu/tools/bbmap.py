@@ -24,9 +24,44 @@ from ..io import sam as samio
 from ..utils.args import Args
 
 
+def _apply_presets(argv: List[str]) -> List[str]:
+    """fast= / slow= / vslow= arg-rewrites (reference:
+    align2/BBMap.java:66-131 — each preset PREPENDS flags so explicit
+    user flags still win; the exclude fraction scales with the preset).
+    Sensitivity knobs that exist in this engine: minratio, maxindel,
+    maxsites, excludefraction, rescue distances."""
+    lower = [a.split("=")[0].lower() for a in argv]
+
+    def on(name):
+        if name not in lower:
+            return False
+        v = argv[lower.index(name)].partition("=")[2].lower()
+        return v in ("", "t", "true", "1")
+
+    base_frac = 0.03
+    pre: List[str] = []
+    if on("fast"):
+        # reference: :66-97
+        pre = ["maxindel=80", "minratio=0.65", "maxsites=3",
+               f"excludefraction={base_frac * 1.25:g}"]
+    elif on("slow"):
+        # reference: :99-117
+        pre = ["minratio=0.45",
+               f"excludefraction={base_frac * 0.4:g}"]
+    elif on("vslow"):
+        # reference: :100-131
+        pre = ["minratio=0.25", "excludefraction=0"]
+    if not pre:
+        return argv
+    keep = [a for a in argv
+            if a.split("=")[0].lower() not in ("fast", "slow", "vslow")]
+    return pre + keep
+
+
 def main(argv: List[str]) -> int:
     from ..utils.jaxcfg import enable_compilation_cache
     enable_compilation_cache()
+    argv = _apply_presets(argv)
     args = Args.parse(argv)
     ref = args.get("ref")
     in1 = args.get("in", "in1") or (args.positional[0]
@@ -39,6 +74,9 @@ def main(argv: List[str]) -> int:
     if minid is not None:
         from ..core.constants import min_id_to_min_ratio
         min_ratio = min_id_to_min_ratio(float(minid))
+    # excludefraction= overrides the genome-size-scaled quantile
+    # (reference: BBIndex.setFractionToExclude, preset-adjusted)
+    excl_frac = args.get_float("excludefraction", default=-1.0)
     nodisk = args.get_bool("nodisk", default=False)
     ambig = args.get("ambig", "ambiguous", default="best")
     maxindel = args.get_int("maxindel", default=16000)
@@ -86,13 +124,17 @@ def main(argv: List[str]) -> int:
                                  "ref_tpu")
         os.makedirs(cache_dir, exist_ok=True)
         mod_tag = "_mod9" if usemodulo else ""
+        if excl_frac >= 0:
+            mod_tag += f"_x{excl_frac:g}"
         cache = os.path.join(cache_dir,
                              f"index_{genome_hash(ref, k)}{mod_tag}.npz")
         if os.path.exists(cache):
             index = load_index(cache)
     if index is None:
         index = build_index(genome, k, usemodulo=usemodulo)
-        analyze_index(index, set_fraction_to_exclude(genome.total_bases()))
+        frac = excl_frac if excl_frac >= 0 else \
+            set_fraction_to_exclude(genome.total_bases())
+        analyze_index(index, frac)
         if not nodisk:
             save_index(index, cache)
     sys.stderr.write(f"Generated Index:\t{time.time()-t1:.3f} seconds.\n")
