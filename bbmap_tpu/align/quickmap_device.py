@@ -318,11 +318,41 @@ def candidate_stage(cfg: QmConfig, bases, starts_d, sites_d,
         # over-long lists are skipped entirely (reference exclusion
         # semantics, BBIndex.find:421-440), not truncated
         if okpack_d is None:
-            admit = cnt <= S
+            # staged re-admission (reference: BBIndex.find:421-440):
+            # when a (read, strand) hits too few keys at the base cap,
+            # progressively longer lists (1.5x/2x/3x/5x) are re-admitted
+            nz = valid & (cnt > 0)
+            tiers = (S, (3 * S) // 2, 2 * S, 3 * S, 5 * S)
+            nh = [jnp.sum((nz & (cnt <= t)).astype(I32), axis=-1)
+                  for t in tiers]                       # each (B, 2)
+            trig = (3 * nk) // 4
+            sel = jnp.zeros_like(nh[0])
+            esc = (nh[0] > 0) & (nh[0] < 4) & (nh[0] < trig)
+            sel = jnp.where(esc, 1, sel)
+            cur = jnp.where(esc, nh[1], nh[0])
+            for t, need in ((2, 3), (3, 3), (4, 2)):
+                esc = esc & (cur < need) & (cur < trig)
+                sel = jnp.where(esc, t, sel)
+                cur = jnp.where(esc, nh[t], cur)
+            tier_arr = jnp.asarray(np.asarray(tiers, np.int32))
+            Tsel = tier_arr[sel][..., None]              # (B, 2, 1)
+            admit = cnt <= Tsel
         else:
             okbit = (okpack_d[safe >> 5] >> (safe & 31).astype(U32)) & 1
             admit = okbit.astype(bool)
         cnt = jnp.where(valid & admit, cnt, 0)
+        # greedy whole-list budget admission: a key whose list would
+        # overflow the slot budget is SKIPPED (exclusion semantics),
+        # never truncated mid-list; later shorter lists still admit
+        acc = jnp.zeros(cnt.shape[:-1], I32)
+        cols = []
+        for t in range(nk):
+            c = cnt[..., t]
+            fits = acc + c <= SLOT_BUDGET
+            c = jnp.where(fits, c, 0)
+            cols.append(c)
+            acc = acc + c
+        cnt = jnp.stack(cols, axis=-1)
         # budget-slot gather: pack each (read, strand)'s site lists into
         # SLOT_BUDGET contiguous slots via prefix sums — the compute cost
         # scales with the budget, not nk * (longest allowed list). The

