@@ -538,10 +538,14 @@ class BBMapAligner:
         from . import gapless
 
         n = len(idxs)
-        top = 4
+        # DP the top-2 gapless candidates; lower candidates keep their
+        # gapless scores in the selection/ambiguity competition below
+        # (the reference's pre-DP site pruning, removeLowQualitySites)
+        top = 2
         progs = self._esc_programs(L)
         scs_all = d["cand_scores"][idxs]
-        ordc = np.argsort(-scs_all, axis=1, kind="stable")[:, :top]
+        ord_all = np.argsort(-scs_all, axis=1, kind="stable")
+        ordc = ord_all[:, :top]
         take = lambda a: np.take_along_axis(a[idxs], ordc, axis=1)
         g_sc = take(d["cand_scores"]).astype(np.int64)       # (n, top)
         diag = take(d["cand_diag"]).astype(np.int64)
@@ -574,13 +578,20 @@ class BBMapAligner:
         w0 = ord2[:, 0]
         best = eff[ar, w0]
         second = eff[ar, ord2[:, 1]]
+        # non-DP'd candidates compete with their gapless scores
+        rest = np.take_along_axis(scs_all, ord_all[:, top:],
+                                  axis=1).astype(np.int64)
+        rest_best = rest.max(axis=1) if rest.shape[1] else \
+            np.full(n, -(2 ** 30), np.int64)
+        second = np.maximum(second, rest_best)
         max_sw = self.profile.max_quality(L)
         min_score = int(max_sw * self.min_ratio)
         mapped = best >= min_score
         perfect = best >= max_sw
         cz = self._czvec(best, max_sw, perfect)
         ambiguous = (second > -(2 ** 29)) & (best - second < cz)
-        n_sites = (eff >= min_score).sum(axis=1).astype(np.int32)
+        n_sites = ((eff >= min_score).sum(axis=1)
+                   + (rest >= min_score).sum(axis=1)).astype(np.int32)
         toss = self.ambig_mode == "toss"
         keep = mapped & ~(ambiguous & toss) if toss else mapped
 
