@@ -34,13 +34,26 @@ I32 = jnp.int32
 SLOW_ALIGN_PADDING = 4
 NARROW_SPREAD = 64
 WIDE_SPREAD = 448
-SCORE_CHUNK = 8192    # jobs per score-only dispatch (narrow) — sized so
-# padding waste stays small (job counts are ~0.5 jobs/read on the bench
-# error profile); chunks pipeline on device, so multiple dispatches cost
-# only enqueue overhead
-SCORE_CHUNK_W = 1024  # jobs per score-only dispatch (wide)
-TRACE_CHUNK = 2048    # jobs per fill+traceback dispatch (narrow)
-TRACE_CHUNK_W = 1024
+SCORE_CHUNKS = (8192, 4096, 2048, 1024)  # greedy chunk ladder (narrow)
+# — a job count decomposes into descending power-of-two dispatches, so
+# padding waste is <= 1023 jobs instead of chunk-1 (a 9.7k-job batch
+# pads 41% with one fixed 8192 chunk, 6% with the ladder); every size
+# compiles once and the persistent cache keeps warm starts cheap
+SCORE_CHUNKS_W = (1024,)                 # wide jobs are rare
+TRACE_CHUNKS = (2048, 1024, 512)
+TRACE_CHUNKS_W = (1024,)
+
+
+def _greedy_chunks(n: int, ladder):
+    """Yield (start, stop, size) covering [0, n) with descending
+    power-of-two sizes; the tail uses the smallest size."""
+    a = 0
+    for size in ladder:
+        while n - a >= size:
+            yield a, a + size, size
+            a += size
+    if a < n:
+        yield a, n, ladder[-1]
 
 
 def _codes_to_ascii_dev(codes, is_n):
@@ -107,14 +120,14 @@ def score_jobs(progs: Dict, reads: np.ndarray, wstart: np.ndarray,
     J = len(wstart)
     out = np.full(J, -(2 ** 30), np.int64)
     launches = []   # (job_index_array, device score array)
-    for is_wide, key, chunk in ((False, "score_n", SCORE_CHUNK),
-                                (True, "score_w", SCORE_CHUNK_W)):
+    for is_wide, key, ladder in ((False, "score_n", SCORE_CHUNKS),
+                                 (True, "score_w", SCORE_CHUNKS_W)):
         rows = np.nonzero(wide == is_wide)[0]
         if not len(rows):
             continue
         prog = progs[key]
-        for a in range(0, len(rows), chunk):
-            sel = rows[a:a + chunk]
+        for a, b, chunk in _greedy_chunks(len(rows), ladder):
+            sel = rows[a:b]
             rpad = np.full((chunk, reads.shape[1]), ord("N"), np.uint8)
             wpad = np.zeros(chunk, np.int32)
             rpad[:len(sel)] = reads[sel]
@@ -147,14 +160,14 @@ def trace_jobs(progs: Dict, reads: np.ndarray, wstart: np.ndarray,
     score = np.full(J, -(2 ** 30), np.int64)
     col = np.zeros(J, np.int32)
     launches = []
-    for is_wide, key, chunk in ((False, "trace_n", TRACE_CHUNK),
-                                (True, "trace_w", TRACE_CHUNK_W)):
+    for is_wide, key, ladder in ((False, "trace_n", TRACE_CHUNKS),
+                                 (True, "trace_w", TRACE_CHUNKS_W)):
         rows = np.nonzero(wide == is_wide)[0]
         if not len(rows):
             continue
         prog = progs[key]
-        for a in range(0, len(rows), chunk):
-            sel = rows[a:a + chunk]
+        for a, b, chunk in _greedy_chunks(len(rows), ladder):
+            sel = rows[a:b]
             rpad = np.full((chunk, L), ord("N"), np.uint8)
             wpad = np.zeros(chunk, np.int32)
             rpad[:len(sel)] = reads[sel]
