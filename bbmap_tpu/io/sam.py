@@ -479,3 +479,32 @@ def to_local_alignment(match: bytes) -> Tuple[bytes, int, int]:
     cleaned = bytes(ch for i, ch in enumerate(out)
                     if not (ch == ord("C") and chr(match[i]) == "D"))
     return cleaned, ref_pre, ref_post
+
+
+# ---------------------------------------------------------------------------
+# SAM/BAM IO helpers: .bam paths route through the native BGZF/BAM codec
+# (io/bam.py; reference: fileIO/ReadWrite.java:463-607 samtools piping,
+# replaced by an in-process implementation)
+# ---------------------------------------------------------------------------
+
+def open_sam_lines(path: str):
+    """Iterate SAM text lines from a .sam(.gz/.bz2) or .bam file."""
+    if path.endswith(".bam"):
+        from . import bam
+        return bam.bam_to_sam_lines(path)
+    from . import fastx
+
+    def gen():
+        with fastx.xopen(path, "rt") as fh:
+            for line in fh:
+                yield line.rstrip("\n")
+    return gen()
+
+
+def open_sam_writer(path: str):
+    """Text handle writing SAM; .bam paths encode to BAM on the fly."""
+    if path.endswith(".bam"):
+        from . import bam
+        return bam.SamTextBamWriter(path)
+    from . import fastx
+    return fastx.xopen(path, "wt")

@@ -152,7 +152,7 @@ def main(argv: List[str]) -> int:
                            print_secondary=secondary,
                            max_sites=max_sites, profile=profile)
 
-    out_fh = fastx.xopen(out, "wt") if out else None
+    out_fh = samio.open_sam_writer(out) if out else None
     if out_fh is not None and (out is None or out.endswith(".sam")
                                or True):
         for line in samio.sam_header(genome):

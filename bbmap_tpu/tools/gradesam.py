@@ -56,8 +56,9 @@ def parse_custom(qname: str):
 def grade(sam_path: str, thresh2: int = THRESH2):
     stats = dict(primary=0, mapped=0, strict=0, loose=0,
                  false_positive=0, unmapped=0, unparsed=0)
-    with fastx.xopen(sam_path, "rt") as fh:
-        for line in fh:
+    from ..io import sam as samio
+    for line in samio.open_sam_lines(sam_path):
+        if True:
             if line.startswith("@"):
                 continue
             f = line.rstrip("\n").split("\t")

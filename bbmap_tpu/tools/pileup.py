@@ -87,8 +87,9 @@ class CoveragePileup:
 
 def process_sam(path: str) -> CoveragePileup:
     cp = CoveragePileup()
-    with fastx.xopen(path, "rt") as fh:
-        for line in fh:
+    from ..io import sam as samio
+    for line in samio.open_sam_lines(path):
+        if True:
             if line.startswith("@"):
                 if line.startswith("@SQ"):
                     d = dict(f.split(":", 1) for f in

@@ -28,8 +28,9 @@ def main(argv: List[str]) -> int:
         return 1
     rows = []  # (mapq, correct)
     total = 0
-    with fastx.xopen(inp, "rt") as fh:
-        for line in fh:
+    from ..io import sam as samio
+    for line in samio.open_sam_lines(inp):
+        if True:
             if line.startswith("@"):
                 continue
             f = line.rstrip("\n").split("\t")

@@ -84,8 +84,10 @@ def sortsam(argv: List[str]) -> int:
     sq_order = {}
 
     def rows():
-        with fastx.xopen(inp, "rt") as fh:
-            for line in fh:
+        from ..io import sam as samio
+        for line0 in samio.open_sam_lines(inp):
+            line = line0 + "\n"
+            if True:
                 if line.startswith("@"):
                     header.append(line)
                     if line.startswith("@SQ"):
@@ -108,11 +110,13 @@ def sortsam(argv: List[str]) -> int:
         with open(body, "w") as bf:
             n = _external_merge_lines(rows(), None, bf, tmpdir,
                                       spill_at)
-        with fastx.xopen(out, "wt") as fh:
-            fh.writelines(header)
-            with open(body) as bf:
-                for line in bf:
-                    fh.write(line)
+        from ..io import sam as samio
+        fh = samio.open_sam_writer(out)
+        fh.writelines(header)
+        with open(body) as bf:
+            for line in bf:
+                fh.write(line)
+        fh.close()
     sys.stderr.write(f"Sorted {n} alignments.\n")
     return 0
 
