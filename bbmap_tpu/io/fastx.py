@@ -30,6 +30,14 @@ def xopen(path: str, mode: str = "rt") -> IO:
     if path in ("stdout",) or path.startswith("stdout."):
         return sys.stdout.buffer if "b" in mode else sys.stdout
     if path.endswith(".gz") or path.endswith(".gzip"):
+        if "w" in mode or "a" in mode:
+            # block-parallel compression (pigz-class; reference:
+            # fileIO/ReadWrite.java USE_PIGZ :700-780), standard
+            # multi-member gzip output
+            from .pigz import ParallelGzipWriter, TextParallelGzipWriter
+            if "b" in mode:
+                return ParallelGzipWriter(path)
+            return TextParallelGzipWriter(path)
         return gzip.open(path, mode)
     if path.endswith(".bz2"):
         return bz2.open(path, mode)
