@@ -351,6 +351,9 @@ class BBMapAligner:
                 self._qm_cache[L] = quickmap_device.build_quickmap(
                     self.index, L, chain_dist=self.chain_dist,
                     min_ratio=self.min_ratio, profile=self.profile)
+        if batch.quality is not None and self.mesh is None:
+            return self._qm_cache[L](batch.bases[:, :L],
+                                     batch.quality[:, :L])
         return self._qm_cache[L](batch.bases[:, :L])
 
     def _qm_run(self, batch: ReadBatch, L: int):

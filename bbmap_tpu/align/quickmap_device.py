@@ -281,8 +281,92 @@ def make_config(index: KmerIndex, L: int, chain_dist: int = 400,
                     G=len(index.genome_codes), profile=profile)
 
 
+def quality_offsets_stage(cfg: QmConfig, qual, density: float,
+                          max_density: float):
+    """Device port of the quality-probability key selection (VERDICT r1
+    #9 — the host and device seeding paths must share semantics):
+    QualityTools.makeKeyProbs (reference:
+    align2/QualityTools.java:188-218) + KeyRing.makeOffsets3 (reference:
+    align2/KeyRing.java:396-506, all float32 like the Java). qual:
+    (B, L) int8 phred. Returns (B, nk) int32 offsets, -1 for unused
+    slots; reads with no usable keys fall back to the static ladder
+    (host fallback in seed.make_offsets_quality)."""
+    k, L = cfg.k, cfg.L
+    m = L - k + 1
+    nk = len(cfg.offsets_list)
+    F32 = jnp.float32
+    q = jnp.clip(qual.astype(I32), 0, 127)
+    pc = jnp.asarray(seed_host.PROB_CORRECT)[q]          # (B, L)
+    prob = pc[:, 0:m]
+    for j in range(1, k):
+        prob = prob * pc[:, j:m + j]
+    probs = (F32(1.0) - prob)
+    z = q == 0
+    haszero = z[:, 0:m]
+    for j in range(1, k):
+        haszero = haszero | z[:, j:m + j]
+    probs = jnp.where(haszero, F32(1.0), probs)
+
+    l1 = F32(0.94)
+    l2 = F32(0.9999)
+    idx = jnp.arange(m, dtype=I32)[None, :]
+    ok1 = probs < l1
+    ok2 = probs < l2
+    any1 = ok1.any(axis=1)
+    left = jnp.argmax(ok1, axis=1).astype(I32)
+    right = (m - 1) - jnp.argmax(ok1[:, ::-1], axis=1).astype(I32)
+    inwin = (idx >= left[:, None]) & (idx <= right[:, None])
+    potential = jnp.sum((inwin & ok2).astype(I32), axis=1)
+    valid_read = any1 & (potential > 0) & (right >= left)
+    usable = right - left + k
+    slots_u = usable - k + 1
+    d2 = jnp.ceil(usable.astype(F32) * F32(max_density)
+                  / F32(k)).astype(I32)
+    d2 = jnp.minimum(slots_u, jnp.maximum(2, d2))
+    desired = jnp.where(usable < L, jnp.minimum(nk, d2), nk)
+    desired = jnp.maximum(jnp.minimum(desired, potential), 1)
+    interval = ((right - left).astype(F32)
+                / jnp.maximum(desired - 1, 1).astype(F32))
+    interval_int = interval.astype(I32) + 1
+
+    offs = []
+    f = left.astype(F32)
+    prev = jnp.full(q.shape[:1], -1, I32)
+    j = left
+    for i in range(nk):
+        active = (i < desired) & valid_read
+        pj = jnp.take_along_axis(
+            probs, jnp.clip(j, 0, m - 1)[:, None], axis=1)[:, 0]
+        condA = pj < l2
+        # backward: largest kk in (prev+2, j-1] passing l2 (:459-462)
+        mb = ok2 & (idx > (prev + 2)[:, None]) & (idx <= (j - 1)[:, None])
+        xb = jnp.max(jnp.where(mb, idx, -1), axis=1).astype(I32)
+        # forward: smallest kk in [j+1, min(j+intervalInt, right))
+        lim = jnp.minimum(j + interval_int, right)
+        mc = ok2 & (idx >= (j + 1)[:, None]) & (idx < lim[:, None])
+        xc = jnp.min(jnp.where(mc, idx, m + 9), axis=1).astype(I32)
+        xc = jnp.where(xc >= m + 9, -1, xc)
+        x = jnp.where(condA, j, jnp.where(xb >= 0, xb, xc))
+        x = jnp.where(active & (prev < j), x, -1)
+        offs.append(x)
+        hit = x > -1
+        prev = jnp.where(active,
+                         jnp.where(hit, x, jnp.maximum(prev, j - 2)),
+                         prev)
+        f = jnp.where(active, f + interval, f)
+        j = jnp.where(
+            active,
+            jnp.minimum(m - 1, jnp.maximum(
+                j + 1, jnp.floor(f + F32(0.5)).astype(I32))),
+            j)
+    offsets = jnp.stack(offs, axis=1)                    # (B, nk)
+    ladder = jnp.asarray(np.asarray(cfg.offsets_list, np.int32))
+    return jnp.where(valid_read[:, None], offsets,
+                     jnp.broadcast_to(ladder[None, :], offsets.shape))
+
+
 def candidate_stage(cfg: QmConfig, bases, starts_d, sites_d,
-                    okpack_d=None):
+                    okpack_d=None, offsets_dyn=None):
     """Steps 1-5 (seed -> chain -> vote -> top-K candidates) against ONE
     CSR index shard. Returns (rcodes (B, L), cand dict of (B, K) arrays:
     votes, mode, strand, start, spread).
@@ -305,12 +389,24 @@ def candidate_stage(cfg: QmConfig, bases, starts_d, sites_d,
         bases = bases
         B = bases.shape[0]
         rcodes = ascii_to_codes(bases)                      # (B, L) 0..4
-        kp = _keys_from_codes(rcodes, offsets_list, k, L)   # (B, nk)
+        if offsets_dyn is None:
+            kp = _keys_from_codes(rcodes, offsets_list, k,
+                                  L)                        # (B, nk)
+            off_p = jnp.broadcast_to(offsets_d, (B, nk))
+            off_m = jnp.broadcast_to(offadj_minus, (B, nk))
+        else:
+            # per-read quality-selected offsets (-1 = unused slot)
+            keys_all = _keys_all_positions(rcodes, k, L)    # (B, m)
+            m = L - k + 1
+            od = offsets_dyn.astype(I32)
+            kp = jnp.take_along_axis(keys_all,
+                                     jnp.clip(od, 0, m - 1), axis=1)
+            kp = jnp.where(od < 0, -1, kp)
+            off_p = jnp.maximum(od, 0)
+            off_m = L - (off_p + k)
         km = jnp.where(kp < 0, -1, _rc_keys(jnp.where(kp < 0, 0, kp), k))
         keys = jnp.stack([kp, km], axis=1)                  # (B, 2, nk)
-        offadj = jnp.stack([
-            jnp.broadcast_to(offsets_d, (B, nk)),
-            jnp.broadcast_to(offadj_minus, (B, nk))], axis=1)
+        offadj = jnp.stack([off_p, off_m], axis=1)
         valid = keys >= 0
         safe = jnp.where(valid, keys, 0)
         s0 = starts_d[safe]
@@ -535,16 +631,30 @@ def build_quickmap(index: KmerIndex, L: int, chain_dist: int = 400,
     cfg = make_config(index, L, chain_dist, min_ratio, max_list_length,
                       profile)
     starts_d, sites_d, gpack_d, nmask_d, _G = device_arrays(index)
+    den2, den3 = seed_host.key_density_ladder(L, index.k)
 
     def quickmap(bases, starts_d, sites_d, gpack_d, nmask_d):
         rcodes, cand = candidate_stage(cfg, bases, starts_d, sites_d)
         return finalize_stage(cfg, rcodes, cand, gpack_d, nmask_d)
 
-    jitted = jax.jit(quickmap)
+    def quickmap_q(bases, qual, starts_d, sites_d, gpack_d, nmask_d):
+        # quality-probability key offsets, same semantics as the host
+        # seeding path (VERDICT r1 #9; reference: KeyRing.makeOffsets3)
+        offs = quality_offsets_stage(cfg, qual, den2, den3)
+        rcodes, cand = candidate_stage(cfg, bases, starts_d, sites_d,
+                                       offsets_dyn=offs)
+        return finalize_stage(cfg, rcodes, cand, gpack_d, nmask_d)
 
-    def run(bases) -> QuickmapRun:
-        out_i32, out_match = jitted(bases, starts_d, sites_d, gpack_d,
-                                    nmask_d)
+    jitted = jax.jit(quickmap)
+    jitted_q = jax.jit(quickmap_q)
+
+    def run(bases, quality=None) -> QuickmapRun:
+        if quality is None:
+            out_i32, out_match = jitted(bases, starts_d, sites_d,
+                                        gpack_d, nmask_d)
+        else:
+            out_i32, out_match = jitted_q(bases, quality, starts_d,
+                                          sites_d, gpack_d, nmask_d)
         return QuickmapRun(out_i32, out_match, L)
 
     return run

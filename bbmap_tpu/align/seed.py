@@ -155,9 +155,12 @@ def make_offsets3(key_error_prob: np.ndarray, readlen: int, k: int,
             usable, k, max_density, min_keys))
     desired = min(desired, potential)
     offsets = np.full(desired, -1, np.int64)
-    interval = (right - left) / float(max(desired - 1, 1))
+    # float32 arithmetic like the Java (KeyRing.java: 'float interval',
+    # 'float f') — keeps the host and the device quickmap's
+    # quality_offsets_stage bit-identical
+    interval = np.float32(right - left) / np.float32(max(desired - 1, 1))
     interval_int = int(interval) + 1
-    f = float(left)
+    f = np.float32(left)
     prev = -1
     misses = 0
     j = left
@@ -188,8 +191,9 @@ def make_offsets3(key_error_prob: np.ndarray, readlen: int, k: int,
         else:
             misses += 1
             prev = max(prev, j - 2)
-        f += interval
-        j = min(max_prob_index, max(j + 1, int(np.floor(f + 0.5))))
+        f = np.float32(f + interval)
+        j = min(max_prob_index,
+                max(j + 1, int(np.floor(np.float32(f + np.float32(0.5))))))
     if misses > 0:
         offsets = offsets[offsets >= 0]
     if len(offsets) == 0:
