@@ -183,13 +183,95 @@ def read_fasta(path: str, fake_quality: int = -1) -> Iterator[SeqRecord]:
             yield SeqRecord(name, seq, q, n)
 
 
-def read_seqs(path: str, fake_quality: int = -1) -> Iterator[SeqRecord]:
+def read_seqs(path: str, fake_quality: int = -1,
+              qual_path: str = None) -> Iterator[SeqRecord]:
     fmt = sniff_format(path)
     if fmt == "fastq":
         return read_fastq(path)
     if fmt == "fasta":
+        if qual_path:
+            return read_fasta_qual(path, qual_path)
         return read_fasta(path, fake_quality)
+    if fmt in ("sam", "bam"):
+        return read_sam_seqs(path)
+    if fmt == "scarf":
+        return read_scarf(path)
     raise ValueError(f"unsupported input format for {path}: {fmt}")
+
+
+def read_sam_seqs(path: str) -> Iterator[SeqRecord]:
+    """SAM/BAM as READ input (reference: stream/SamLine.toRead — minus
+    -strand records are reverse-complemented back to original read
+    orientation; secondary/supplementary records are skipped)."""
+    from . import sam as samio
+    from ..core.bases import COMP_ASCII
+    import numpy as np
+    nid = 0
+    for line in samio.open_sam_lines(path):
+        if line.startswith("@"):
+            continue
+        f = line.split("\t")
+        if len(f) < 11 or f[9] == "*":
+            continue
+        flag = int(f[1])
+        if flag & (0x100 | 0x800):
+            continue
+        bases = f[9].encode()
+        qual = None if f[10] == "*" else f[10].encode()
+        if flag & 0x10:
+            arr = np.frombuffer(bases, np.uint8)
+            bases = bytes(COMP_ASCII[arr][::-1])
+            if qual is not None:
+                qual = qual[::-1]
+        yield SeqRecord(f[0], bases, qual, nid)
+        nid += 1
+
+
+def read_scarf(path: str) -> Iterator[SeqRecord]:
+    """Illumina scarf: colon-separated, sequence and quality are the
+    last two fields (reference: stream/ScarfReadInputStream)."""
+    nid = 0
+    with xopen(path, "rt") as fh:
+        for line in fh:
+            line = line.rstrip("\n")
+            if not line:
+                continue
+            parts = line.split(":")
+            if len(parts) < 3:
+                continue
+            seq = parts[-2].encode().replace(b".", b"N")
+            qual = parts[-1].encode()
+            yield SeqRecord(":".join(parts[:-2]), seq,
+                            qual if len(qual) == len(seq) else None,
+                            nid)
+            nid += 1
+
+
+def read_fasta_qual(path: str, qual_path: str) -> Iterator[SeqRecord]:
+    """FASTA + .qual sidecar (reference: qfin= flag,
+    stream/FastaQualReadInputStream — qual files hold space-separated
+    phred ints under matching '>' headers)."""
+    quals = {}
+    with xopen(qual_path, "rt") as fh:
+        name = None
+        vals: list = []
+        for line in fh:
+            line = line.strip()
+            if line.startswith(">"):
+                if name is not None:
+                    quals[name] = vals
+                name = line[1:].split()[0]
+                vals = []
+            elif line:
+                vals.extend(int(v) for v in line.split())
+        if name is not None:
+            quals[name] = vals
+    for rec in read_fasta(path, -1):
+        key = rec.id.split()[0]
+        q = quals.get(key)
+        qb = (bytes(min(v, 93) + ASCII_OFFSET for v in q)
+              if q is not None and len(q) == len(rec.bases) else None)
+        yield SeqRecord(rec.id, rec.bases, qb, rec.numeric_id)
 
 
 def write_fastq(path: str, records) -> None:
@@ -217,12 +299,15 @@ class PairedReader:
     handling)."""
 
     def __init__(self, in1: str, in2: Optional[str] = None,
-                 interleaved: bool = False):
+                 interleaved: bool = False, qfin: Optional[str] = None,
+                 qfin2: Optional[str] = None):
         self.in1, self.in2, self.interleaved = in1, in2, interleaved
+        self.qfin, self.qfin2 = qfin, qfin2
 
     def __iter__(self) -> Iterator[Tuple[SeqRecord, Optional[SeqRecord]]]:
         if self.in2:
-            it1, it2 = read_seqs(self.in1), read_seqs(self.in2)
+            it1 = read_seqs(self.in1, qual_path=self.qfin)
+            it2 = read_seqs(self.in2, qual_path=self.qfin2)
             for r1 in it1:
                 r2 = next(it2, None)
                 if r2 is None:
@@ -231,10 +316,10 @@ class PairedReader:
             if next(it2, None) is not None:
                 raise ValueError("in1 ended before in2")
         elif self.interleaved:
-            it = read_seqs(self.in1)
+            it = read_seqs(self.in1, qual_path=self.qfin)
             for r1 in it:
                 r2 = next(it, None)
                 yield r1, r2
         else:
-            for r1 in read_seqs(self.in1):
+            for r1 in read_seqs(self.in1, qual_path=self.qfin):
                 yield r1, None

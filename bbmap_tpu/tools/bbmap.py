@@ -247,7 +247,9 @@ def main(argv: List[str]) -> int:
     from ..utils.watchdog import Watchdog
     dog = Watchdog(max_seconds=float(
         args.get_int("watchdogsecs", default=1800))).start()
-    reader = fastx.PairedReader(in1, in2, interleaved)
+    reader = fastx.PairedReader(in1, in2, interleaved,
+                                qfin=args.get("qfin"),
+                                qfin2=args.get("qfin2"))
     # reader thread decodes batch N+1 while N maps (reference P2:
     # stream/ConcurrentGenericReadInputStream.java:122-166)
     from ..core.batch import prefetch

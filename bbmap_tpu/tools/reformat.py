@@ -108,7 +108,9 @@ def main(argv: List[str]) -> int:
     n_in = n_out = bases_in = bases_out = 0
     pair_name_mismatch = 0
     t0 = time.time()
-    reader = fastx.PairedReader(in1, in2, interleaved_in)
+    reader = fastx.PairedReader(in1, in2, interleaved_in,
+                                qfin=args.get("qfin"),
+                                qfin2=args.get("qfin2"))
     for r1, r2 in reader:
         n_in += 1 if r2 is None else 2
         bases_in += len(r1.bases) + (len(r2.bases) if r2 else 0)
