@@ -89,6 +89,14 @@ SUBTOOLS = {
                             "processstacked_main"),
     "mergefastacontigs": ("bbmap_tpu.tools.pacbio",
                           "mergefastacontigs_main"),
+    "partitionreads": ("bbmap_tpu.tools.pacbio", "partitionreads_main"),
+    "partitionfastafile": ("bbmap_tpu.tools.pacbio",
+                           "partitionfastafile_main"),
+    "removenfromchromosome": ("bbmap_tpu.tools.pacbio",
+                              "removenfromchromosome_main"),
+    "sortsites": ("bbmap_tpu.tools.pacbio", "sortsites_main"),
+    "splitoffperfectcontigs": ("bbmap_tpu.tools.pacbio",
+                               "splitoffperfectcontigs_main"),
     "bbmapskimmer": ("bbmap_tpu.tools.bbmap", "skimmer_main"),
     "ecc": ("bbmap_tpu.tools.bbnorm", "ecc_main"),
     "tadpolewrapper": ("bbmap_tpu.tools.tadpole", "wrapper_main"),
@@ -104,6 +112,9 @@ SUBTOOLS = {
     "replaceheaders": ("bbmap_tpu.tools.textutils", "replaceheaders"),
     "statswrapper": ("bbmap_tpu.tools.textutils", "statswrapper"),
     "filterbysequence": ("bbmap_tpu.tools.misc", "filterbysequence"),
+    "bbgrep": ("bbmap_tpu.tools.textutils", "grep"),
+    "linecount": ("bbmap_tpu.tools.textutils", "linecount"),
+    "renamebyheader": ("bbmap_tpu.tools.textutils", "renamebyheader"),
 }
 
 

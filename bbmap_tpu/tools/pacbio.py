@@ -217,3 +217,201 @@ def mergefastacontigs_main(argv: List[str]) -> int:
                 fh.write(f"{cid}\tchr{ch}\t{a}\t{b}\n")
     sys.stderr.write(f"Contigs:\t{len(locs)}\nChroms:\t{chrom_num}\n")
     return 0
+
+
+def partitionreads_main(argv: List[str]) -> int:
+    """Round-robin split of reads into N partition files (reference:
+    pacbio/PartitionReads.java — out names carry a '#' replaced by the
+    partition number; paired mode keeps mates together)."""
+    from ..utils.args import Args
+    from ..io import fastx
+    args = Args.parse(argv)
+    in1 = args.get("in", "in1") or (args.positional[0]
+                                    if args.positional else None)
+    in2 = args.get("in2")
+    out = args.get("out", "out1")
+    out2 = args.get("out2")
+    parts = args.get_int("partitions", "ways", default=2)
+    if in1 is None or out is None or (parts > 1 and "#" not in out):
+        print("Usage: partitionreads in=<reads> out=<name_#.fq> "
+              "partitions=<N>", file=sys.stderr)
+        return 1
+
+    def open_parts(pattern):
+        if pattern is None:
+            return None
+        return [fastx.xopen(pattern.replace("#", str(p)), "wb")
+                for p in range(parts)]
+
+    fhs1 = open_parts(out)
+    fhs2 = open_parts(out2)
+
+    def w(fh, rec):
+        q = rec.quality or b"I" * len(rec.bases)
+        fh.write(b"@" + rec.id.encode() + b"\n" + rec.bases + b"\n+\n"
+                 + q + b"\n")
+
+    n = 0
+    reader = fastx.PairedReader(in1, in2)
+    for r1, r2 in reader:
+        p = n % parts
+        w(fhs1[p], r1)
+        if r2 is not None:
+            w((fhs2 or fhs1)[p], r2)
+        n += 1
+    for fh in (fhs1 or []) + (fhs2 or []):
+        fh.close()
+    sys.stderr.write(f"Partitioned {n} reads into {parts} files.\n")
+    return 0
+
+
+def partitionfastafile_main(argv: List[str]) -> int:
+    """Split a fasta into partitions of ~N bases, never splitting a
+    record (reference: pacbio/PartitionFastaFile.java)."""
+    from ..utils.args import Args
+    from ..io import fastx
+    args = Args.parse(argv)
+    in1 = args.get("in", "in1") or (args.positional[0]
+                                    if args.positional else None)
+    out = args.get("out") or (args.positional[1]
+                              if len(args.positional) > 1 else None)
+    size = args.get_int("partition", "size", default=1 << 20)
+    if in1 is None or out is None or "#" not in out:
+        print("Usage: partitionfastafile in=<fa> out=<name_#.fa> "
+              "partition=<bases>", file=sys.stderr)
+        return 1
+    part = 0
+    acc = 0
+    fh = fastx.xopen(out.replace("#", str(part)), "wb")
+    n = 0
+    for rec in fastx.read_seqs(in1):
+        if acc and acc + len(rec.bases) > size:
+            fh.close()
+            part += 1
+            acc = 0
+            fh = fastx.xopen(out.replace("#", str(part)), "wb")
+        fh.write(b">" + rec.id.encode() + b"\n")
+        for i in range(0, len(rec.bases), 70):
+            fh.write(rec.bases[i:i + 70] + b"\n")
+        acc += len(rec.bases)
+        n += 1
+    fh.close()
+    sys.stderr.write(f"Split {n} records into {part + 1} partitions.\n")
+    return 0
+
+
+def removenfromchromosome_main(argv: List[str]) -> int:
+    """Strip runs of N from sequences, recording removed intervals
+    (reference: pacbio/RemoveNFromChromosome.java)."""
+    from ..utils.args import Args
+    from ..io import fastx
+    args = Args.parse(argv)
+    in1 = args.get("in", "in1") or (args.positional[0]
+                                    if args.positional else None)
+    out = args.get("out")
+    table = args.get("table")
+    if in1 is None or out is None:
+        print("Usage: removenfromchromosome in=<fa> out=<fa> "
+              "[table=<intervals.txt>]", file=sys.stderr)
+        return 1
+    import re as _re
+    tf = open(table, "w") if table else None
+    with fastx.xopen(out, "wb") as ofh:
+        for rec in fastx.read_seqs(in1):
+            seq = rec.bases
+            kept = bytearray()
+            pos = 0
+            for m in _re.finditer(b"[Nn]+", seq):
+                kept += seq[pos:m.start()]
+                if tf:
+                    tf.write(f"{rec.id}\t{m.start()}\t{m.end()}\n")
+                pos = m.end()
+            kept += seq[pos:]
+            ofh.write(b">" + rec.id.encode() + b"\n")
+            for i in range(0, len(kept), 70):
+                ofh.write(bytes(kept[i:i + 70]) + b"\n")
+    if tf:
+        tf.close()
+    return 0
+
+
+def sortsites_main(argv: List[str]) -> int:
+    """Sort a stacked-sites text file by (chrom, start) (reference:
+    pacbio/SortSites.java)."""
+    from ..utils.args import Args
+    args = Args.parse(argv)
+    in1 = args.get("in", "in1") or (args.positional[0]
+                                    if args.positional else None)
+    out = args.get("out") or (args.positional[1]
+                              if len(args.positional) > 1 else None)
+    if in1 is None or out is None:
+        print("Usage: sortsites in=<sites.txt> out=<sorted.txt>",
+              file=sys.stderr)
+        return 1
+    header = []
+    rows = []
+    with open(in1) as fh:
+        for line in fh:
+            if line.startswith("#"):
+                header.append(line)
+                continue
+            f = line.split("\t")
+            try:
+                key = (f[0], int(f[1]))
+            except (ValueError, IndexError):
+                key = (f[0], 0)
+            rows.append((key, line))
+    rows.sort(key=lambda t: t[0])
+    with open(out, "w") as fh:
+        fh.writelines(header)
+        for _, line in rows:
+            fh.write(line)
+    sys.stderr.write(f"Sorted {len(rows)} sites.\n")
+    return 0
+
+
+def splitoffperfectcontigs_main(argv: List[str]) -> int:
+    """Separate contigs whose coverage table marks them fully covered
+    at depth >= cutoff (reference: pacbio/SplitOffPerfectContigs.java)."""
+    from ..utils.args import Args
+    from ..io import fastx
+    args = Args.parse(argv)
+    in1 = args.get("in", "in1")
+    cov = args.get("cov", "coverage")
+    out = args.get("out", "outperfect")
+    outb = args.get("outb", "outimperfect")
+    cutoff = args.get_int("cutoff", "mindepth", default=2)
+    if in1 is None or out is None:
+        print("Usage: splitoffperfectcontigs in=<fa> cov=<covstats> "
+              "out=<perfect.fa> outb=<rest.fa> cutoff=2",
+              file=sys.stderr)
+        return 1
+    perfect = set()
+    if cov:
+        with open(cov) as fh:
+            for line in fh:
+                if line.startswith("#"):
+                    continue
+                f = line.rstrip("\n").split("\t")
+                # covstats: name, avg_fold, length, covered_pct, ...
+                try:
+                    if float(f[1]) >= cutoff and float(f[3]) >= 100.0:
+                        perfect.add(f[0])
+                except (ValueError, IndexError):
+                    continue
+    np_, ni = 0, 0
+    with fastx.xopen(out, "wb") as pf:
+        bf = fastx.xopen(outb, "wb") if outb else None
+        for rec in fastx.read_seqs(in1):
+            fh = pf if rec.id in perfect else (bf or pf)
+            if rec.id in perfect:
+                np_ += 1
+            else:
+                ni += 1
+                if bf is None:
+                    continue
+            fh.write(b">" + rec.id.encode() + b"\n" + rec.bases + b"\n")
+        if bf:
+            bf.close()
+    sys.stderr.write(f"Perfect:\t{np_}\nImperfect:\t{ni}\n")
+    return 0

@@ -152,3 +152,88 @@ def statswrapper(argv: List[str]) -> int:
         print(f"==> {p}")
         stats_tool.main([f"in={p}"])
     return 0
+
+
+def grep(argv: List[str]) -> int:
+    """Regex line filter (reference: driver/Grep.java — args: file,
+    regex; prints matching lines)."""
+    import re
+    args = Args.parse(argv)
+    in1 = args.get("in") or (args.positional[0]
+                             if args.positional else None)
+    pattern = args.get("regex", "pattern") or (
+        args.positional[1] if len(args.positional) > 1 else None)
+    out = args.get("out")
+    invert = args.get_bool("invert", "v", default=False)
+    if in1 is None or pattern is None:
+        print("Usage: grep <file> <regex> [out=] [invert=t]",
+              file=sys.stderr)
+        return 1
+    rx = re.compile(pattern)
+    ofh = open(out, "w") if out else sys.stdout
+    n = 0
+    with fastx.xopen(in1, "rt") as fh:
+        for line in fh:
+            if bool(rx.search(line)) != invert:
+                ofh.write(line)
+                n += 1
+    if out:
+        ofh.close()
+    sys.stderr.write(f"Matched:\t{n}\n")
+    return 0
+
+
+def linecount(argv: List[str]) -> int:
+    """reference: driver/LineCount.java."""
+    args = Args.parse(argv)
+    paths = ([args.get("in")] if args.get("in") else args.positional)
+    if not paths:
+        print("Usage: linecount <files...>", file=sys.stderr)
+        return 1
+    for p in paths:
+        n = 0
+        with fastx.xopen(p, "rt") as fh:
+            for _ in fh:
+                n += 1
+        print(f"{p}\t{n}")
+    return 0
+
+
+def renamebyheader(argv: List[str]) -> int:
+    """Rename reads from a mapping file of old->new names (reference:
+    driver/RenameByHeader.java)."""
+    args = Args.parse(argv)
+    in1 = args.get("in", "in1") or (args.positional[0]
+                                    if args.positional else None)
+    names = args.get("names", "map")
+    out = args.get("out")
+    prefix = args.get("prefix")
+    if in1 is None or out is None or (names is None and prefix is None):
+        print("Usage: renamebyheader in=<reads> out=<reads> "
+              "names=<old<TAB>new per line> | prefix=<str>",
+              file=sys.stderr)
+        return 1
+    mapping = {}
+    if names:
+        with open(names) as fh:
+            for line in fh:
+                f = line.rstrip("\n").split("\t")
+                if len(f) >= 2:
+                    mapping[f[0]] = f[1]
+    fmt = fastx.sniff_format(in1)
+    with fastx.xopen(out, "wb") as ofh:
+        n = 0
+        for rec in fastx.read_seqs(in1):
+            new = mapping.get(rec.id.split()[0])
+            if new is None:
+                new = (prefix + rec.id) if prefix else rec.id
+            if fmt == "fasta":
+                ofh.write(b">" + new.encode() + b"\n" + rec.bases
+                          + b"\n")
+            else:
+                q = rec.quality or b"I" * len(rec.bases)
+                ofh.write(b"@" + new.encode() + b"\n" + rec.bases
+                          + b"\n+\n" + q + b"\n")
+            n += 1
+    sys.stderr.write(f"Renamed:\t{n}\n")
+    return 0
