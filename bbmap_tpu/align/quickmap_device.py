@@ -460,6 +460,7 @@ def candidate_stage(cfg: QmConfig, bases, starts_d, sites_d,
         wslot = jnp.arange(WB, dtype=I32)
         base = jnp.zeros((B, 2, WB), I32)   # s0_t - cum0_t of owning key
         offadj_slot = jnp.zeros((B, 2, WB), I32)
+        toff_slot = jnp.zeros((B, 2, WB), I32)  # key index of the slot
         cum_prev = jnp.zeros((B, 2), I32)
         for t in range(nk):
             cum_t = cum[:, :, t]
@@ -469,14 +470,19 @@ def candidate_stage(cfg: QmConfig, bases, starts_d, sites_d,
                              base)
             offadj_slot = jnp.where(m, offadj[:, :, t][..., None],
                                     offadj_slot)
+            toff_slot = jnp.where(m, t, toff_slot)
             cum_prev = cum_t
         valid_slot = wslot < cum[..., -1:]
         gather_idx = jnp.clip(base + wslot, 0, sites_d.shape[0] - 1)
         site = sites_d[gather_idx]                          # (B, 2, WB)
         diag = jnp.where(valid_slot, site - offadj_slot, INVALID)
-        # sort diagonals within each (read, strand)
-        flat = diag.reshape(B * 2, WB)
-        flat = jnp.sort(flat, axis=1)
+        # sort diagonals within each (read, strand), carrying each
+        # slot's key index so votes can count DISTINCT offsets
+        # (reference: BBIndex voting counts keys, not raw hits —
+        # round-1 deviation now removed)
+        flat, toff = jax.lax.sort(
+            (diag.reshape(B * 2, WB), toff_slot.reshape(B * 2, WB)),
+            dimension=1, num_keys=1)
         valid_f = flat < INVALID
 
         # chain segmentation — scatter-free: all per-chain statistics are
@@ -498,8 +504,36 @@ def candidate_stage(cfg: QmConfig, bases, starts_d, sites_d,
         nxt = jnp.flip(jax.lax.cummin(jnp.flip(bidx, 1), axis=1), 1)
         next_start = jnp.concatenate(
             [nxt[:, 1:], jnp.full((R2, 1), W, I32)], axis=1)
-        size = jnp.where(new_chain, next_start - idx, 0)
         last_idx = jnp.clip(next_start - 1, 0, W - 1)
+        seg_start0 = jax.lax.cummax(jnp.where(new_chain, idx, 0), axis=1)
+
+        # distinct-offset votes (reference: BBIndex key voting): bitmask
+        # segmented prefix-OR by doubling (gather-free), then the chain
+        # total is broadcast back to the chain-first slot via a packed
+        # reverse cummax. Keys beyond 32 alias mod 32 (nk is ~12 for
+        # short reads; aliasing can only undercount votes slightly).
+        mbit = jnp.where(valid_f, 1 << (toff & 31), 0)
+        incl = mbit
+        s = 1
+        while s < W:
+            prev_ok = idx - s >= seg_start0
+            shifted = jnp.concatenate(
+                [jnp.zeros((R2, s), I32), incl[:, :-s]], axis=1)
+            incl = incl | jnp.where(prev_ok, shifted, 0)
+            s <<= 1
+        seen_excl = jnp.concatenate(
+            [jnp.zeros((R2, 1), I32), incl[:, :-1]], axis=1)
+        seen_excl = jnp.where(idx - 1 >= seg_start0, seen_excl, 0)
+        is_new = ((seen_excl & mbit) == 0) & valid_f
+        c = jnp.cumsum(is_new.astype(I32), axis=1)
+        cbase = jax.lax.cummax(
+            jnp.where(new_chain, c - is_new.astype(I32), -1), axis=1)
+        dc = c - jnp.maximum(cbase, 0)          # distinct count so far
+        seg_ord0 = jnp.cumsum(new_chain.astype(I32), axis=1)
+        packed_dc = ((W + 1 - seg_ord0) << 16) | jnp.where(valid_f, dc, 0)
+        rmax = jnp.flip(jax.lax.cummax(jnp.flip(packed_dc, 1), axis=1), 1)
+        chain_distinct = rmax & 0xFFFF
+        size = jnp.where(new_chain, chain_distinct, 0)
 
         # modal diagonal: longest equal-diag run in the chain; ties ->
         # lowest diag. Encode (run_size, earliness) per run-first element
