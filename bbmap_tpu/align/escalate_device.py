@@ -111,14 +111,11 @@ def make_programs(L: int, dw: DeviceWindows, profile=None):
     }
 
 
-def score_jobs(progs: Dict, reads: np.ndarray, wstart: np.ndarray,
-               wide: np.ndarray) -> np.ndarray:
-    """Score all jobs (reads (J, L) ascii oriented to the window strand,
-    wstart flat genome coords, wide bool per job). Dispatches fixed-size
-    chunks for both width classes, overlapping all transfers; returns
-    scores (J,) int64."""
-    J = len(wstart)
-    out = np.full(J, -(2 ** 30), np.int64)
+def score_jobs_launch(progs: Dict, reads: np.ndarray,
+                      wstart: np.ndarray, wide: np.ndarray):
+    """Dispatch all score chunks WITHOUT blocking; returns a launch
+    list for score_jobs_fetch. Lets callers overlap several job
+    families (e.g. speculative traces) in one device queue."""
     launches = []   # (job_index_array, device score array)
     for is_wide, key, ladder in ((False, "score_n", SCORE_CHUNKS),
                                  (True, "score_w", SCORE_CHUNKS_W)):
@@ -138,27 +135,30 @@ def score_jobs(progs: Dict, reads: np.ndarray, wstart: np.ndarray,
             except Exception:
                 pass
             launches.append((sel, sc))
+    return launches
+
+
+def score_jobs_fetch(launches, J: int) -> np.ndarray:
+    out = np.full(J, -(2 ** 30), np.int64)
     for sel, sc in launches:
         out[sel] = np.asarray(sc)[:len(sel)].astype(np.int64)
     return out
 
 
-def trace_jobs(progs: Dict, reads: np.ndarray, wstart: np.ndarray,
-               wide: np.ndarray
-               ) -> Tuple[np.ndarray, np.ndarray, np.ndarray,
-                          np.ndarray, np.ndarray]:
-    """Fill + in-device traceback for winner jobs. Returns host arrays
-    (symbols (J, L+Cmax) uint8 reversed, out_len (J,), gaps (J,),
-    score (J,), col (J,)) aligned to the input job order. Symbol rows
-    from the narrow program are padded to the wide width."""
-    J = len(wstart)
-    Cw = progs["Cw"]
+def score_jobs(progs: Dict, reads: np.ndarray, wstart: np.ndarray,
+               wide: np.ndarray) -> np.ndarray:
+    """Score all jobs (reads (J, L) ascii oriented to the window strand,
+    wstart flat genome coords, wide bool per job). Dispatches fixed-size
+    chunks for both width classes, overlapping all transfers; returns
+    scores (J,) int64."""
+    return score_jobs_fetch(
+        score_jobs_launch(progs, reads, wstart, wide), len(wstart))
+
+
+def trace_jobs_launch(progs: Dict, reads: np.ndarray,
+                      wstart: np.ndarray, wide: np.ndarray):
+    """Dispatch all fill+traceback chunks without blocking."""
     L = reads.shape[1]
-    sym = np.zeros((J, L + Cw), np.uint8)
-    ln = np.zeros(J, np.int32)
-    gaps = np.zeros(J, np.int32)
-    score = np.full(J, -(2 ** 30), np.int64)
-    col = np.zeros(J, np.int32)
     launches = []
     for is_wide, key, ladder in ((False, "trace_n", TRACE_CHUNKS),
                                  (True, "trace_w", TRACE_CHUNKS_W)):
@@ -179,6 +179,16 @@ def trace_jobs(progs: Dict, reads: np.ndarray, wstart: np.ndarray,
                 except Exception:
                     pass
             launches.append((sel, outs))
+    return launches
+
+
+def trace_jobs_fetch(progs: Dict, launches, J: int, L: int):
+    Cw = progs["Cw"]
+    sym = np.zeros((J, L + Cw), np.uint8)
+    ln = np.zeros(J, np.int32)
+    gaps = np.zeros(J, np.int32)
+    score = np.full(J, -(2 ** 30), np.int64)
+    col = np.zeros(J, np.int32)
     for sel, (s_, l_, g_, sc_, c_, st_) in launches:
         s_h = np.asarray(s_)[:len(sel)]
         sym[sel, :s_h.shape[1]] = s_h
@@ -187,3 +197,16 @@ def trace_jobs(progs: Dict, reads: np.ndarray, wstart: np.ndarray,
         score[sel] = np.asarray(sc_)[:len(sel)].astype(np.int64)
         col[sel] = np.asarray(c_)[:len(sel)]
     return sym, ln, gaps, score, col
+
+
+def trace_jobs(progs: Dict, reads: np.ndarray, wstart: np.ndarray,
+               wide: np.ndarray
+               ) -> Tuple[np.ndarray, np.ndarray, np.ndarray,
+                          np.ndarray, np.ndarray]:
+    """Fill + in-device traceback for winner jobs. Returns host arrays
+    (symbols (J, L+Cmax) uint8 reversed, out_len (J,), gaps (J,),
+    score (J,), col (J,)) aligned to the input job order. Symbol rows
+    from the narrow program are padded to the wide width."""
+    return trace_jobs_fetch(
+        progs, trace_jobs_launch(progs, reads, wstart, wide),
+        len(wstart), reads.shape[1])

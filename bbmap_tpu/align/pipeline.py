@@ -564,6 +564,11 @@ class BBMapAligner:
         reads_j = np.where((strand == 0)[..., None], sub[:, None, :],
                            rc[:, None, :])                    # (n, top, L)
 
+        # score both candidates first, trace only winners whose DP beat
+        # their gapless alignment — a speculative trace-the-top-1 variant
+        # was measured SLOWER (trace ≈ 3x a score-only fill, and ~35% of
+        # escalated winners settle gapless, so tracing all top-1s costs
+        # more than the extra round trip saves)
         jsel = np.nonzero(valid.ravel())[0]
         sc_dp = np.full(n * top, -(2 ** 30), np.int64)
         if len(jsel):
@@ -643,8 +648,14 @@ class BBMapAligner:
                     reads_s, refs)
 
         if needs_trace.any():
-            self._trace_columnar(progs, mb, idxs, reads_j, ar, w0, wws,
-                                 wwide, wstrand, needs_trace, L)
+            treads = reads_j[ar[needs_trace], w0[needs_trace]]
+            tws = wws[needs_trace].astype(np.int32)
+            twide = wwide[needs_trace]
+            sym, ln, gaps, sc2, col = esc.trace_jobs(progs, treads, tws,
+                                                     twide)
+            self._apply_traces(progs, mb, idxs[needs_trace], treads,
+                               tws, twide, wstrand[needs_trace],
+                               sym, ln, gaps, sc2, col, L)
 
         still = idxs[~mb.mapped[idxs]]
         if self.maxindel > self.chain_dist and len(still):
@@ -654,21 +665,19 @@ class BBMapAligner:
             if proxy.store:
                 mb.absorb_objects(proxy.store)
 
-    def _trace_columnar(self, progs, mb: MappedBatch, idxs, reads_j, ar,
-                        w0, wws, wwide, wstrand, needs_trace,
-                        L: int) -> None:
-        """Fill+traceback for DP winners; one wide-window retry for
-        alignments clipped at the window edge (reference:
-        align2/AbstractMapThread.java:1012 re-pad on retry)."""
+    def _apply_traces(self, progs, mb: MappedBatch, rows, treads,
+                      tws, twide, wstrand, sym, ln, gaps, sc2, col,
+                      L: int) -> None:
+        """Apply device fill+traceback results (possibly speculative)
+        to the winner rows; one wide-window retry for alignments clipped
+        at the window edge (reference:
+        align2/AbstractMapThread.java:1012 re-pad on retry).
+        `rows` are GLOBAL batch indices; sym/ln/gaps/sc2/col are aligned
+        to them."""
         from . import escalate_device as esc
 
-        tsel = np.nonzero(needs_trace)[0]
-        treads = reads_j[tsel, w0[tsel]]
-        tws = wws[tsel].astype(np.int32)
-        twide = wwide[tsel]
-        sym, ln, gaps, sc2, col = esc.trace_jobs(progs, treads, tws,
-                                                 twide)
-        first = sym[np.arange(len(tsel)),
+        tws = np.asarray(tws, np.int32).copy()
+        first = sym[np.arange(len(rows)),
                     np.maximum(ln - 1, 0)]   # post-reversal first symbol
         last = sym[:, 0]
         clip_l = (first == ord("I")) | (first == ord("X"))
@@ -682,6 +691,7 @@ class BBMapAligner:
                 progs, treads[retry], rws,
                 np.ones(int(retry.sum()), bool))
             rr = np.nonzero(retry)[0]
+            sym = np.array(sym)
             sym[rr, :rsym.shape[1]] = rsym
             ln[rr] = rln
             gaps[rr] = rgaps
@@ -701,9 +711,8 @@ class BBMapAligner:
                                          side="right") - 1,
                          0, len(self.chrom_offsets) - 2)
         locs = flat_start - self.chrom_offsets[chroms]
-        rows = idxs[tsel]
         mb.mapped[rows] = True
-        mb.strand[rows] = wstrand[tsel]
+        mb.strand[rows] = wstrand
         for t, row in enumerate(rows):
             match = msa_jax.finish_match(sym[t], int(ln[t]),
                                          int(gaps[t]))
