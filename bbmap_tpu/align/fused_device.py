@@ -1,0 +1,487 @@
+"""Fused single-dispatch mapping: quickmap + DP escalation + traceback
+as ONE jitted XLA program per batch.
+
+The round-2 escalation path made 10-20 host<->device round trips per
+batch (quickmap results down, escalation reads up, DP scores down, trace
+reads up, 6 trace arrays down ...). On the tunnel-attached TPU each
+transfer costs ~30-50 ms of fixed latency, so the link — not compute —
+dominated steady state. This module folds the whole decision tree of
+``BBMapAligner._escalate_columnar`` into the quickmap program using
+fixed-size device compaction (top_k over flagged row indices), so a
+batch costs exactly ONE upload (2-bit packed reads) and one set of
+overlapped downloads (~3.5 MB vs ~14 MB before):
+
+1. candidate_stage + finalize_stage (align/quickmap_device.py)
+2. escalate flags: best gapless < maxImperfectScore (reference:
+   align2/AbstractMapThread.java:1252 — a site at or above that score
+   cannot be beaten by any indel alignment)
+3. compact escalated rows to a static budget E; DP-score the top-2
+   gapless candidates of each (reference: align2/BBMapThread.scoreSlow
+   :252-345 scores retained sites; the top-2 + gapless-rest competition
+   matches the round-2 host path bit for bit)
+4. device selection: eff = max(gapless, DP), winner/second/rest,
+   n_sites — best/second ship to the host, which applies the clearzone
+   ambiguity model in float64 exactly as before
+5. winner gapless match symbols recomputed at the winner diagonal
+   (covers the "stale match row" case without host work)
+6. rows whose winner DP beat gapless compact to a static budget T and
+   run fill + in-device traceback (reference: BBMapThread:309-345
+   traceback on kept sites only); symbols ship 4-bit packed
+
+Rows the program cannot settle exactly — escalation/trace budget
+overflow and candidates wider than the narrow DP window — are flagged
+and re-run on the host fallback path (align/pipeline.py
+``_escalate_columnar``), preserving reference semantics. On real
+workloads those are <<1% of reads.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..index.build import KmerIndex
+from ..ops import msa_jax
+from . import quickmap_device as qd
+from .quickmap_device import (I32, U32, MAX_CANDIDATES, N_META, QmConfig,
+                              _UNPACK_LUT, device_arrays, extract_ref_codes,
+                              make_config, quality_offsets_stage)
+
+SLOW_ALIGN_PADDING = 4
+NARROW_SPREAD = 64          # must match escalate_device.NARROW_SPREAD
+WIDE_SPREAD = 448           # must match escalate_device.WIDE_SPREAD
+RETRY_EXTRA = 80 + SLOW_ALIGN_PADDING   # maxindel>0 re-pad (pipeline
+# _apply_traces; fused runs only when maxindel > 0)
+BIG = np.int32(2 ** 30)
+
+# 2-bit host read packing --------------------------------------------------
+_B2C = qd._B2C  # ASCII -> 2-bit code (0..3), 4 for undefined
+
+# traceback symbol codec: 4-bit codes, 2 symbols per byte
+_SYM_ASCII = np.frombuffer(b"\x00mSDINXY-", np.uint8)      # code -> ascii
+_SYM_CODE = np.zeros(256, np.uint8)                        # ascii -> code
+for _i, _ch in enumerate(_SYM_ASCII):
+    _SYM_CODE[_ch] = _i
+_SYM_UNPACK = np.zeros((256, 2), np.uint8)                 # byte -> 2 ascii
+for _b in range(256):
+    _SYM_UNPACK[_b, 0] = _SYM_ASCII[min(_b & 15, 8)]
+    _SYM_UNPACK[_b, 1] = _SYM_ASCII[min((_b >> 4) & 15, 8)]
+
+
+def pack_reads_host(bases: np.ndarray):
+    """(B, L) ASCII -> (codes2 (B, W16) uint32 [16 bases/word],
+    nmask (B, W32) uint32 [32 N-bits/word]). ~4x smaller upload than raw
+    ASCII over the tunnel link."""
+    B, L = bases.shape
+    codes = _B2C[bases]
+    W16 = (L + 15) // 16
+    c = np.minimum(codes, 3).astype(np.uint32)
+    cpad = np.zeros((B, W16 * 16), np.uint32)
+    cpad[:, :L] = c
+    shifts = (2 * np.arange(16, dtype=np.uint32))
+    codes2 = (cpad.reshape(B, W16, 16) << shifts[None, None, :]).sum(
+        axis=2, dtype=np.uint32)
+    W32 = (L + 31) // 32
+    nb = (codes > 3).astype(np.uint32)
+    npad = np.zeros((B, W32 * 32), np.uint32)
+    npad[:, :L] = nb
+    bshift = np.arange(32, dtype=np.uint32)
+    nmask = (npad.reshape(B, W32, 32) << bshift[None, None, :]).sum(
+        axis=2, dtype=np.uint32)
+    return codes2, nmask
+
+
+def unpack_reads_device(codes2, nmask, L: int):
+    """Device inverse of pack_reads_host -> (B, L) codes 0..4."""
+    B, W16 = codes2.shape
+    slots = jnp.arange(16, dtype=U32) * 2
+    c = ((codes2[:, :, None] >> slots) & 3).astype(jnp.uint8)
+    c = c.reshape(B, W16 * 16)[:, :L]
+    W32 = nmask.shape[1]
+    bslots = jnp.arange(32, dtype=U32)
+    nb = ((nmask[:, :, None] >> bslots) & 1).astype(bool)
+    nb = nb.reshape(B, W32 * 32)[:, :L]
+    return jnp.where(nb, jnp.uint8(4), c)
+
+
+_CODE_ASCII = np.frombuffer(b"ACGTN", np.uint8)
+
+
+def _codes_to_read_ascii(codes):
+    """(…, L) 2-bit codes 0..4 -> ASCII ACGTN (arithmetic, no gather)."""
+    c = codes.astype(I32)
+    a = 65 + 2 * c + 2 * (c >= 2).astype(I32) + 11 * (c == 3).astype(I32)
+    return jnp.where(c > 3, 78, a).astype(jnp.uint8)
+
+
+def _sym_to_code(sym):
+    """Walk symbols (ascii m/S/D/I/N/X/Y/-/0) -> 4-bit codes."""
+    s = sym.astype(I32)
+    out = jnp.zeros_like(s)
+    for code, ch in ((1, ord("m")), (2, ord("S")), (3, ord("D")),
+                     (4, ord("I")), (5, ord("N")), (6, ord("X")),
+                     (7, ord("Y")), (8, ord("-"))):
+        out = jnp.where(s == ch, code, out)
+    return out.astype(jnp.uint8)
+
+
+class FusedConfig(NamedTuple):
+    qm: QmConfig
+    E: int            # escalation row budget
+    T: int            # traceback row budget
+    W: int            # wide-window rescore job budget
+    RT: int           # wide/clip-retry traceback row budget
+    Cn: int           # narrow DP window width
+    Cw: int           # wide DP window width
+    max_imp: int      # maxImperfectScore(L)
+    min_score: int
+
+
+def esc_budget(B: int) -> int:
+    if B <= 2048:
+        return B
+    return max(1024, (B * 3 // 16 + 255) // 256 * 256)
+
+
+def trace_budget(B: int) -> int:
+    if B <= 2048:
+        return B
+    return max(512, (B // 8 + 255) // 256 * 256)
+
+
+def make_fused_config(index: KmerIndex, L: int, B: int,
+                      chain_dist: int = 400, min_ratio: float = 0.56,
+                      max_list_length: Optional[int] = None,
+                      profile=None) -> FusedConfig:
+    qm = make_config(index, L, chain_dist, min_ratio, max_list_length,
+                     profile)
+    if profile is None:
+        from ..core.constants import SHORT_PROFILE
+        profile = SHORT_PROFILE
+    E = esc_budget(B)
+    T = min(trace_budget(B), E)
+    return FusedConfig(
+        qm=qm, E=E, T=T, W=min(128, 2 * E), RT=min(64, T),
+        Cn=L + 2 * SLOW_ALIGN_PADDING + NARROW_SPREAD,
+        Cw=L + 2 * SLOW_ALIGN_PADDING + WIDE_SPREAD,
+        max_imp=int(profile.max_imperfect_score(L)),
+        min_score=qm.min_score)
+
+
+def _compact_indices(flags, budget: int):
+    """Indices of True flags, ascending, padded with BIG to `budget`."""
+    n = flags.shape[0]
+    pri = jnp.where(flags, jnp.arange(n, dtype=I32), BIG)
+    if budget >= n:
+        return jnp.sort(pri)
+    neg, _ = jax.lax.top_k(-pri, budget)
+    return -neg
+
+
+def fused_stage(fcfg: FusedConfig, rcodes, starts_d, sites_d, gpack_d,
+                nmask_d, offsets_dyn=None, profile=None,
+                _stop_after=None):
+    """The full fused program body. rcodes: (B, L) 2-bit read codes
+    (0..3, 4=N). Returns a dict of device arrays (see FusedRun.host)."""
+    cfg = fcfg.qm
+    L, G = cfg.L, cfg.G
+    C = MAX_CANDIDATES
+    E, T, Cn = fcfg.E, fcfg.T, fcfg.Cn
+    P = cfg.profile
+    if P is None:
+        from ..core.constants import SHORT_PROFILE
+        P = SHORT_PROFILE
+
+    rcodes, cand = qd.candidate_stage(cfg, None, starts_d, sites_d,
+                                      offsets_dyn=offsets_dyn,
+                                      rcodes=rcodes)
+    out_i32, out_match, gl_scores = qd.finalize_stage(
+        cfg, rcodes, cand, gpack_d, nmask_d, return_scores=True)
+    B = rcodes.shape[0]
+    meta = out_i32[:, :N_META]
+
+    # --- escalation compaction (reference: AbstractMapThread.java:1252)
+    best0 = meta[:, 0]
+    escalate = best0 < fcfg.max_imp
+    esc_idx = _compact_indices(escalate, E)            # (E,) ascending
+    esc_valid = esc_idx < BIG
+    eidx = jnp.clip(esc_idx, 0, B - 1)
+
+    # top-2 candidates by gapless score (stable, matching the host
+    # np.argsort(-scs, kind='stable') in _escalate_columnar)
+    scs = gl_scores[eidx]                              # (E, C)
+    ord_all = jnp.argsort(-scs, axis=1, stable=True)
+    ordc = ord_all[:, :2]
+    take2 = lambda a: jnp.take_along_axis(a[eidx], ordc, axis=1)
+    g_sc = jnp.take_along_axis(scs, ordc, axis=1)
+    diag = take2(cand["mode"])
+    strand = take2(cand["strand"])
+    start = take2(cand["start"])
+    spread = take2(cand["spread"])
+    valid_c = g_sc > -(2 ** 29)
+    wstart = start - SLOW_ALIGN_PADDING
+    wide_c = (spread > NARROW_SPREAD) & valid_c        # per-job wide flag
+
+    # --- DP score jobs: (E, 2) candidates, narrow window
+    rc_codes = jnp.where(rcodes <= 3, 3 - rcodes, rcodes)[:, ::-1]
+    fwd_e = rcodes[eidx]
+    rc_e = rc_codes[eidx]
+    reads_j2 = jnp.where((strand == 0)[..., None], fwd_e[:, None, :],
+                         rc_e[:, None, :])             # (E, 2, L) codes
+    reads_ascii = _codes_to_read_ascii(
+        reads_j2.reshape(E * 2, L))                    # (2E, L)
+    wflat = wstart.reshape(E * 2).astype(I32)
+    wcodes, wn = extract_ref_codes(gpack_d, nmask_d, wflat, Cn, G)
+    refs_ascii = jnp.where(wn, jnp.uint8(78),
+                           _codes_to_read_ascii(wcodes))
+    sc_dp_flat = jax.vmap(
+        lambda rd, rf: msa_jax.msa_score_single(rd, rf, L, Cn, P)[0]
+    )(reads_ascii, refs_ascii)                         # (2E,)
+
+    # --- wide-window rescore: jobs whose chain spread exceeds the
+    # narrow window re-run at Cw (the unfused path's score_w class,
+    # align/escalate_device.py SCORE_CHUNKS_W) under a small budget
+    W = fcfg.W
+    Cw = fcfg.Cw
+    wide_flat = wide_c.reshape(E * 2)
+    wloc = _compact_indices(wide_flat, W)              # job indices
+    w_ok = wloc < BIG
+    wl = jnp.clip(wloc, 0, E * 2 - 1)
+    wwc, wwn = extract_ref_codes(gpack_d, nmask_d, wflat[wl], Cw, G)
+    wrefs = jnp.where(wwn, jnp.uint8(78), _codes_to_read_ascii(wwc))
+    wsc = jax.vmap(
+        lambda rd, rf: msa_jax.msa_score_single(rd, rf, L, Cw, P)[0]
+    )(reads_ascii[wl], wrefs)
+    # padded budget entries scatter into a trash slot (index 2E), never
+    # a real job (duplicate-index scatters are order-unspecified)
+    wl_s = jnp.where(w_ok, wl, E * 2)
+    sc_dp_flat = jnp.concatenate(
+        [sc_dp_flat, jnp.zeros((1,), sc_dp_flat.dtype)]
+    ).at[wl_s].set(wsc)[:E * 2]
+    covered = jnp.zeros(E * 2 + 1, bool).at[wl_s].set(
+        True)[:E * 2]
+    wide_over = (wide_flat & ~covered).reshape(E, 2).any(axis=1)
+    sc_dp = jnp.where(valid_c, sc_dp_flat.reshape(E, 2), -(2 ** 30))
+    if _stop_after == "score":
+        return sc_dp
+
+    # --- selection (mirrors _escalate_columnar host math exactly)
+    eff = jnp.maximum(g_sc, sc_dp)
+    w0 = jnp.where(eff[:, 1] > eff[:, 0], 1, 0)        # ties -> slot 0
+    ar = jnp.arange(E)
+    best_e = eff[ar, w0]
+    second_e = eff[ar, 1 - w0]
+    rest = jnp.take_along_axis(scs, ord_all[:, 2:], axis=1)
+    rest_best = rest.max(axis=1) if rest.shape[1] else \
+        jnp.full(E, -(2 ** 30), I32)
+    second_full = jnp.maximum(second_e, rest_best)
+    n_sites = ((eff >= fcfg.min_score).sum(axis=1)
+               + (rest >= fcfg.min_score).sum(axis=1)).astype(I32)
+    wdiag = diag[ar, w0]
+    wstrand = strand[ar, w0]
+    wws = wstart[ar, w0]
+    g_w = g_sc[ar, w0]
+    dp_w = sc_dp[ar, w0]
+    mapped_e = best_e >= fcfg.min_score
+    if _stop_after == "select":
+        return best_e + second_full + n_sites + wdiag + wstrand + wws
+
+    # --- winner gapless match symbols at the winner diagonal (2-bit
+    # packed, same codec as the quickmap best-match block)
+    ref_codes_w, ref_n_w = extract_ref_codes(gpack_d, nmask_d, wdiag,
+                                             L, G)
+    win_codes = reads_j2[ar, w0]                       # (E, L)
+    read_n_w = win_codes > 3
+    eq_w = (win_codes == ref_codes_w) & ~ref_n_w
+    sym2 = jnp.where(read_n_w | ref_n_w, 2,
+                     jnp.where(eq_w, 0, 1)).astype(jnp.uint8)
+    L4 = (L + 3) // 4
+    pad = jnp.full((E, L4 * 4 - L), 3, jnp.uint8)
+    quads = jnp.concatenate([sym2, pad], axis=1).reshape(
+        E, L4, 4).astype(jnp.uint32)
+    packshift = jnp.arange(4, dtype=U32) * 2
+    esc_match = (quads << packshift[None, None, :]).sum(
+        axis=2, dtype=jnp.uint32).astype(jnp.uint8)
+    if _stop_after == "wmatch":
+        return esc_match
+
+    # --- trace compaction + fill/traceback (narrow window)
+    wide_w = wide_c[ar, w0]                            # winner job wide
+    needs_trace = (mapped_e & (dp_w > g_w) & esc_valid)
+    tloc = _compact_indices(needs_trace, T)            # rows into esc block
+    t_valid = tloc < BIG
+    tl = jnp.clip(tloc, 0, E - 1)
+    treads = _codes_to_read_ascii(reads_j2[tl, w0[tl]])
+    tws = wws[tl].astype(I32)
+    twcodes, twn = extract_ref_codes(gpack_d, nmask_d, tws, Cn, G)
+    trefs = jnp.where(twn, jnp.uint8(78), _codes_to_read_ascii(twcodes))
+    sym, ln, gaps, sc2, col, _st = jax.vmap(
+        lambda rd, rf: msa_jax._align_single(rd, rf, L, Cn, P=P)
+    )(treads, trefs)                                   # sym (T, L+Cn)
+    if _stop_after == "trace":
+        return sym[:, :4] + sc2[:, None].astype(jnp.uint8) + esc_match[:T, :4]
+
+    # --- wide/retry traceback (Cw window): winner jobs that are wide
+    # re-trace at full width (the unfused trace_w class); narrow traces
+    # clipped at the window edge re-trace with the re-pad shift
+    # (pipeline._apply_traces retry semantics)
+    RT = fcfg.RT
+    twide = wide_w[tl]
+    first = jnp.take_along_axis(
+        sym, jnp.maximum(ln - 1, 0)[:, None].astype(I32), axis=1)[:, 0]
+    last = sym[:, 0]
+    clip_l = (first == ord("I")) | (first == ord("X"))
+    clip_r = (last == ord("I")) | (last == ord("Y"))
+    clipped = (clip_l | clip_r) & ~twide
+    rneed = t_valid & (clipped | twide)
+    rloc = _compact_indices(rneed, RT)                 # rows into trace blk
+    r_ok = rloc < BIG
+    rtl = jnp.clip(rloc, 0, T - 1)
+    rws = jnp.where(twide[rtl], tws[rtl],
+                    tws[rtl] - jnp.where(clip_l[rtl], RETRY_EXTRA, 0))
+    rwc, rwn = extract_ref_codes(gpack_d, nmask_d, rws, Cw, G)
+    rrefs = jnp.where(rwn, jnp.uint8(78), _codes_to_read_ascii(rwc))
+    sym_w, ln_w, gaps_w, sc2_w, col_w, _stw = jax.vmap(
+        lambda rd, rf: msa_jax._align_single(rd, rf, L, Cw, P=P)
+    )(treads[rtl], rrefs)                              # (RT, L+Cw)
+    if _stop_after == "retrace":
+        return (sym_w[:, :4] + sc2_w[:, None].astype(jnp.uint8)
+                + sym[:64, :4] + esc_match[:RT, :4])
+    # merge scalar results back (trash-slot scatter for padded entries)
+    rtl_s = jnp.where(r_ok, rtl, T)
+
+    def merge(base, upd):
+        ext = jnp.concatenate([base, jnp.zeros((1,), base.dtype)])
+        return ext.at[rtl_s].set(upd.astype(base.dtype))[:T]
+
+    ln = merge(ln.astype(I32), ln_w)
+    gaps = merge(gaps.astype(I32), gaps_w)
+    sc2 = merge(sc2.astype(I32), sc2_w.astype(I32))
+    col = merge(col.astype(I32), col_w)
+    tws_final = merge(tws, rws)
+    retried = jnp.zeros(T + 1, bool).at[rtl_s].set(True)[:T]
+    # wide winners whose re-trace fell off the RT budget can't use the
+    # narrow trace -> whole-row host fallback
+    runsat = rneed & ~retried
+    wide_trace_over = jnp.zeros(E + 1, bool).at[
+        jnp.where(t_valid & runsat & twide, tl, E)].set(True)[:E]
+    row_fallback = wide_over | wide_trace_over
+
+    def pack_syms(s):
+        n, w = s.shape
+        w2 = (w + 1) // 2
+        sc_ = _sym_to_code(s)
+        spad_ = jnp.concatenate(
+            [sc_, jnp.zeros((n, w2 * 2 - w), jnp.uint8)], axis=1)
+        sp = spad_.reshape(n, w2, 2).astype(jnp.uint32)
+        return (sp[:, :, 0] | (sp[:, :, 1] << 4)).astype(jnp.uint8)
+
+    sym_packed = pack_syms(sym)                        # (T, ceil((L+Cn)/2))
+    sym_w_packed = pack_syms(sym_w)                    # (RT, ceil((L+Cw)/2))
+
+    esc_i32 = jnp.stack([
+        esc_idx, best_e.astype(I32), second_full.astype(I32), n_sites,
+        wdiag, wstrand, wws, g_w.astype(I32), dp_w.astype(I32),
+        row_fallback.astype(I32)], axis=1)             # (E, 10)
+    trace_i32 = jnp.stack([
+        tloc, ln, gaps, sc2, col, tws_final,
+        retried.astype(I32)], axis=1)                  # (T, 7)
+    retry_i32 = jnp.stack([rloc], axis=1)              # (RT, 1)
+    return (meta, out_match, esc_i32, esc_match, trace_i32, sym_packed,
+            retry_i32, sym_w_packed)
+
+
+ESC_COLS = ("idx", "best", "second", "n_sites", "wdiag", "wstrand",
+            "wws", "g_w", "dp_w", "fb")
+TRACE_COLS = ("tloc", "ln", "gaps", "sc2", "col", "tws", "retried")
+
+
+class FusedRun:
+    """In-flight fused dispatch; .host() blocks and unpacks."""
+
+    def __init__(self, outs, L: int, Cn: int, Cw: int):
+        self._outs = outs
+        self._L = L
+        self._Cn = Cn
+        self._Cw = Cw
+        for o in outs:
+            try:
+                o.copy_to_host_async()
+            except Exception:
+                pass
+
+    def host(self) -> Dict[str, np.ndarray]:
+        (meta, out_match, esc_i32, esc_match, trace_i32, sym_packed,
+         retry_i32, sym_w_packed) = [np.asarray(o) for o in self._outs]
+        L = self._L
+        B = meta.shape[0]
+        d = {
+            "best_score": meta[:, 0],
+            "best_diag": meta[:, 1],
+            "best_strand": meta[:, 2],
+            "best_start": meta[:, 3],
+            "best_spread": meta[:, 4],
+            "second_score": meta[:, 5],
+            "n_good": meta[:, 6],
+            "best_match": _UNPACK_LUT[out_match].reshape(B, -1)[:, :L],
+        }
+        esc = {k: esc_i32[:, i] for i, k in enumerate(ESC_COLS)}
+        esc["match"] = _UNPACK_LUT[esc_match].reshape(
+            esc_match.shape[0], -1)[:, :L]
+        tr = {k: trace_i32[:, i] for i, k in enumerate(TRACE_COLS)}
+        T = trace_i32.shape[0]
+        sym = np.zeros((T, L + self._Cw), np.uint8)
+        sym[:, :L + self._Cn] = _SYM_UNPACK[sym_packed].reshape(
+            T, -1)[:, :L + self._Cn]
+        rloc = retry_i32[:, 0]
+        r_ok = rloc < 2 ** 30
+        if r_ok.any():
+            sym_w = _SYM_UNPACK[sym_w_packed].reshape(
+                sym_w_packed.shape[0], -1)[:, :L + self._Cw]
+            sym[rloc[r_ok]] = sym_w[r_ok]
+        tr["sym"] = sym
+        d["_esc"] = esc
+        d["_trace"] = tr
+        return d
+
+
+def build_fused(index: KmerIndex, L: int, B: int, chain_dist: int = 400,
+                min_ratio: float = 0.56,
+                max_list_length: Optional[int] = None, profile=None):
+    """Returns fused(bases_ascii (B, L), quality=None) -> FusedRun."""
+    fcfg = make_fused_config(index, L, B, chain_dist, min_ratio,
+                             max_list_length, profile)
+    cfg = fcfg.qm
+    starts_d, sites_d, gpack_d, nmask_d, _G = device_arrays(index)
+    from . import seed as seed_host
+    den2, den3 = seed_host.key_density_ladder(L, index.k)
+
+    def prog(codes2, nmask, starts_d, sites_d, gpack_d, nmask_d):
+        rcodes = unpack_reads_device(codes2, nmask, L)
+        return fused_stage(fcfg, rcodes, starts_d, sites_d, gpack_d,
+                           nmask_d)
+
+    def prog_q(codes2, nmask, qual, starts_d, sites_d, gpack_d, nmask_d):
+        rcodes = unpack_reads_device(codes2, nmask, L)
+        offs = quality_offsets_stage(cfg, qual, den2, den3)
+        return fused_stage(fcfg, rcodes, starts_d, sites_d, gpack_d,
+                           nmask_d, offsets_dyn=offs)
+
+    jitted = jax.jit(prog)
+    jitted_q = jax.jit(prog_q)
+
+    def run(bases, quality=None) -> FusedRun:
+        codes2, nm = pack_reads_host(np.ascontiguousarray(bases[:, :L]))
+        if quality is None:
+            outs = jitted(codes2, nm, starts_d, sites_d, gpack_d,
+                          nmask_d)
+        else:
+            outs = jitted_q(codes2, nm, quality[:, :L], starts_d,
+                            sites_d, gpack_d, nmask_d)
+        return FusedRun(outs, L, fcfg.Cn, fcfg.Cw)
+
+    run.fcfg = fcfg
+    return run

@@ -279,6 +279,7 @@ class BBMapAligner:
                                 and index.chrom_offsets[-1] < 2 ** 30)
         self._qm_cache: Dict[int, object] = {}
         self._esc_cache: Dict[int, dict] = {}
+        self._fused_cache: Dict[Tuple[int, int], object] = {}
         # running average of observed inner pair distances (reference:
         # AbstractMapThread AVERAGE_PAIR_DIST dynamic update, :131,
         # INITIAL_AVERAGE_PAIR_DIST=100)
@@ -358,6 +359,25 @@ class BBMapAligner:
 
     def _qm_run(self, batch: ReadBatch, L: int):
         return self._qm_dispatch(batch, L).host()
+
+    # ---- fused single-dispatch path (quickmap + escalation + trace in
+    # one device program; align/fused_device.py) ----
+    def _use_fused(self) -> bool:
+        return (self.device_quickmap and self.mesh is None
+                and self.maxindel > 0 and not self.print_secondary)
+
+    def _fused_dispatch(self, batch: ReadBatch, L: int):
+        from . import fused_device
+        key = (L, batch.size)
+        run = self._fused_cache.get(key)
+        if run is None:
+            run = fused_device.build_fused(
+                self.index, L, batch.size, chain_dist=self.chain_dist,
+                min_ratio=self.min_ratio, profile=self.profile)
+            self._fused_cache[key] = run
+        if batch.quality is not None:
+            return run(batch.bases, batch.quality)
+        return run(batch.bases)
 
     def _direct_select(self, L: int, d: dict, direct: np.ndarray,
                        scored: Optional[np.ndarray] = None,
@@ -496,6 +516,9 @@ class BBMapAligner:
                 and int(lens[0]) >= self.index.k):
             return None
         L = int(lens[0])
+        if self._use_fused():
+            f = self._fused_dispatch(batch, L)
+            return self._columnar_from_fused(batch, L, f.host())
         d = self._qm_run(batch, L)
         return self._columnar_from_qm(batch, L, d)
 
@@ -514,6 +537,150 @@ class BBMapAligner:
             self._escalate_columnar(batch, L, idxs.astype(np.int64), d,
                                     mb)
         return mb
+
+    def _columnar_from_fused(self, batch: ReadBatch, L: int,
+                             d: dict) -> MappedBatch:
+        """Assemble a MappedBatch from the fused single-dispatch program
+        (align/fused_device.py). Applies the same selection semantics as
+        ``_escalate_columnar`` — the device already ran the DP and
+        traceback; the host computes clearzone ambiguity (float64, like
+        the unfused path) and fills columns. Rows the device could not
+        settle exactly (escalation/trace budget overflow, wide windows)
+        re-run through the unfused path on a padded sub-batch."""
+        B = batch.size
+        mb = MappedBatch(B, L)
+        max_imp = self.profile.max_imperfect_score(L)
+        best0 = d["best_score"].astype(np.int64)
+        escalate = best0 < max_imp
+        d.setdefault("_bases", batch.bases)
+        self._direct_fill_columnar(batch, L, d, mb, ~escalate)
+        esc = d["_esc"]
+        tr = d["_trace"]
+        eidx = esc["idx"].astype(np.int64)
+        valid = eidx < 2 ** 30
+        E = len(eidx)
+        n_esc = int(escalate.sum())
+
+        fallback = []
+        if n_esc > E:
+            fallback.append(np.nonzero(escalate)[0][E:])
+        fb = esc["fb"].astype(bool) & valid
+        if fb.any():
+            fallback.append(eidx[fb])
+
+        app = valid & ~fb                            # esc rows applied
+        besta = esc["best"].astype(np.int64)
+        seconda = esc["second"].astype(np.int64)
+        max_sw = self.profile.max_quality(L)
+        min_score = int(max_sw * self.min_ratio)
+        mapped = app & (besta >= min_score)
+        perfect = besta >= max_sw
+        cz = self._czvec(besta, max_sw, perfect)
+        ambiguous = (seconda > -(2 ** 29)) & (besta - seconda < cz)
+        toss = self.ambig_mode == "toss"
+        keep = mapped & ~(ambiguous & toss) if toss else mapped
+        rows_m = eidx[mapped]
+        mb.score[rows_m] = besta[mapped]
+        mb.perfect[rows_m] = perfect[mapped]
+        mb.ambiguous[rows_m] = ambiguous[mapped]
+        mb.n_sites[rows_m] = esc["n_sites"][mapped]
+
+        dp_beat = esc["dp_w"].astype(np.int64) > esc["g_w"].astype(
+            np.int64)
+        needs = mapped & dp_beat                     # device trace gate
+        tloc = tr["tloc"].astype(np.int64)
+        t_valid = tloc < 2 ** 30
+        got_trace = np.zeros(E, bool)
+        got_trace[tloc[t_valid]] = True
+        t_over = needs & ~got_trace                  # trace overflow
+        if t_over.any():
+            fallback.append(eidx[t_over])
+            app = app & ~t_over
+            keep = keep & ~t_over
+
+        gl = keep & ~dp_beat
+        if gl.any():
+            gdiag = esc["wdiag"][gl].astype(np.int64)
+            chroms = np.clip(np.searchsorted(self.chrom_offsets, gdiag,
+                                             side="right") - 1,
+                             0, len(self.chrom_offsets) - 2)
+            locs = gdiag - self.chrom_offsets[chroms]
+            rows = eidx[gl]
+            mb.mapped[rows] = True
+            mb.strand[rows] = esc["wstrand"][gl]
+            mb.chrom[rows] = chroms + 1
+            mb.start[rows] = locs
+            mb.stop[rows] = locs + L - 1
+            mb.match_is_row[rows] = True
+            mb.match_rows[rows] = esc["match"][gl]
+
+        tsel = t_valid & keep[np.clip(tloc, 0, E - 1)] \
+            & ~t_over[np.clip(tloc, 0, E - 1)]
+        if tsel.any():
+            from ..core.bases import COMP_ASCII
+            erow = tloc[tsel]
+            rows_g = eidx[erow]
+            wstrand = esc["wstrand"][erow]
+            sub = batch.bases[rows_g][:, :L]
+            rc = COMP_ASCII[sub][:, ::-1]
+            treads = np.where((wstrand == 0)[:, None], sub, rc)
+            tws = tr["tws"][tsel].astype(np.int32)
+            # device already re-traced wide winners and clipped rows at
+            # the wide width; passing retried as `twide` suppresses a
+            # second host-side retry for them
+            self._apply_traces(
+                None, mb, rows_g, treads, tws,
+                tr["retried"][tsel].astype(bool), wstrand,
+                tr["sym"][tsel], tr["ln"][tsel].astype(np.int32),
+                tr["gaps"][tsel].astype(np.int32),
+                tr["sc2"][tsel].astype(np.int64),
+                tr["col"][tsel].astype(np.int32), L)
+
+        if fallback:
+            fb = np.unique(np.concatenate(fallback)).astype(np.int64)
+            self._refit_rows(batch, L, fb, mb)
+
+        applied = eidx[app]
+        still = applied[~mb.mapped[applied]]
+        if self.maxindel > self.chain_dist and len(still):
+            proxy = _ResultsProxy()
+            self._long_indel_pass(batch, L, still.astype(np.int64),
+                                  proxy)
+            if proxy.store:
+                mb.absorb_objects(proxy.store)
+        return mb
+
+    def _refit_rows(self, batch: ReadBatch, L: int, rows: np.ndarray,
+                    mb: MappedBatch) -> None:
+        """Re-map a handful of rows through the unfused quickmap +
+        host escalation path (budget-overflow / wide-window fallback of
+        the fused program) and merge the results into ``mb``."""
+        n = len(rows)
+        P = _bucket_pad(n)
+        bases = np.full((P, batch.bases.shape[1]), ord("N"), np.uint8)
+        bases[:n] = batch.bases[rows]
+        qual = None
+        if batch.quality is not None:
+            qual = np.zeros((P, batch.quality.shape[1]), np.int8)
+            qual[:n] = batch.quality[rows]
+        sub = ReadBatch(
+            bases=bases, quality=qual,
+            lengths=np.full(P, L, np.int32),
+            ids=[batch.ids[int(r)] for r in rows] + [""] * (P - n),
+            numeric_ids=np.arange(P, dtype=np.int64))
+        d = self._qm_run(sub, L)
+        smb = self._columnar_from_qm(sub, L, d)
+        for f in ("mapped", "strand", "chrom", "start", "stop", "score",
+                  "perfect", "ambiguous", "n_sites", "match_is_row"):
+            getattr(mb, f)[rows] = getattr(smb, f)[:n]
+        if smb.match_rows is not None:
+            if mb.match_rows is None:
+                mb.match_rows = np.zeros((mb.size, L), np.uint8)
+            mb.match_rows[rows] = smb.match_rows[:n, :L]
+        for i, r in enumerate(rows):
+            ov = smb.match_override.get(i)
+            if ov is not None:
+                mb.match_override[int(r)] = ov
 
     def _esc_programs(self, L: int):
         if L not in self._esc_cache:
@@ -684,6 +851,8 @@ class BBMapAligner:
         clip_r = (last == ord("I")) | (last == ord("Y"))
         retry = (clip_l | clip_r) & ~twide
         if retry.any():
+            if progs is None:   # fused path: host retry only on device
+                progs = self._esc_programs(L)   # RT-budget overflow
             extra = (80 if self.maxindel > 0 else 20) + SLOW_ALIGN_PADDING
             rws = (tws[retry] - np.where(clip_l[retry], extra, 0)) \
                 .astype(np.int32)
@@ -691,7 +860,14 @@ class BBMapAligner:
                 progs, treads[retry], rws,
                 np.ones(int(retry.sum()), bool))
             rr = np.nonzero(retry)[0]
-            sym = np.array(sym)
+            if rsym.shape[1] > sym.shape[1]:
+                # fused-path sym rows are narrow-window width; the wide
+                # retry emits wider rows — grow the buffer
+                grown = np.zeros((sym.shape[0], rsym.shape[1]), np.uint8)
+                grown[:, :sym.shape[1]] = sym
+                sym = grown
+            else:
+                sym = np.array(sym)
             sym[rr, :rsym.shape[1]] = rsym
             ln[rr] = rln
             gaps[rr] = rgaps
@@ -735,20 +911,29 @@ class BBMapAligner:
         overlap: batch N+1's quickmap is dispatched before batch N's
         results are transferred and finalized (the TPU analog of the
         reference's reader/worker thread overlap, SURVEY §2.11 P2)."""
+        fused = self._use_fused()
+        fin = (self._columnar_from_fused if fused
+               else self._columnar_from_qm)
+        disp = self._fused_dispatch if fused else self._qm_dispatch
         pending = None   # (batch, L, handle)
         for batch in batches:
             L = int(batch.lengths[0])
-            handle = self._qm_dispatch(batch, L)
+            handle = disp(batch, L)
             if pending is not None:
                 pb, pL, ph = pending
-                yield self._columnar_from_qm(pb, pL, ph.host())
+                yield fin(pb, pL, ph.host())
             pending = (batch, L, handle)
         if pending is not None:
             pb, pL, ph = pending
-            yield self._columnar_from_qm(pb, pL, ph.host())
+            yield fin(pb, pL, ph.host())
 
     def _map_batch_device(self, batch: ReadBatch, L: int,
                           results: List[MappedRead]) -> None:
+        if self._use_fused():
+            f = self._fused_dispatch(batch, L)
+            mb = self._columnar_from_fused(batch, L, f.host())
+            mb.fill_objects(results)
+            return
         d = self._qm_run(batch, L)
         mb = self._columnar_from_qm(batch, L, d)
         mb.fill_objects(results)

@@ -366,7 +366,7 @@ def quality_offsets_stage(cfg: QmConfig, qual, density: float,
 
 
 def candidate_stage(cfg: QmConfig, bases, starts_d, sites_d,
-                    okpack_d=None, offsets_dyn=None):
+                    okpack_d=None, offsets_dyn=None, rcodes=None):
     """Steps 1-5 (seed -> chain -> vote -> top-K candidates) against ONE
     CSR index shard. Returns (rcodes (B, L), cand dict of (B, K) arrays:
     votes, mode, strand, start, spread).
@@ -386,9 +386,9 @@ def candidate_stage(cfg: QmConfig, bases, starts_d, sites_d,
     INVALID = jnp.int32(2 ** 30)
 
     if True:
-        bases = bases
-        B = bases.shape[0]
-        rcodes = ascii_to_codes(bases)                      # (B, L) 0..4
+        if rcodes is None:
+            rcodes = ascii_to_codes(bases)                  # (B, L) 0..4
+        B = rcodes.shape[0]
         if offsets_dyn is None:
             kp = _keys_from_codes(rcodes, offsets_list, k,
                                   L)                        # (B, nk)
@@ -588,7 +588,8 @@ def candidate_stage(cfg: QmConfig, bases, starts_d, sites_d,
                         "spread": cd_spread}
 
 
-def finalize_stage(cfg: QmConfig, rcodes, cand, gpack_d, nmask_d):
+def finalize_stage(cfg: QmConfig, rcodes, cand, gpack_d, nmask_d,
+                   return_scores: bool = False):
     """Steps 6-7: gapless scoring of the candidate table at each modal
     diagonal + best/second selection + packed match symbols. ``cand`` is
     the dict produced by candidate_stage (possibly merged across index
@@ -650,6 +651,8 @@ def finalize_stage(cfg: QmConfig, rcodes, cand, gpack_d, nmask_d):
             cd_spread.astype(I32)], axis=1).reshape(
                 B, N_CFIELD * cd_votes.shape[1])
         out_i32 = jnp.concatenate([meta_cols, cand_block], axis=1)
+        if return_scores:
+            return out_i32, out_match, scores.astype(I32)
         return out_i32, out_match
 
 

@@ -450,49 +450,60 @@ for _c in b"ACGTU":
 
 def _walk_device(prevs, read, ref, col0, st0, R: int, C: int):
     """Traceback walk on device. prevs: (R+C, R+1) uint8; returns
-    (symbols (R+C,) uint8 reversed order, out_len, gaps)."""
+    (symbols (R+C,) uint8 reversed order, out_len, gaps).
+
+    Active steps are a contiguous prefix of the walk (a step is active
+    iff row > 0, and row is non-increasing), so the output position of
+    step i is i itself — symbols are emitted as scan outputs instead of
+    scattered into a carried buffer (a per-step dynamic-update-slice
+    that dominated the walk's cost)."""
     defined = jnp.asarray(_DEFINED_TABLE)
     read_i = read.astype(I32)
     ref_i = ref.astype(I32)
+    # per-position predicates, gathered once instead of per step
+    read_def = defined[read_i]
+    ref_def = defined[ref_i]
+    ref_gap = ref_i == GAPC
 
     def step(carry, _):
-        row, col, st, outpos, out, gaps = carry
+        row, col, st, gaps = carry
         main = jnp.logical_and(row > 0, col > 0)
         xpad = jnp.logical_and(row > 0, col <= 0)
         code = prevs[jnp.clip(row + col - 1, 0, R + C - 1),
                      jnp.clip(row, 0, R)].astype(I32)
         prev = (code >> (2 * st)) & 3
-        c_ = read_i[jnp.maximum(row - 1, 0)]
-        r_ = ref_i[jnp.clip(col - 1, 0, C - 1)]
+        ri = jnp.maximum(row - 1, 0)
+        ci = jnp.clip(col - 1, 0, C - 1)
+        c_ = read_i[ri]
+        r_ = ref_i[ci]
         sym_ms = jnp.where(
             c_ == r_, ord("m"),
-            jnp.where(jnp.logical_or(~defined[c_], ~defined[r_]),
+            jnp.where(jnp.logical_or(~read_def[ri], ~ref_def[ci]),
                       ord("N"), ord("S")))
-        sym_del = jnp.where(r_ == GAPC, ord("-"), ord("D"))
+        is_gap = ref_gap[ci]
+        sym_del = jnp.where(is_gap, ord("-"), ord("D"))
         sym_ins = jnp.where(col >= C, ord("Y"), ord("I"))
         sym = jnp.where(st == MODE_MS, sym_ms,
                         jnp.where(st == MODE_DEL, sym_del, sym_ins))
         sym = jnp.where(xpad, ord("X"), sym)
         act = jnp.logical_or(main, xpad)
-        out = out.at[jnp.clip(outpos, 0, R + C - 1)].set(
-            jnp.where(act, sym, out[jnp.clip(outpos, 0, R + C - 1)]))
+        sym = jnp.where(act, sym, 0).astype(jnp.uint8)
         gaps = gaps + jnp.where(
             jnp.logical_and(main, jnp.logical_and(st == MODE_DEL,
-                                                  r_ == GAPC)), 1, 0)
+                                                  is_gap)), 1, 0)
         drow = jnp.where(jnp.logical_and(main, st != MODE_DEL), 1, 0) \
             + jnp.where(xpad, 1, 0)
         dcol = jnp.where(jnp.logical_and(main, st != MODE_INS), 1, 0) \
             + jnp.where(xpad, 1, 0)
         nst = jnp.where(main, prev, st)
-        return (row - drow, col - dcol, nst.astype(I32),
-                outpos + act.astype(I32), out, gaps), None
+        return (row - drow, col - dcol, nst.astype(I32), gaps), sym
 
-    out0 = jnp.zeros(R + C, jnp.uint8)
     carry0 = (jnp.int32(R), col0.astype(I32), st0.astype(I32),
-              jnp.int32(0), out0, jnp.int32(0))
-    (row, col, st, outpos, out, gaps), _ = jax.lax.scan(
-        step, carry0, None, length=R + C + 1)
-    return out, outpos, gaps
+              jnp.int32(0))
+    (row, col, st, gaps), syms = jax.lax.scan(
+        step, carry0, None, length=R + C)
+    outpos = jnp.sum((syms != 0).astype(I32))
+    return syms, outpos, gaps
 
 
 def _align_single(read, ref, R: int, C: int, rtrue=None,
