@@ -115,6 +115,33 @@ SUBTOOLS = {
     "bbgrep": ("bbmap_tpu.tools.textutils", "grep"),
     "linecount": ("bbmap_tpu.tools.textutils", "linecount"),
     "renamebyheader": ("bbmap_tpu.tools.textutils", "renamebyheader"),
+    # jgi/driver long tail (tools/smalltools.py)
+    "countgc": ("bbmap_tpu.tools.smalltools", "countgc"),
+    "readlength": ("bbmap_tpu.tools.smalltools", "readlength"),
+    "fuse": ("bbmap_tpu.tools.smalltools", "fuse"),
+    "getreads": ("bbmap_tpu.tools.smalltools", "getreads"),
+    "splitsam": ("bbmap_tpu.tools.smalltools", "splitsam"),
+    "rename": ("bbmap_tpu.tools.smalltools", "rename"),
+    "testformat": ("bbmap_tpu.tools.smalltools", "testformat"),
+    "textfile": ("bbmap_tpu.tools.smalltools", "textfile"),
+    "printtime": ("bbmap_tpu.tools.smalltools", "printtime"),
+    "phylip2fasta": ("bbmap_tpu.tools.smalltools", "phylip2fasta"),
+    "matrixtocolumns": ("bbmap_tpu.tools.smalltools", "matrixtocolumns"),
+    "mergeotus": ("bbmap_tpu.tools.smalltools", "mergeotus"),
+    "summarizescafstats": ("bbmap_tpu.tools.smalltools",
+                           "summarizescafstats"),
+    "summarizeseal": ("bbmap_tpu.tools.smalltools", "summarizeseal"),
+    "muxbyname": ("bbmap_tpu.tools.smalltools", "muxbyname"),
+    "filtersubs": ("bbmap_tpu.tools.smalltools", "filtersubs"),
+    "reducesilva": ("bbmap_tpu.tools.smalltools", "reducesilva"),
+    "estherfilter": ("bbmap_tpu.tools.smalltools", "estherfilter"),
+    # aliases for reference sh-script names served by existing tools
+    "bbfakereads": ("bbmap_tpu.tools.synth", "fakereads"),
+    "bbmerge-auto": ("bbmap_tpu.tools.bbmerge", "main"),
+    "crossblock": ("bbmap_tpu.tools.covtools", "decontaminate"),
+    "mutate": ("bbmap_tpu.tools.synth", "mutategenome"),
+    "splitnextera": ("bbmap_tpu.tools.pairtools", "splitnexteralmp"),
+    "tadwrapper": ("bbmap_tpu.tools.tadpole", "wrapper_main"),
 }
 
 
