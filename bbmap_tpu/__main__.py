@@ -135,6 +135,20 @@ SUBTOOLS = {
     "filtersubs": ("bbmap_tpu.tools.smalltools", "filtersubs"),
     "reducesilva": ("bbmap_tpu.tools.smalltools", "reducesilva"),
     "estherfilter": ("bbmap_tpu.tools.smalltools", "estherfilter"),
+    # taxonomy suite (tools/taxonomy.py)
+    "taxtree": ("bbmap_tpu.tools.taxonomy", "taxtree_build"),
+    "gitable": ("bbmap_tpu.tools.taxonomy", "gitable"),
+    "gi2taxid": ("bbmap_tpu.tools.taxonomy", "gi2taxid"),
+    "gi2ancestors": ("bbmap_tpu.tools.taxonomy", "gi2ancestors"),
+    "sortbytaxa": ("bbmap_tpu.tools.taxonomy", "sortbytaxa"),
+    "splitbytaxa": ("bbmap_tpu.tools.taxonomy", "splitbytaxa"),
+    "taxonomy": ("bbmap_tpu.tools.taxonomy", "printtaxonomy"),
+    # alignment small tools (tools/idtools.py)
+    "idmatrix": ("bbmap_tpu.tools.idtools", "idmatrix"),
+    "idtree": ("bbmap_tpu.tools.idtools", "idtree"),
+    "msa": ("bbmap_tpu.tools.idtools", "msa"),
+    "cutprimers": ("bbmap_tpu.tools.idtools", "cutprimers"),
+    "commonkmers": ("bbmap_tpu.tools.idtools", "commonkmers"),
     # aliases for reference sh-script names served by existing tools
     "bbfakereads": ("bbmap_tpu.tools.synth", "fakereads"),
     "bbmerge-auto": ("bbmap_tpu.tools.bbmerge", "main"),
