@@ -135,6 +135,11 @@ SUBTOOLS = {
     "filtersubs": ("bbmap_tpu.tools.smalltools", "filtersubs"),
     "reducesilva": ("bbmap_tpu.tools.smalltools", "reducesilva"),
     "estherfilter": ("bbmap_tpu.tools.smalltools", "estherfilter"),
+    "bbest": ("bbmap_tpu.tools.smalltools", "bbest"),
+    "dedupebymapping": ("bbmap_tpu.tools.smalltools",
+                        "dedupebymapping"),
+    "postfilter": ("bbmap_tpu.tools.covtools", "postfilter"),
+    "callpeaks": ("bbmap_tpu.tools.kmercountexact", "callpeaks_main"),
     # taxonomy suite (tools/taxonomy.py)
     "taxtree": ("bbmap_tpu.tools.taxonomy", "taxtree_build"),
     "gitable": ("bbmap_tpu.tools.taxonomy", "gitable"),

@@ -260,10 +260,91 @@ def decontaminate(argv: List[str]) -> int:
     return 0
 
 
+def postfilter(argv: List[str]) -> int:
+    """reference: postfilter.sh (assemble/Postfilter.java) — map reads
+    to the assembly, pileup covstats, then drop contigs failing
+    minc/minp/minr/minl; trim= trims contig ends first."""
+    import os
+    import tempfile
+
+    from . import bbmap as bbmap_tool
+    from . import pileup as pileup_tool
+
+    args = Args.parse(argv)
+    inp = args.get("in", "in1")
+    in2 = args.get("in2")
+    ref = args.get("ref")
+    out = args.get("out", default="filtered.fa")
+    outd = args.get("outd", "outdirty")
+    cov = args.get("cov", default="covstats.txt")
+    minc = args.get_float("minc", "mincov", default=2.0)
+    minp = args.get_float("minp", "minpercent", default=95.0)
+    minr = args.get_int("minr", "minreads", default=6)
+    minl = args.get_int("minl", "minlength", default=400)
+    trim = args.get_int("trim", "trimends", default=0)
+    if inp is None or ref is None:
+        print("Usage: postfilter in=<reads> ref=<contigs> "
+              "out=<filtered>", file=sys.stderr)
+        return 1
+    tmpdir = tempfile.mkdtemp(prefix="postfilter_")
+    ref_use = ref
+    if trim > 0:
+        ref_use = os.path.join(tmpdir, "trimmed.fa")
+        def gen():
+            for rec in fastx.read_seqs(ref):
+                b = rec.bases[trim:len(rec.bases) - trim]
+                if b:
+                    yield fastx.SeqRecord(id=rec.id, bases=b)
+        fastx.write_fasta(ref_use, gen())
+    sam = os.path.join(tmpdir, "mapped.sam")
+    margs = [f"ref={ref_use}", f"in={inp}", f"out={sam}", "nodisk",
+             "minhits=2", "maxindel=0", "rescue=f"]
+    if in2:
+        margs.insert(2, f"in2={in2}")
+    rc = bbmap_tool.main(margs)
+    if rc != 0:
+        return rc
+    rc = pileup_tool.main([f"in={sam}", f"out={cov}", "32bit=t"])
+    if rc != 0:
+        return rc
+    # covstats: #ID Avg_fold Length Covered_percent Covered_bases
+    #           Plus_reads ... (reference: jgi/CoveragePileup.java)
+    stats: Dict[str, tuple] = {}
+    with open(cov) as fh:
+        for line in fh:
+            if line.startswith("#"):
+                continue
+            f = line.rstrip("\n").split("\t")
+            stats[f[0]] = (float(f[1]), float(f[3]), int(float(f[5])))
+    kept = removed = 0
+    out_fh = fastx.xopen(out, "wb")
+    outd_fh = fastx.xopen(outd, "wb") if outd else None
+    for rec in fastx.read_seqs(ref):
+        avg, pct, reads = stats.get(rec.id, (0.0, 0.0, 0))
+        ok = (avg >= minc and pct >= minp and reads >= minr
+              and len(rec.bases) >= minl)
+        if ok:
+            kept += 1
+            out_fh.write(b">" + rec.id.encode() + b"\n" + rec.bases
+                         + b"\n")
+        else:
+            removed += 1
+            if outd_fh is not None:
+                outd_fh.write(b">" + rec.id.encode() + b"\n"
+                              + rec.bases + b"\n")
+    out_fh.close()
+    if outd_fh:
+        outd_fh.close()
+    sys.stderr.write(f"Contigs kept:\t{kept}\nContigs removed:\t"
+                     f"{removed}\n")
+    return 0
+
+
 TOOLS = dict(filterbycoverage=filterbycoverage,
              decontaminate=decontaminate,
              kmercoverage=kmercoverage,
-             crosscontaminate=crosscontaminate)
+             crosscontaminate=crosscontaminate,
+             postfilter=postfilter)
 
 
 def main(argv: List[str]) -> int:

@@ -110,6 +110,65 @@ def call_peaks(hist: np.ndarray, min_height: int = 2, min_volume: int = 5,
     return peaks
 
 
+def callpeaks_main(argv: List[str]) -> int:
+    """Standalone peak caller over a 2-column (x, y) histogram file
+    (reference: callpeaks.sh / jgi/CallPeaks.main). Supports
+    countcolumn=, smoothing (smoothradius= triangle filter), and the
+    min/max peak gates."""
+    args = Args.parse(argv)
+    inp = args.get("in") or (args.positional[0]
+                             if args.positional else None)
+    out = args.get("out")
+    min_height = args.get_int("minheight", "h", default=2)
+    min_volume = args.get_int("minvolume", "v", default=2)
+    min_width = args.get_int("minwidth", "w", default=2)
+    min_peak = args.get_int("minpeak", "minp", default=2)
+    max_peak = args.get_int("maxpeak", "maxp", default=1 << 30)
+    max_count = args.get_int("maxpeakcount", "maxpc", default=8)
+    col = args.get_int("countcolumn", "col", default=1)
+    smoothradius = args.get_int("smoothradius", default=0)
+    if inp is None:
+        print("Usage: callpeaks in=<histogram> out=<file>",
+              file=sys.stderr)
+        return 1
+    xs: List[int] = []
+    ys: List[float] = []
+    with fastx.xopen(inp, "rt") as fh:
+        for line in fh:
+            if line.startswith("#") or not line.strip():
+                continue
+            f = line.split()
+            try:
+                xs.append(int(f[0]))
+                ys.append(float(f[col]))
+            except (ValueError, IndexError):
+                continue
+    n = (max(xs) + 2) if xs else 2
+    hist = np.zeros(n, np.float64)
+    for x, y in zip(xs, ys):
+        hist[x] = y
+    if smoothradius > 0:
+        r = smoothradius
+        w = np.concatenate([np.arange(1, r + 2),
+                            np.arange(r, 0, -1)]).astype(np.float64)
+        w /= w.sum()
+        hist = np.convolve(hist, w, mode="same")
+    pk = call_peaks(hist, min_height=min_height, min_volume=min_volume,
+                    min_width=min_width, start=max(1, min_peak))
+    pk = [p for p in pk if min_peak <= p["center"] <= max_peak]
+    pk.sort(key=lambda p: -p["height"])
+    pk = pk[:max_count]
+    pk.sort(key=lambda p: p["center"])
+    oh = fastx.xopen(out, "wt") if out else sys.stdout
+    oh.write("#center\tstart\tstop\theight\tvolume\n")
+    for p in pk:
+        oh.write(f"{p['center']}\t{p['start']}\t{p['stop']}\t"
+                 f"{p['height']}\t{p['volume']}\n")
+    if out:
+        oh.close()
+    return 0
+
+
 def main(argv: List[str]) -> int:
     args = Args.parse(argv)
     in1 = args.get("in", "in1") or (args.positional[0]

@@ -804,3 +804,193 @@ def estherfilter(argv: List[str]) -> int:
         for n in sorted(names):
             print(n)
     return 0
+
+
+def bbest(argv: List[str]) -> int:
+    """reference: bbest.sh (jgi/SamToEst.java) — EST capture stats from
+    an ordered sam file. ESTs split into parts by BBMap carry
+    '_part_<n>' name suffixes; parts regroup by base name. Classes per
+    EST: all (match fraction >= fraction=), most (>= 1/2), some (> 0),
+    zero; multi = parts mapped to >1 scaffold."""
+    args = Args.parse(argv)
+    inp = _inputs(args)
+    out = args.get("out")
+    ref = args.get("ref")
+    est = args.get("est")
+    fraction = args.get_float("fraction", default=0.98)
+    if inp is None:
+        print("Usage: bbest in=<sam> out=<stats>", file=sys.stderr)
+        return 1
+    import re
+    from ..io.sam import open_sam_lines
+    ref_count = 0
+    ref_bases = 0
+    est_count = est_bases = 0
+    cls = dict(all=[0, 0], most=[0, 0], some=[0, 0], zero=[0, 0],
+               multi=[0, 0])
+    introns: Dict[int, int] = {}
+
+    cur_name = None
+    cur_len = 0
+    cur_match = 0
+    cur_scafs: set = set()
+
+    def classify():
+        nonlocal est_count, est_bases
+        if cur_name is None:
+            return
+        est_count += 1
+        est_bases += cur_len
+        if len(cur_scafs) > 1:
+            cls["multi"][0] += 1
+            cls["multi"][1] += cur_len
+        if cur_match >= cur_len * fraction:
+            key = "all"
+        elif cur_match >= cur_len / 2:
+            key = "most"
+        elif cur_match > 0:
+            key = "some"
+        else:
+            key = "zero"
+        cls[key][0] += 1
+        cls[key][1] += cur_len
+
+    part_re = re.compile(r"^(.*)_part_\d{1,5}$")
+    for line in open_sam_lines(inp):
+        if line.startswith("@"):
+            if line.startswith("@SQ"):
+                ref_count += 1
+                m = re.search(r"LN:(\d+)", line)
+                if m:
+                    ref_bases += int(m.group(1))
+            continue
+        f = line.rstrip("\n").split("\t")
+        if len(f) < 11:
+            continue
+        flag = int(f[1])
+        if flag & 0x100:          # secondary
+            continue
+        name = f[0]
+        m = part_re.match(name)
+        if m:
+            name = m.group(1)
+        if name != cur_name:
+            classify()
+            cur_name, cur_len, cur_match, cur_scafs = name, 0, 0, set()
+        seqlen = len(f[9]) if f[9] != "*" else 0
+        cur_len += seqlen
+        if not flag & 4:
+            cur_scafs.add(f[2])
+            # matched bases: from cigar = blocks minus indels; count
+            # M/= as match (reference uses match string / cigarToMsdic)
+            for num, op in re.findall(r"(\d+)([MIDNSHP=X])", f[5]):
+                L = int(num)
+                if op in "M=":
+                    cur_match += L
+                elif op in "DN" and L >= 10:
+                    introns[L] = introns.get(L, 0) + 1
+    classify()
+    oh = fastx.xopen(out, "wt") if out else sys.stdout
+    oh.write(f"ref_file={ref}\nest_file={est}\nsam_file={inp}\n")
+    oh.write(f"n_ref_scaffolds={ref_count}\nn_ref_bases={ref_bases}\n")
+    oh.write(f"n_est={est_count}\nn_est_bases={est_bases}\n")
+    oh.write("type\tn_est\tpct_est\tn_bases\tpct_bases\n")
+    me = 100.0 / max(1, est_count)
+    mb = 100.0 / max(1, est_bases)
+    for key in ("all", "most", "some", "zero", "multi"):
+        n, b = cls[key]
+        oh.write(f"{key}:\t{n}\t{me * n:.4f}%\t{b}\t{mb * b:.4f}%\n")
+    total = sum(introns.values())
+    if total:
+        keys = sorted(introns)
+        mn, mx = keys[0], keys[-1]
+        ssum = sum(k * v for k, v in introns.items())
+        half = (total + 1) // 2
+        acc = 0
+        med = mn
+        for k in keys:
+            acc += introns[k]
+            if acc >= half:
+                med = k
+                break
+        oh.write("introns\tmin\tmax\tmedian\taverage\n")
+        oh.write(f"{total}\t{mn}\t{mx}\t{med}\t{ssum / total:.1f}\n")
+    else:
+        oh.write("introns\tmin\tmax\tmedian\taverage\n")
+        oh.write("0\t0\t0\t0\t0.0\n")
+    if out:
+        oh.close()
+    return 0
+
+
+def dedupebymapping(argv: List[str]) -> int:
+    """reference: dedupebymapping.sh (jgi/DedupeByMapping.java) — keep
+    one read (pair) per mapping coordinate key (scaf, pos, strand,
+    mate scaf/pos); the copy with the highest quality sum wins."""
+    args = Args.parse(argv)
+    pos = _rawpos(argv)
+    inp = args.get("in") or (pos[0] if pos else None)
+    out = args.get("out") or (pos[1] if len(pos) > 1 else None)
+    keepunmapped = args.get_bool("keepunmapped", "ku", default=True)
+    if inp is None or out is None:
+        print("Usage: dedupebymapping in=<sam> out=<sam>",
+              file=sys.stderr)
+        return 1
+    from ..io.sam import open_sam_lines
+    best: Dict[tuple, tuple] = {}    # key -> (qualsum, first_index)
+    lines_by_name: Dict[str, List[str]] = {}
+    order: List[str] = []
+    header: List[str] = []
+    keys_of: Dict[str, tuple] = {}
+    quals_of: Dict[str, int] = {}
+    n_unmapped = 0
+    for line in open_sam_lines(inp):
+        if line.startswith("@"):
+            header.append(line)
+            continue
+        f = line.rstrip("\n").split("\t")
+        flag = int(f[1])
+        if flag & 0x100:
+            continue
+        name = f[0]
+        if name not in lines_by_name:
+            lines_by_name[name] = []
+            order.append(name)
+        lines_by_name[name].append(line)
+        mapped = not flag & 4
+        strand = 1 if flag & 16 else 0
+        k = (f[2], int(f[3]), strand, f[6], int(f[7])) if mapped \
+            else None
+        prev = keys_of.get(name)
+        if prev is None:
+            keys_of[name] = k if k is not None else ("*",)
+        elif k is not None:
+            keys_of[name] = tuple(list(prev) + list(k))
+        q = 0
+        if f[10] != "*":
+            q = sum(ord(c) - 33 for c in f[10])
+        quals_of[name] = quals_of.get(name, 0) + q
+    kept: Dict[tuple, str] = {}
+    for name in order:
+        k = keys_of[name]
+        if k == ("*",):
+            continue
+        old = kept.get(k)
+        if old is None or quals_of[name] > quals_of[old]:
+            kept[k] = name
+    keep_names = set(kept.values())
+    n_kept = n_dropped = 0
+    with fastx.xopen(out, "wt") as oh:
+        for h in header:
+            oh.write(h if h.endswith("\n") else h + "\n")
+        for name in order:
+            is_unmapped = keys_of[name] == ("*",)
+            if name in keep_names or (is_unmapped and keepunmapped):
+                n_kept += 1
+                for line in lines_by_name[name]:
+                    oh.write(line if line.endswith("\n")
+                             else line + "\n")
+            else:
+                n_dropped += 1
+    sys.stderr.write(f"Kept:\t{n_kept}\nDropped:\t{n_dropped}\n")
+    return 0

@@ -205,3 +205,77 @@ def test_summarizescafstats(tmp_path):
     assert f[1] == "orgA"
     assert abs(float(f[2]) - 90.0) < 1e-6
     assert abs(float(f[3]) - 10.0) < 1e-6
+
+
+def test_bbest(tmp_path):
+    from bbmap_tpu.tools.smalltools import bbest
+    sam = tmp_path / "est.sam"
+    sam.write_text(
+        "@SQ\tSN:scaf1\tLN:1000\n@SQ\tSN:scaf2\tLN:500\n"
+        # est1: two parts, both fully mapped to one scaffold
+        "est1_part_1\t0\tscaf1\t1\t37\t50M\t*\t0\t0\t" + "A" * 50
+        + "\t*\n"
+        "est1_part_2\t0\tscaf1\t51\t37\t50M\t*\t0\t0\t" + "A" * 50
+        + "\t*\n"
+        # est2: unmapped
+        "est2\t4\t*\t0\t0\t*\t*\t0\t0\t" + "C" * 40 + "\t*\n"
+        # est3: parts on two scaffolds, half matched
+        "est3_part_1\t0\tscaf1\t200\t37\t20M20S\t*\t0\t0\t" + "G" * 40
+        + "\t*\n"
+        "est3_part_2\t0\tscaf2\t1\t37\t40M\t*\t0\t0\t" + "G" * 40
+        + "\t*\n")
+    out = tmp_path / "stats.txt"
+    assert bbest([f"in={sam}", f"out={out}"]) == 0
+    text = out.read_text()
+    assert "n_est=3" in text
+    assert "n_ref_scaffolds=2" in text
+    rows = {l.split("\t")[0].rstrip(":"): l.split("\t")
+            for l in text.splitlines() if "\t" in l}
+    assert rows["all"][1] == "1"       # est1
+    assert rows["zero"][1] == "1"      # est2
+    assert rows["multi"][1] == "1"     # est3
+
+
+def test_dedupebymapping(tmp_path):
+    from bbmap_tpu.tools.smalltools import dedupebymapping
+    sam = tmp_path / "in.sam"
+    sam.write_text(
+        "@SQ\tSN:c\tLN:1000\n"
+        # two duplicates at same coords; r2 has higher qual sum
+        "r1\t0\tc\t100\t37\t4M\t*\t0\t0\tACGT\t!!!!\n"
+        "r2\t0\tc\t100\t37\t4M\t*\t0\t0\tACGT\tIIII\n"
+        # distinct position
+        "r3\t0\tc\t200\t37\t4M\t*\t0\t0\tACGT\tIIII\n"
+        # unmapped
+        "r4\t4\t*\t0\t0\t*\t*\t0\t0\tACGT\tIIII\n")
+    out = tmp_path / "out.sam"
+    assert dedupebymapping([f"in={sam}", f"out={out}"]) == 0
+    kept = [l.split("\t")[0] for l in out.read_text().splitlines()
+            if not l.startswith("@")]
+    assert kept == ["r2", "r3", "r4"]
+    assert dedupebymapping([f"in={sam}", f"out={out}",
+                            "keepunmapped=f"]) == 0
+    kept = [l.split("\t")[0] for l in out.read_text().splitlines()
+            if not l.startswith("@")]
+    assert kept == ["r2", "r3"]
+
+
+def test_callpeaks(tmp_path):
+    from bbmap_tpu.tools.kmercountexact import callpeaks_main
+    hist = tmp_path / "khist.txt"
+    rows = []
+    # bimodal: peak at 20 (error peak suppressed below minpeak) and 40
+    for x in range(1, 80):
+        y = 0
+        y += int(1000 * np.exp(-((x - 20) ** 2) / 18.0))
+        y += int(3000 * np.exp(-((x - 45) ** 2) / 40.0))
+        rows.append(f"{x}\t{y}")
+    hist.write_text("#Depth\tCount\n" + "\n".join(rows) + "\n")
+    out = tmp_path / "peaks.txt"
+    assert callpeaks_main([f"in={hist}", f"out={out}", "minpeak=5",
+                           "maxpeakcount=4"]) == 0
+    lines = [l for l in out.read_text().splitlines()
+             if not l.startswith("#")]
+    centers = [int(l.split("\t")[0]) for l in lines]
+    assert any(abs(c - 20) <= 2 for c in centers)
+    assert any(abs(c - 45) <= 2 for c in centers)
