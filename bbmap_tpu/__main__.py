@@ -136,6 +136,12 @@ SUBTOOLS = {
     "reducesilva": ("bbmap_tpu.tools.smalltools", "reducesilva"),
     "estherfilter": ("bbmap_tpu.tools.smalltools", "estherfilter"),
     "bbest": ("bbmap_tpu.tools.smalltools", "bbest"),
+    "summarizecrossblock": ("bbmap_tpu.tools.smalltools",
+                            "summarizecrossblock"),
+    "summarizemerge": ("bbmap_tpu.tools.smalltools", "summarizemerge"),
+    "processfrag": ("bbmap_tpu.tools.smalltools", "processfrag"),
+    "filterassemblysummary": ("bbmap_tpu.tools.smalltools",
+                              "filterassemblysummary"),
     "dedupebymapping": ("bbmap_tpu.tools.smalltools",
                         "dedupebymapping"),
     "postfilter": ("bbmap_tpu.tools.covtools", "postfilter"),

@@ -298,6 +298,315 @@ def prep_operands(reads: np.ndarray, refs: np.ndarray,
     return read1, read0, refpad, rows.reshape(-1, 1).astype(np.int32)
 
 
+# ---------------------------------------------------------------------------
+# Transposed-layout kernels: state (3, R+1, BB) with JOBS ON THE LANE
+# AXIS (BB a multiple of 128) and rows on sublanes. The original layout
+# put rows on lanes, padding 151 -> 256 lanes (41% waste) and paying
+# cross-lane rolls; here rolls are sublane rotations and lanes are full.
+# Measured 2.4x over the XLA scan at the fused-path shapes (12288 jobs,
+# R=150, C=222: 0.118s vs 0.28s). Profile-parameterized (SHORT/PACBIO).
+# ---------------------------------------------------------------------------
+
+from ..core.constants import SHORT_PROFILE as _SHORT_P
+
+
+def _make_kernel_t(R: int, C: int, BB: int, P, want_prevs: bool):
+    n_waves = R + C
+    Rp1 = R + 1
+    SCOREMASK_INT = ~P.TIMEMASK
+    L3, L4, L5 = (P.LIMIT_FOR_COST_3, P.LIMIT_FOR_COST_4,
+                  P.LIMIT_FOR_COST_5)
+
+    def _score_p(p):
+        return jnp.bitwise_and(p, jnp.int32(SCOREMASK_INT))
+
+    def _time_p(p):
+        return jnp.bitwise_and(p, jnp.int32(P.TIMEMASK))
+
+    def _clamp_time_p(t):
+        return jnp.where(t > P.MAX_TIME, P.MAX_TIME - P.MASK5, t)
+
+    def _sub_array_p(i):
+        return jnp.where(i > L3, P.POINTSoff_SUB3,
+                         jnp.where(i > 1, P.POINTSoff_SUB2,
+                                   P.POINTSoff_SUB)).astype(I32)
+
+    def _ins_array_p(i):
+        return jnp.where(
+            i > L4, P.POINTSoff_INS4,
+            jnp.where(i > L3, P.POINTSoff_INS3,
+                      jnp.where(i > 1, P.POINTSoff_INS2,
+                                P.POINTSoff_INS))).astype(I32)
+
+    def _del_ext_p(streak):
+        return jnp.where(
+            streak == 0, P.POINTSoff_DEL,
+            jnp.where(streak < L3, P.POINTSoff_DEL2,
+                      jnp.where(streak < L4, P.POINTSoff_DEL3,
+                                jnp.where(streak < L5,
+                                          P.POINTSoff_DEL4,
+                                          jnp.where((streak & P.MASK5)
+                                                    == 0,
+                                                    P.POINTSoff_DEL5,
+                                                    0))))).astype(I32)
+
+    def _rollr(x):
+        # +1 shift along the ROW (sublane) axis
+        return pltpu.roll(x, 1, axis=x.ndim - 2)
+
+    def kernel(read1_ref, read0_ref, refpad_ref, rows_ref, ins0_ref,
+               out_ref, *rest):
+        if want_prevs:
+            prevs_ref, wave_ref, best_ref, refroll_ref = rest
+        else:
+            wave_ref, best_ref, refroll_ref = rest
+        r_idx = jax.lax.broadcasted_iota(I32, (Rp1, BB), 0)
+        rows = rows_ref[:]                      # (1, BB)
+        lane_mask = r_idx == rows
+        read1 = read1_ref[:]                    # (Rp1, BB)
+        read0 = read0_ref[:]
+        ins0 = ins0_ref[:]                      # (Rp1, 1)
+        maxGain = (rows - 1) * P.POINTSoff_MATCH2 + P.POINTSoff_MATCH
+        subfloor = (-2 * maxGain).astype(I32)
+
+        bad = jnp.full((3, Rp1, BB), P.BADoff, I32)
+        wave_ref[0] = jnp.where(r_idx[None] == 0, 0, bad)
+        wave_ref[1] = bad
+        best_ref[0] = jnp.full((3, BB), NEG_INF, I32)
+        best_ref[1] = jnp.zeros((3, BB), I32)
+        refroll_ref[:] = refpad_ref[:]
+
+        def body(d, _):
+            slot = jax.lax.rem(d, 2)
+            prev2 = wave_ref[slot]
+            prev1 = wave_ref[1 - slot]
+            c_idx = d - r_idx
+
+            ref_slice = refroll_ref[:Rp1 + 1]
+            ref1 = ref_slice[:Rp1]
+            ref0 = ref_slice[1:]
+
+            match = jnp.logical_and(read1 == ref1, ref1 != _N)
+            prev_match = jnp.logical_and(read0 == ref0, ref0 != _N)
+            gap = ref1 == GAPC
+
+            dd = _rollr(prev2)
+            ms_dd, del_dd, ins_dd = dd[MODE_MS], dd[MODE_DEL], \
+                dd[MODE_INS]
+            up = _rollr(prev1)
+            ms_left = prev1[MODE_MS]
+            del_left = prev1[MODE_DEL]
+            ms_up = up[MODE_MS]
+            ins_up = up[MODE_INS]
+
+            s_diag, s_del, s_ins = (_score_p(ms_dd), _score_p(del_dd),
+                                    _score_p(ins_dd))
+            streak = _time_p(ms_dd)
+            m_ms = s_diag + jnp.where(prev_match, P.POINTSoff_MATCH2,
+                                      P.POINTSoff_MATCH)
+            m_d = s_del + P.POINTSoff_MATCH
+            m_i = s_ins + P.POINTSoff_MATCH
+            m_best = jnp.maximum(m_ms, jnp.maximum(m_d, m_i))
+            m_from_ms = jnp.logical_and(m_ms >= m_d, m_ms >= m_i)
+            m_time = jnp.where(m_from_ms & prev_match, streak + 1, 1)
+            sub_pen = jnp.where(
+                prev_match,
+                jnp.where(streak <= 1, P.POINTSoff_SUBR,
+                          P.POINTSoff_SUB),
+                _sub_array_p(streak + 1))
+            x_ms = jnp.where(jnp.logical_and(ref1 != _N, read1 != _N),
+                             s_diag + sub_pen,
+                             s_diag + P.POINTSoff_NOCALL)
+            x_d = s_del + P.POINTSoff_SUB
+            x_i = s_ins + P.POINTSoff_SUB
+            x_best = jnp.maximum(x_ms, jnp.maximum(x_d, x_i))
+            x_from_ms = jnp.logical_and(x_ms >= x_d, x_ms >= x_i)
+            x_time = jnp.where(x_from_ms,
+                               jnp.where(prev_match, 1, streak + 1), 1)
+            ms_score = jnp.where(match, m_best, x_best)
+            ms_time = _clamp_time_p(jnp.where(match, m_time, x_time))
+            ms_val = jnp.where(gap, subfloor,
+                               jnp.bitwise_or(ms_score, ms_time))
+
+            dstreak = _time_p(del_left)
+            d_ms = _score_p(ms_left) + P.POINTSoff_DEL
+            d_d = _score_p(del_left) + _del_ext_p(dstreak)
+            refn_adj = jnp.where(ref1 == _N, P.POINTSoff_DEL_REF_N,
+                                 jnp.where(gap, P.POINTSoff_GAP,
+                                           0)).astype(I32)
+            d_ms = d_ms + refn_adj
+            d_d = d_d + refn_adj
+            del_score = jnp.maximum(d_ms, d_d)
+            del_time = _clamp_time_p(jnp.where(d_ms >= d_d, 1,
+                                               dstreak + 1))
+            del_barrier = jnp.logical_or(r_idx < P.BARRIER_D1,
+                                         r_idx > rows - P.BARRIER_D1)
+            del_val = jnp.where(del_barrier, subfloor,
+                                jnp.bitwise_or(del_score, del_time))
+
+            istreak = _time_p(ins_up)
+            i_ms = _score_p(ms_up) + P.POINTSoff_INS
+            i_i = _score_p(ins_up) + _ins_array_p(istreak + 1)
+            ins_score = jnp.maximum(i_ms, i_i)
+            ins_time = _clamp_time_p(jnp.where(i_ms >= i_i, 1,
+                                               istreak + 1))
+            ins_barrier = jnp.logical_or(
+                gap,
+                jnp.logical_or(
+                    jnp.logical_and(r_idx < P.BARRIER_I1, c_idx > 1),
+                    jnp.logical_and(r_idx > rows - P.BARRIER_I1,
+                                    c_idx < C - 1)))
+            ins_val = jnp.where(ins_barrier, subfloor,
+                                jnp.bitwise_or(ins_score, ins_time))
+
+            wave = jnp.stack([ms_val, del_val, ins_val])
+
+            is_row0 = r_idx == 0
+            is_col0 = r_idx == d
+            bound = jnp.where(is_row0, 0, jnp.where(is_col0, ins0, 0))
+            use_bound = jnp.logical_or(is_row0, is_col0)
+            wave = jnp.where(use_bound[None], bound[None], wave)
+            invalid = jnp.logical_or(
+                jnp.logical_or(c_idx < 0, c_idx > C), r_idx > rows)
+            wave = jnp.where(invalid[None], jnp.int32(P.BADoff), wave)
+            wave_ref[slot] = wave
+
+            if want_prevs:
+                # 2-bit prev-state codes per state (reference:
+                # traceback2 :1122-1133; packing matches
+                # msa_jax._wave_step:237)
+                ms_prev_arg = jnp.where(
+                    jnp.logical_and(s_diag >= s_del, s_diag >= s_ins),
+                    MODE_MS,
+                    jnp.where(s_del >= s_ins, MODE_DEL, MODE_INS))
+                ms_prev = jnp.where(ms_time > 1, MODE_MS, ms_prev_arg)
+                del_prev_arg = jnp.where(
+                    _score_p(ms_left) >= _score_p(del_left),
+                    MODE_MS, MODE_DEL)
+                del_prev = jnp.where(del_time > 1, MODE_DEL,
+                                     del_prev_arg)
+                ins_prev_arg = jnp.where(
+                    _score_p(ms_up) >= _score_p(ins_up),
+                    MODE_MS, MODE_INS)
+                ins_prev = jnp.where(ins_time > 1, MODE_INS,
+                                     ins_prev_arg)
+                codes = (ms_prev | (del_prev << 2)
+                         | (ins_prev << 4)).astype(jnp.uint8)
+                prevs_ref[pl.ds(d - 1, 1)] = codes[None]
+
+            val = jnp.max(jnp.where(lane_mask[None], _score_p(wave),
+                                    NEG_INF), axis=1)        # (3, BB)
+            col = d - rows                                   # (1, BB)
+            on_last = jnp.logical_and(col >= 1, col <= C)
+            bs = best_ref[0]
+            take = jnp.logical_and(on_last, val > bs)
+            best_ref[0] = jnp.where(take, val, bs)
+            best_ref[1] = jnp.where(take,
+                                    jnp.broadcast_to(col, (3, BB)),
+                                    best_ref[1])
+            refroll_ref[:] = pltpu.roll(refroll_ref[:], 1, axis=0)
+            return 0
+
+        jax.lax.fori_loop(1, n_waves + 1, body, 0)
+
+        bs = best_ref[0]
+        bc = best_ref[1]
+        b0, b1, b2 = bs[0], bs[1], bs[2]
+        state = jnp.where(jnp.logical_and(b0 >= b1, b0 >= b2), 0,
+                          jnp.where(b1 >= b2, 1, 2)).astype(I32)
+        score = jnp.where(state == 0, b0, jnp.where(state == 1, b1, b2))
+        col = jnp.where(state == 0, bc[0],
+                        jnp.where(state == 1, bc[1], bc[2]))
+        out_ref[:] = jnp.stack(
+            [jnp.right_shift(score, P.SCOREOFFSET), col, state], axis=0)
+
+    return kernel
+
+
+def _pallas_t(read1, read0, refpad, rows, R: int, C: int, BB: int, P,
+              want_prevs: bool):
+    Rp1 = R + 1
+    n_waves = R + C
+    B = read1.shape[1]
+    assert B % BB == 0
+    ins0 = jnp.asarray(_ins0_np(R, P))[:, None]
+    grid = (B // BB,)
+    kernel = _make_kernel_t(R, C, BB, P, want_prevs)
+    out_shapes = [jax.ShapeDtypeStruct((3, B), jnp.int32)]
+    out_specs = [pl.BlockSpec((3, BB), lambda i: (0, i),
+                              memory_space=pltpu.VMEM)]
+    if want_prevs:
+        out_shapes.append(
+            jax.ShapeDtypeStruct((n_waves, Rp1, B), jnp.uint8))
+        out_specs.append(
+            pl.BlockSpec((n_waves, Rp1, BB), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM))
+    outs = pl.pallas_call(
+        kernel,
+        out_shape=out_shapes,
+        grid=grid,
+        interpret=jax.default_backend() == "cpu",
+        in_specs=[
+            pl.BlockSpec((Rp1, BB), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Rp1, BB), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((refpad.shape[0], BB), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BB), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Rp1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=out_specs,
+        scratch_shapes=[
+            pltpu.VMEM((2, 3, Rp1, BB), jnp.int32),
+            pltpu.VMEM((2, 3, BB), jnp.int32),
+            pltpu.VMEM((refpad.shape[0], BB), jnp.int32),
+        ],
+    )(read1, read0, refpad, rows, ins0)
+    return outs
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7))
+def msa_score_pallas_t(read1, read0, refpad, rows, R: int, C: int,
+                       BB: int = 512, P=None):
+    """Transposed-layout score kernel. read1/read0: (R+1, B) int32;
+    refpad: (C+2R+2, B) int32 (reversed, pre-rotated); rows: (1, B).
+    Returns (3, B) int32 [score>>off, col, state]."""
+    if P is None:
+        P = _SHORT_P
+    return _pallas_t(read1, read0, refpad, rows, R, C, BB, P, False)[0]
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7))
+def msa_fill_pallas_t(read1, read0, refpad, rows, R: int, C: int,
+                      BB: int = 128, P=None):
+    """Fill + prev-code emission: returns ((3, B) results,
+    (R+C, R+1, B) uint8 packed prev-state codes — the same codes
+    msa_jax._scan(want_prevs=True) produces, job axis last)."""
+    if P is None:
+        P = _SHORT_P
+    out, prevs = _pallas_t(read1, read0, refpad, rows, R, C, BB, P,
+                           True)
+    return out, prevs
+
+
+def prep_operands_t_device(reads, refs, rows, R: int, C: int):
+    """Device-side transposed operand prep (jnp; used inside jit).
+    reads: (B, R) uint8 ascii; refs: (B, C) uint8 ascii; rows: (B,)."""
+    B = reads.shape[0]
+    q = ord("?")
+    read1 = jnp.concatenate(
+        [jnp.full((1, B), q, I32), reads.astype(I32).T], axis=0)
+    read0 = jnp.concatenate(
+        [jnp.full((2, B), q, I32), reads[:, :-1].astype(I32).T], axis=0)
+    refpad = jnp.full((C + 2 * (R + 1), B), ord("!"), I32)
+    refpad = refpad.at[R + 1:R + 1 + C].set(refs[:, ::-1].astype(I32).T)
+    refpad = jnp.roll(refpad, -(C + R), axis=0)
+    return read1, read0, refpad, rows.reshape(1, -1).astype(I32)
+
+
 def score_batch(reads: np.ndarray, refs: np.ndarray,
                 rows: np.ndarray, BB: int = 64):
     """Convenience wrapper: (B, R) uint8 reads, (B, C) uint8 refs,

@@ -994,3 +994,159 @@ def dedupebymapping(argv: List[str]) -> int:
                 n_dropped += 1
     sys.stderr.write(f"Kept:\t{n_kept}\nDropped:\t{n_dropped}\n")
     return 0
+
+
+def summarizecrossblock(argv: List[str]) -> int:
+    """reference: driver/SummarizeCrossblock.java +
+    ParseCrossblockResults.java — summarize crossblock (decontaminate)
+    results files: per file, contigs/bases kept and discarded.
+    Results lines: name <tab> ? <tab> removed(0/1) <tab> length."""
+    args = Args.parse(argv)
+    ins = args.get("in")
+    paths = (ins.split(",") if ins else []) + list(args.positional)
+    out = args.get("out")
+    if not paths:
+        print("Usage: summarizecrossblock in=<file,file...> out=<file>",
+              file=sys.stderr)
+        return 1
+    oh = fastx.xopen(out, "wt") if out else sys.stdout
+    oh.write("#fname\tcopies\tcontigs\tcontigsDiscarded\tbases\t"
+             "basesDiscarded\n")
+    for i, p in enumerate(paths, 1):
+        try:
+            ck = cd = bk = bd = 0
+            with fastx.xopen(p, "rt") as fh:
+                for line in fh:
+                    if line.startswith("#") or not line.strip():
+                        continue
+                    f = line.split("\t")
+                    length = int(f[3])
+                    removed = int(f[2]) == 1
+                    if removed:
+                        cd += 1
+                        bd += length
+                    else:
+                        ck += 1
+                        bk += length
+            oh.write(f"{p}\t{i}\t{ck}\t{cd}\t{bk}\t{bd}\n")
+        except Exception as e:
+            oh.write(f"{p}\tERROR\n")
+    if out:
+        oh.close()
+    return 0
+
+
+def _time_to_seconds(s: str) -> float:
+    """'1m23.456s' -> seconds (reference: driver/ProcessSpeed
+    .toSeconds)."""
+    s = s.replace("s", "")
+    m, sec = s.split("m")
+    return 60 * float(m) + float(sec)
+
+
+def summarizemerge(argv: List[str]) -> int:
+    """reference: summarizemerge.sh (driver/ProcessSpeed.java) —
+    condense GradeMerge + `time` output into rows: name, real, user,
+    sys, correct%, incorrect%, SNR."""
+    args = Args.parse(argv)
+    inp = args.get("in") or (args.positional[0]
+                             if args.positional else None)
+    if inp is None:
+        print("Usage: summarizemerge in=<file>", file=sys.stderr)
+        return 1
+    with fastx.xopen(inp, "rt") as fh:
+        for line in fh:
+            line = line.rstrip("\n")
+            if line.startswith("***"):
+                print(line.replace("***", "").strip())
+            elif line.startswith(("real\t", "user\t", "sys\t")):
+                print(f"{_time_to_seconds(line.split(chr(9))[1]):.3f}",
+                      end="\t")
+            elif line.startswith("Correct:"):
+                print(line.split()[1], end="\t")
+            elif line.startswith("Incorrect:"):
+                print(line.split()[1], end="\t")
+            elif line.startswith("SNR:"):
+                print(line.split()[1])
+    return 0
+
+
+def processfrag(argv: List[str]) -> int:
+    """reference: processfrag.sh (driver/ProcessFragMerging.java) —
+    condense timing + grading output into one CSV-ish row per ***
+    section (made for the BBMerge paper data)."""
+    args = Args.parse(argv)
+    inp = args.get("in") or (args.positional[0]
+                             if args.positional else None)
+    sym = args.get("sym", default="\t")
+    if inp is None:
+        print("Usage: processfrag <file>", file=sys.stderr)
+        return 1
+    with fastx.xopen(inp, "rt") as fh:
+        for line in fh:
+            line = line.rstrip("\n")
+            split = line.split()
+            if line.startswith("***"):
+                name = split[1] if len(split) > 1 else ""
+                sys.stdout.write("\n" + name + sym)
+            elif line.startswith("real"):
+                secs = _time_to_seconds(line.split("\t")[1])
+                sys.stdout.write(f"{secs:.3f}{sym}")
+            elif line.startswith("Reads Used:"):
+                sys.stdout.write(split[2] + sym
+                                 + split[3].lstrip("(") + sym)
+            elif line.startswith("mapped:"):
+                sys.stdout.write(split[1] + sym + split[2] + sym)
+            elif line.startswith(("Error Rate:", "Sub Rate:",
+                                  "Del Rate:", "Ins Rate:")):
+                sys.stdout.write(split[2] + sym + split[4] + sym)
+    sys.stdout.write("\n")
+    return 0
+
+
+def filterassemblysummary(argv: List[str]) -> int:
+    """reference: filterassemblysummary.sh
+    (driver/FilterAssemblySummary.java) — keep NCBI assembly-summary
+    lines whose taxid (column 6, zero-based) passes the taxonomy
+    filter (ids= ancestors, include=t)."""
+    args = Args.parse(argv)
+    inp = args.get("in") or (args.positional[0]
+                             if args.positional else None)
+    out = args.get("out")
+    ids = args.get("ids", "id", "taxa")
+    include = args.get_bool("include", default=True)
+    if inp is None or out is None or ids is None:
+        print("Usage: filterassemblysummary in= out= tree=<taxtree> "
+              "ids=<taxids>", file=sys.stderr)
+        return 1
+    from .taxonomy import _load_tree
+    t = _load_tree(args)
+    if t is None:
+        print("tree= is required", file=sys.stderr)
+        return 1
+    targets = set()
+    for tok in ids.split(","):
+        tid = t.resolve(tok)
+        if tid is not None:
+            targets.add(tid)
+    kept = total = 0
+    with fastx.xopen(inp, "rt") as fh, fastx.xopen(out, "wt") as oh:
+        for line in fh:
+            if line.startswith("#"):
+                oh.write(line)
+                continue
+            total += 1
+            f = line.rstrip("\n").split("\t")
+            if len(f) <= 6:
+                continue
+            try:
+                taxid = int(f[6])
+            except ValueError:
+                continue
+            lin = set(t.lineage(taxid))
+            hit = bool(lin & targets)
+            if hit == include:
+                kept += 1
+                oh.write(line)
+    sys.stderr.write(f"Kept {kept} of {total} lines\n")
+    return 0
