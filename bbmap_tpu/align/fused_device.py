@@ -37,6 +37,7 @@ workloads those are <<1% of reads.
 
 from __future__ import annotations
 
+import os
 from typing import Dict, NamedTuple, Optional
 
 import jax
@@ -44,7 +45,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..index.build import KmerIndex
-from ..ops import msa_jax
+from ..ops import msa_jax, msa_pallas
 from . import quickmap_device as qd
 from .quickmap_device import (I32, U32, MAX_CANDIDATES, N_META, QmConfig,
                               _UNPACK_LUT, device_arrays, extract_ref_codes,
@@ -171,6 +172,29 @@ def make_fused_config(index: KmerIndex, L: int, B: int,
         min_score=qm.min_score)
 
 
+def _pallas_enabled() -> bool:
+    """Use the Pallas MSA kernels (ops/msa_pallas transposed layout) for
+    the fused score/trace DP passes. Default: on for any real
+    accelerator backend, off for CPU (interpret mode is test-only).
+    BBMAP_FUSED_PALLAS=0/1 overrides."""
+    env = os.environ.get("BBMAP_FUSED_PALLAS")
+    if env is not None:
+        return env not in ("0", "false", "f", "")
+    return jax.default_backend() != "cpu"
+
+
+def _pick_bb(n_jobs: int, vmem_cap: int = 512) -> int:
+    """Largest Pallas job-block size dividing ``n_jobs``: a multiple of
+    128 (full lanes) on hardware, anything on the CPU interpreter.
+    Returns 0 if no usable block exists (caller falls back to XLA)."""
+    ladder = (512, 256, 128, 64) if jax.default_backend() != "cpu" \
+        else (512, 256, 128, 64, 32, 16, 8, 4, 2, 1)
+    for bb in ladder:
+        if bb <= vmem_cap and n_jobs % bb == 0:
+            return bb
+    return 0
+
+
 def _compact_indices(flags, budget: int):
     """Indices of True flags, ascending, padded with BIG to `budget`."""
     n = flags.shape[0]
@@ -237,9 +261,19 @@ def fused_stage(fcfg: FusedConfig, rcodes, starts_d, sites_d, gpack_d,
     wcodes, wn = extract_ref_codes(gpack_d, nmask_d, wflat, Cn, G)
     refs_ascii = jnp.where(wn, jnp.uint8(78),
                            _codes_to_read_ascii(wcodes))
-    sc_dp_flat = jax.vmap(
-        lambda rd, rf: msa_jax.msa_score_single(rd, rf, L, Cn, P)[0]
-    )(reads_ascii, refs_ascii)                         # (2E,)
+    bb_s = _pick_bb(E * 2) if _pallas_enabled() else 0
+    if bb_s:
+        # Pallas wavefront kernel (VMEM-resident state; bit-identical to
+        # the XLA scan — tests/test_msa.py transposed-parity tests)
+        rows_j = jnp.full((E * 2,), L, I32)
+        r1s, r0s, rps, rws = msa_pallas.prep_operands_t_device(
+            reads_ascii, refs_ascii, rows_j, L, Cn)
+        sc_dp_flat = msa_pallas.msa_score_pallas_t(
+            r1s, r0s, rps, rws, L, Cn, bb_s, P)[0]     # (2E,)
+    else:
+        sc_dp_flat = jax.vmap(
+            lambda rd, rf: msa_jax.msa_score_single(rd, rf, L, Cn, P)[0]
+        )(reads_ascii, refs_ascii)                     # (2E,)
 
     # --- wide-window rescore: jobs whose chain spread exceeds the
     # narrow window re-run at Cw (the unfused path's score_w class,
@@ -318,9 +352,27 @@ def fused_stage(fcfg: FusedConfig, rcodes, starts_d, sites_d, gpack_d,
     tws = wws[tl].astype(I32)
     twcodes, twn = extract_ref_codes(gpack_d, nmask_d, tws, Cn, G)
     trefs = jnp.where(twn, jnp.uint8(78), _codes_to_read_ascii(twcodes))
-    sym, ln, gaps, sc2, col, _st = jax.vmap(
-        lambda rd, rf: msa_jax._align_single(rd, rf, L, Cn, P=P)
-    )(treads, trefs)                                   # sym (T, L+Cn)
+    # fill emits the full (R+C, R+1, BB) prev-code block through VMEM;
+    # 128 lanes (the minimum hardware block) needs the raised
+    # vmem_limit_bytes set on the kernel (ops/msa_pallas._pallas_t)
+    bb_t = _pick_bb(T, vmem_cap=128) if _pallas_enabled() else 0
+    if bb_t:
+        # Pallas fill emits the same packed prev-codes as the XLA scan
+        # (parity-tested); the walk stays the shared _walk_device
+        rows_t = jnp.full((T,), L, I32)
+        r1t, r0t, rpt, rwt = msa_pallas.prep_operands_t_device(
+            treads, trefs, rows_t, L, Cn)
+        out3, prevs = msa_pallas.msa_fill_pallas_t(
+            r1t, r0t, rpt, rwt, L, Cn, bb_t, P)        # (3,T),(R+C,R+1,T)
+        sc2, col, _st = out3[0], out3[1], out3[2]
+        sym, ln, gaps = jax.vmap(
+            lambda pv, rd, rf, c0, s0: msa_jax._walk_device(
+                pv, rd, rf, c0, s0, L, Cn),
+            in_axes=(2, 0, 0, 0, 0))(prevs, treads, trefs, col, _st)
+    else:
+        sym, ln, gaps, sc2, col, _st = jax.vmap(
+            lambda rd, rf: msa_jax._align_single(rd, rf, L, Cn, P=P)
+        )(treads, trefs)                               # sym (T, L+Cn)
     if _stop_after == "trace":
         return sym[:, :4] + sc2[:, None].astype(jnp.uint8) + esc_match[:T, :4]
 

@@ -366,16 +366,18 @@ def quality_offsets_stage(cfg: QmConfig, qual, density: float,
 
 
 def candidate_stage(cfg: QmConfig, bases, starts_d, sites_d,
-                    okpack_d=None, offsets_dyn=None, rcodes=None):
+                    gcnt_d=None, offsets_dyn=None, rcodes=None):
     """Steps 1-5 (seed -> chain -> vote -> top-K candidates) against ONE
     CSR index shard. Returns (rcodes (B, L), cand dict of (B, K) arrays:
     votes, mode, strand, start, spread).
 
-    ``okpack_d``: optional packed per-key admission bitmask (bit = global
-    list length <= S). On the sharded path each shard sees only its local
-    list, so over-long-list exclusion (reference: BBIndex.find:421-440)
-    must consult the GLOBAL length — single-device passes None and uses
-    the local (= global) count directly."""
+    ``gcnt_d``: optional per-key GLOBAL site-list length table (uint8,
+    saturated at 255 — every admission threshold is < 255). On the
+    sharded path each shard sees only its local list, so over-long-list
+    exclusion, staged re-admission, and the greedy slot budget
+    (reference: BBIndex.find:421-440) must consult the GLOBAL length to
+    reproduce the single-device decisions bit for bit — single-device
+    passes None and uses the local (= global) count directly."""
     k, L, S = cfg.k, cfg.L, cfg.S
     chain_dist = cfg.chain_dist
     offsets_list = cfg.offsets_list
@@ -410,45 +412,48 @@ def candidate_stage(cfg: QmConfig, bases, starts_d, sites_d,
         valid = keys >= 0
         safe = jnp.where(valid, keys, 0)
         s0 = starts_d[safe]
-        cnt = starts_d[safe + 1] - s0
+        cnt_local = starts_d[safe + 1] - s0
+        # admission consults the GLOBAL list length (== local on the
+        # single-device path); gathers use the LOCAL length
+        gcnt = cnt_local if gcnt_d is None \
+            else gcnt_d[safe].astype(I32)
         # over-long lists are skipped entirely (reference exclusion
-        # semantics, BBIndex.find:421-440), not truncated
-        if okpack_d is None:
-            # staged re-admission (reference: BBIndex.find:421-440):
-            # when a (read, strand) hits too few keys at the base cap,
-            # progressively longer lists (1.5x/2x/3x/5x) are re-admitted
-            nz = valid & (cnt > 0)
-            tiers = (S, (3 * S) // 2, 2 * S, 3 * S, 5 * S)
-            nh = [jnp.sum((nz & (cnt <= t)).astype(I32), axis=-1)
-                  for t in tiers]                       # each (B, 2)
-            trig = (3 * nk) // 4
-            sel = jnp.zeros_like(nh[0])
-            esc = (nh[0] > 0) & (nh[0] < 4) & (nh[0] < trig)
-            sel = jnp.where(esc, 1, sel)
-            cur = jnp.where(esc, nh[1], nh[0])
-            for t, need in ((2, 3), (3, 3), (4, 2)):
-                esc = esc & (cur < need) & (cur < trig)
-                sel = jnp.where(esc, t, sel)
-                cur = jnp.where(esc, nh[t], cur)
-            tier_arr = jnp.asarray(np.asarray(tiers, np.int32))
-            Tsel = tier_arr[sel][..., None]              # (B, 2, 1)
-            admit = cnt <= Tsel
-        else:
-            okbit = (okpack_d[safe >> 5] >> (safe & 31).astype(U32)) & 1
-            admit = okbit.astype(bool)
-        cnt = jnp.where(valid & admit, cnt, 0)
+        # semantics, BBIndex.find:421-440), not truncated.
+        # staged re-admission (reference: BBIndex.find:421-440):
+        # when a (read, strand) hits too few keys at the base cap,
+        # progressively longer lists (1.5x/2x/3x/5x) are re-admitted
+        nz = valid & (gcnt > 0)
+        tiers = (S, (3 * S) // 2, 2 * S, 3 * S, 5 * S)
+        nh = [jnp.sum((nz & (gcnt <= t)).astype(I32), axis=-1)
+              for t in tiers]                       # each (B, 2)
+        trig = (3 * nk) // 4
+        sel = jnp.zeros_like(nh[0])
+        esc = (nh[0] > 0) & (nh[0] < 4) & (nh[0] < trig)
+        sel = jnp.where(esc, 1, sel)
+        cur = jnp.where(esc, nh[1], nh[0])
+        for t, need in ((2, 3), (3, 3), (4, 2)):
+            esc = esc & (cur < need) & (cur < trig)
+            sel = jnp.where(esc, t, sel)
+            cur = jnp.where(esc, nh[t], cur)
+        tier_arr = jnp.asarray(np.asarray(tiers, np.int32))
+        Tsel = tier_arr[sel][..., None]              # (B, 2, 1)
+        admit = gcnt <= Tsel
+        gadm = jnp.where(valid & admit, gcnt, 0)
         # greedy whole-list budget admission: a key whose list would
         # overflow the slot budget is SKIPPED (exclusion semantics),
-        # never truncated mid-list; later shorter lists still admit
-        acc = jnp.zeros(cnt.shape[:-1], I32)
+        # never truncated mid-list; later shorter lists still admit.
+        # The budget accumulates GLOBAL lengths so every shard makes
+        # the same decision as the single-device path.
+        acc = jnp.zeros(gadm.shape[:-1], I32)
         cols = []
         for t in range(nk):
-            c = cnt[..., t]
-            fits = acc + c <= SLOT_BUDGET
-            c = jnp.where(fits, c, 0)
-            cols.append(c)
-            acc = acc + c
+            g = gadm[..., t]
+            fits = acc + g <= SLOT_BUDGET
+            cols.append(jnp.where(fits, cnt_local[..., t], 0)
+                        * (g > 0).astype(I32))
+            acc = acc + jnp.where(fits, g, 0)
         cnt = jnp.stack(cols, axis=-1)
+        cnt = jnp.where(valid & admit, cnt, 0)
         # budget-slot gather: pack each (read, strand)'s site lists into
         # SLOT_BUDGET contiguous slots via prefix sums — the compute cost
         # scales with the budget, not nk * (longest allowed list). The

@@ -546,6 +546,11 @@ def _pallas_t(read1, read0, refpad, rows, R: int, C: int, BB: int, P,
         out_shape=out_shapes,
         grid=grid,
         interpret=jax.default_backend() == "cpu",
+        # the fill variant's double-buffered prev-code output block
+        # slightly exceeds the 16 MB default scoped-vmem budget at
+        # BB=128, L=150 windows; lanes must stay a multiple of 128
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=48 * 1024 * 1024),
         in_specs=[
             pl.BlockSpec((Rp1, BB), lambda i: (0, i),
                          memory_space=pltpu.VMEM),

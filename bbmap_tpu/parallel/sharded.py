@@ -152,17 +152,14 @@ def shard_index(index: KmerIndex, n_shards: int,
                         starts_s=np.stack(starts_list), sites_s=sites_s)
 
 
-def _pack_ok_bitmask(index: KmerIndex, S: int) -> np.ndarray:
-    """bit[key] = global site-list length <= S (the over-long-list
-    exclusion must see GLOBAL lengths on every shard)."""
-    ok = (np.diff(index.starts) <= S)
-    n_keys = len(ok)
-    nw = (n_keys + 31) // 32
-    pad = np.zeros(nw * 32, bool)
-    pad[:n_keys] = ok
-    bits = pad.reshape(nw, 32).astype(np.uint32)
-    return (bits << np.arange(32, dtype=np.uint32)[None, :]).sum(
-        axis=1, dtype=np.uint32)
+def _global_counts(index: KmerIndex) -> np.ndarray:
+    """Per-key GLOBAL site-list length, uint8 saturated at 255 (every
+    admission threshold — 5x tier cap and the slot budget — is < 255).
+    Replicated to every shard so over-long-list exclusion, staged
+    re-admission, and the greedy slot budget reproduce the
+    single-device decisions bit for bit (reference:
+    BBIndex.find:421-440 consults whole-index list lengths)."""
+    return np.minimum(np.diff(index.starts), 255).astype(np.uint8)
 
 
 def _merge_candidates(cand, K: int):
@@ -200,11 +197,11 @@ def build_sharded_quickmap(mesh: Mesh, index: KmerIndex,
     cfg = qd.make_config(index, L, chain_dist, min_ratio,
                          max_list_length)
     K = qd.MAX_CANDIDATES
-    okpack = _pack_ok_bitmask(index, cfg.S)
+    gcnt = _global_counts(index)
     gpack_np, nmask_np = qd.pack_genome_2bit(index.genome_codes)
 
     repl = NamedSharding(mesh, P())
-    okpack_d = jax.device_put(okpack, repl)
+    gcnt_d = jax.device_put(gcnt, repl)
     gpack_d = jax.device_put(gpack_np, repl)
     nmask_d = jax.device_put(nmask_np, repl)
     starts_d = jax.device_put(sindex.starts_s,
@@ -212,10 +209,10 @@ def build_sharded_quickmap(mesh: Mesh, index: KmerIndex,
     sites_d = jax.device_put(sindex.sites_s,
                              NamedSharding(mesh, P("index", None)))
 
-    def worker(bases, starts_s, sites_s, okpack, gpack, nmask):
+    def worker(bases, starts_s, sites_s, gcnt, gpack, nmask):
         # local shapes: starts_s (1, 4^k+1), sites_s (1, width)
         rcodes, cand = qd.candidate_stage(
-            cfg, bases, starts_s[0], sites_s[0], okpack)
+            cfg, bases, starts_s[0], sites_s[0], gcnt)
         # all-gather candidate tables over the index axis -> (B, n*K)
         gathered = {
             k: jax.lax.all_gather(v, "index", axis=1, tiled=True)
@@ -236,7 +233,7 @@ def build_sharded_quickmap(mesh: Mesh, index: KmerIndex,
             np.ascontiguousarray(bases),
             NamedSharding(mesh, P("data", None)))
         out_i32, out_match = jitted(bases_d, starts_d, sites_d,
-                                    okpack_d, gpack_d, nmask_d)
+                                    gcnt_d, gpack_d, nmask_d)
         return qd.QuickmapRun(out_i32, out_match, L)
 
     return run

@@ -110,3 +110,48 @@ def test_sharded_pipeline_end_to_end_parity(setup):
     offs = np.asarray(index.chrom_offsets)
     flat = offs[np.asarray(mb_m.chrom) - 1] + np.asarray(mb_m.start)
     assert (np.abs(flat - starts) <= 5).all()
+
+
+def test_sharded_readmission_parity():
+    """On a repetitive genome where site lists exceed the base cap, the
+    staged re-admission tiers and the greedy slot budget must make the
+    SAME decisions on every shard as on the single device (global-count
+    table, reference: BBIndex.find:421-440) — exact output parity."""
+    rng = np.random.default_rng(7)
+    bases4 = np.frombuffer(b"ACGT", np.uint8)
+    # heavy repeat family: one 800 bp unit implanted 40x across two
+    # chromosomes drives per-key list lengths far past the base cap
+    unit = rng.choice(bases4, size=800).astype(np.uint8)
+    chroms = []
+    for n in (60_000, 60_000):
+        c = rng.choice(bases4, size=n).astype(np.uint8)
+        for at in rng.choice(n - 900, size=20, replace=False):
+            c[at:at + 800] = unit
+        chroms.append(c)
+    g = Genome(chroms=chroms, scaffolds=[
+        Scaffold(chrom=i + 1, sid=i + 1, start=0, length=len(c),
+                 name=f"r{i + 1}") for i, c in enumerate(chroms)
+    ]).finalize()
+    index = build_index(g, 10)
+    analyze_index(index, 0.01)
+    L, B = 100, 64
+    gc = index.genome_codes
+    A = np.frombuffer(b"ACGTN", np.uint8)
+    ok = np.lib.stride_tricks.sliding_window_view(gc < 4, L).all(axis=1)
+    okpos = np.nonzero(ok)[0]
+    starts = rng.choice(okpos, size=B)
+    # half the reads come from inside repeat copies (long site lists)
+    offs = np.asarray(index.chrom_offsets, np.int64)
+    rep_at = [int(offs[0]) + 5_000]
+    reads = A[np.minimum(np.stack([gc[s:s + L] for s in starts]), 4)]
+    reads[: B // 2] = A[np.minimum(unit[50:50 + L], 4)][None, :]
+    for i in range(0, B, 2):
+        reads[i, rng.integers(0, L)] = bases4[rng.integers(0, 4)]
+    run1 = qd.build_quickmap(index, L)
+    d1 = run1(reads).host()
+    mesh = sharded.make_mesh(n_data=4, n_index=2)
+    sidx = sharded.shard_index(index, 2)
+    run2 = sharded.build_sharded_quickmap(mesh, index, sidx, L)
+    d2 = run2(reads).host()
+    for k in d1:
+        assert np.array_equal(d1[k], d2[k]), f"mismatch in {k}"
