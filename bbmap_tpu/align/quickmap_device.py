@@ -439,21 +439,22 @@ def candidate_stage(cfg: QmConfig, bases, starts_d, sites_d,
         Tsel = tier_arr[sel][..., None]              # (B, 2, 1)
         admit = gcnt <= Tsel
         gadm = jnp.where(valid & admit, gcnt, 0)
-        # greedy whole-list budget admission: a key whose list would
-        # overflow the slot budget is SKIPPED (exclusion semantics),
-        # never truncated mid-list; later shorter lists still admit.
-        # The budget accumulates GLOBAL lengths so every shard makes
-        # the same decision as the single-device path.
-        acc = jnp.zeros(gadm.shape[:-1], I32)
-        cols = []
-        for t in range(nk):
-            g = gadm[..., t]
-            fits = acc + g <= SLOT_BUDGET
-            cols.append(jnp.where(fits, cnt_local[..., t], 0)
-                        * (g > 0).astype(I32))
-            acc = acc + jnp.where(fits, g, 0)
-        cnt = jnp.stack(cols, axis=-1)
-        cnt = jnp.where(valid & admit, cnt, 0)
+        # greedy hit-list trimming (reference: BBIndex
+        # trimExcessHitListsByGreedy:266): when the admitted lists
+        # overflow the slot budget, the LONGEST lists are dropped until
+        # the rest fit — equivalently, lists are admitted shortest-first
+        # while the cumulative (GLOBAL) length stays within budget, so
+        # every shard reproduces the single-device decision. A list is
+        # always dropped WHOLE (exclusion semantics), never truncated.
+        # Ties break toward the earlier key offset (stable sort).
+        sort_ord = jnp.argsort(jnp.where(gadm > 0, gadm, BIG), axis=-1,
+                               stable=True)              # (B, 2, nk)
+        g_sorted = jnp.take_along_axis(gadm, sort_ord, axis=-1)
+        fits_sorted = jnp.cumsum(g_sorted, axis=-1) <= SLOT_BUDGET
+        inv = jnp.argsort(sort_ord, axis=-1, stable=True)
+        fits = jnp.take_along_axis(fits_sorted, inv, axis=-1)
+        cnt = jnp.where(valid & admit & fits & (gadm > 0),
+                        cnt_local, 0)
         # budget-slot gather: pack each (read, strand)'s site lists into
         # SLOT_BUDGET contiguous slots via prefix sums — the compute cost
         # scales with the budget, not nk * (longest allowed list). The
@@ -515,21 +516,29 @@ def candidate_stage(cfg: QmConfig, bases, starts_d, sites_d,
         # distinct-offset votes (reference: BBIndex key voting): bitmask
         # segmented prefix-OR by doubling (gather-free), then the chain
         # total is broadcast back to the chain-first slot via a packed
-        # reverse cummax. Keys beyond 32 alias mod 32 (nk is ~12 for
-        # short reads; aliasing can only undercount votes slightly).
-        mbit = jnp.where(valid_f, 1 << (toff & 31), 0)
-        incl = mbit
+        # reverse cummax. One 32-bit mask word per group of 32 key
+        # offsets (nk is static), so long-read key counts > 32 stay
+        # exact instead of aliasing mod 32.
+        n_groups = (nk + 31) // 32
+        mbits = [jnp.where(valid_f & ((toff >> 5) == gi),
+                           1 << (toff & 31), 0)
+                 for gi in range(n_groups)]
+        incls = list(mbits)
         s = 1
         while s < W:
             prev_ok = idx - s >= seg_start0
-            shifted = jnp.concatenate(
-                [jnp.zeros((R2, s), I32), incl[:, :-s]], axis=1)
-            incl = incl | jnp.where(prev_ok, shifted, 0)
+            for gi in range(n_groups):
+                shifted = jnp.concatenate(
+                    [jnp.zeros((R2, s), I32), incls[gi][:, :-s]], axis=1)
+                incls[gi] = incls[gi] | jnp.where(prev_ok, shifted, 0)
             s <<= 1
-        seen_excl = jnp.concatenate(
-            [jnp.zeros((R2, 1), I32), incl[:, :-1]], axis=1)
-        seen_excl = jnp.where(idx - 1 >= seg_start0, seen_excl, 0)
-        is_new = ((seen_excl & mbit) == 0) & valid_f
+        in_seg = idx - 1 >= seg_start0
+        is_new = valid_f
+        for gi in range(n_groups):
+            seen_excl = jnp.concatenate(
+                [jnp.zeros((R2, 1), I32), incls[gi][:, :-1]], axis=1)
+            seen_excl = jnp.where(in_seg, seen_excl, 0)
+            is_new &= (seen_excl & mbits[gi]) == 0
         c = jnp.cumsum(is_new.astype(I32), axis=1)
         cbase = jax.lax.cummax(
             jnp.where(new_chain, c - is_new.astype(I32), -1), axis=1)

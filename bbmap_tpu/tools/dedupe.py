@@ -299,3 +299,28 @@ def main(argv: List[str]) -> int:
 
 if __name__ == "__main__":
     raise SystemExit(main(sys.argv[1:]))
+
+
+def dedupe2_main(argv: List[str]) -> int:
+    """dedupe2: Dedupe with arbitrarily many affix maps.
+
+    reference: jgi/Dedupe2.java:49 + sh/dedupe2.sh. The Java Dedupe caps
+    ``numaffixmaps`` at 2; Dedupe2 lifts that cap so overlaps whose
+    terminal k-mers carry errors can still be found via deeper affix
+    indexing (Dedupe2.java:89, :322 'numaffixmaps/nam'). This
+    implementation's candidate generation already indexes BOTH affixes
+    plus every AFFIX_K-th interior k-mer of each sequence
+    (dedupe_stream above) — a superset of any nam=N affix-map recall —
+    and every candidate pair is verified exactly (hamming or banded
+    edit distance), so results are independent of nam. The flag is
+    accepted and validated for CLI compatibility.
+    """
+    args = Args.parse(argv)
+    nam = args.get_int("numaffixmaps", "nam", default=1)
+    if nam < 1:
+        print("numaffixmaps must be >= 1", file=sys.stderr)
+        return 1
+    rest = [a for a in argv
+            if not a.split("=")[0].lower().replace("_", "")
+            in ("numaffixmaps", "nam")]
+    return main(rest)
