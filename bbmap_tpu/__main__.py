@@ -45,6 +45,7 @@ TOOLS = {
 
 # multi-command modules: tool name -> (module, function)
 SUBTOOLS = {
+    "dedupe2": ("bbmap_tpu.tools.dedupe", "dedupe2_main"),
     "countbarcodes": ("bbmap_tpu.tools.barcodes", "countbarcodes"),
     "mergebarcodes": ("bbmap_tpu.tools.barcodes", "mergebarcodes"),
     "correlatebarcodes": ("bbmap_tpu.tools.barcodes",

@@ -179,15 +179,18 @@ def _pallas_enabled() -> bool:
     BBMAP_FUSED_PALLAS=0/1 overrides."""
     env = os.environ.get("BBMAP_FUSED_PALLAS")
     if env is not None:
-        return env not in ("0", "false", "f", "")
+        return env.strip().lower() not in ("0", "false", "f", "no",
+                                           "off", "")
     return jax.default_backend() != "cpu"
 
 
 def _pick_bb(n_jobs: int, vmem_cap: int = 512) -> int:
     """Largest Pallas job-block size dividing ``n_jobs``: a multiple of
-    128 (full lanes) on hardware, anything on the CPU interpreter.
+    128 (full lanes) on hardware — the transposed kernels put jobs on
+    the lane axis, so a sub-128 block is an untested Mosaic layout
+    (ADVICE r2) — anything on the CPU interpreter.
     Returns 0 if no usable block exists (caller falls back to XLA)."""
-    ladder = (512, 256, 128, 64) if jax.default_backend() != "cpu" \
+    ladder = (512, 256, 128) if jax.default_backend() != "cpu" \
         else (512, 256, 128, 64, 32, 16, 8, 4, 2, 1)
     for bb in ladder:
         if bb <= vmem_cap and n_jobs % bb == 0:

@@ -26,9 +26,9 @@ int32 matrix and one (B, ceil(L/4)) uint8 packed match block — so a batch
 costs two device->host transfers regardless of content. Only DP
 escalation (indels) and SAM formatting remain host-side.
 
-Deviations from the host path (documented): votes = chain hit count
-(not distinct-offset count), modal diagonal from the longest equal-diag
-run (ties -> lowest diagonal).
+Votes are distinct-offset counts (matching the host seeding path; the
+round-1 hit-count deviation is gone). Remaining documented deviation:
+modal diagonal = the longest equal-diag run (ties -> lowest diagonal).
 """
 
 from __future__ import annotations
@@ -101,6 +101,59 @@ def pack_genome_2bit(codes: np.ndarray):
     return gpack, nmask
 
 
+def take_flat(table, idx):
+    """``table[idx]`` (1-D table) with a compile-time-friendly index
+    layout. The TPU backend's gather lowering compiles in O(10 s) when
+    the index operand's minor dimension is not a multiple of 32
+    (measured: (32768, 2, 18) indices -> 14-25 s compile; the same
+    gather with a lane-aligned 2-D index -> <1 s). Collapse the index to
+    2-D (keeping the big leading dim as rows — that reshape direction is
+    layout-cheap) and pad the minor dim up to a multiple of 64 (pad
+    entries index 0: one cached line, no extra HBM traffic), then slice
+    and reshape back. Bit-identical to ``table[idx]``."""
+    sh = idx.shape
+    if idx.ndim <= 1:
+        return table[idx]
+    m = 1
+    for d in sh[1:]:
+        m *= int(d)
+    i2 = idx.reshape(sh[0], m)
+    M = -(-m // 64) * 64
+    if M != m or len(sh) > 2:
+        if M != m:
+            i2 = jnp.pad(i2, ((0, 0), (0, M - m)))
+        out = table[i2]
+        if M != m:
+            out = out[:, :m]
+        return out.reshape(sh)
+    return table[i2].reshape(sh)
+
+
+def take_along_flat(a, idx):
+    """``jnp.take_along_axis(a, idx, axis=-1)`` with the same
+    lane-alignment workaround as :func:`take_flat` (a (32768, 2, 18)
+    take_along costs ~14 s of compile; collapsed to 2-D rows with the
+    minor dim padded to a multiple of 64 it costs ~1 s). Leading dims of
+    ``a`` and ``idx`` must match. Bit-identical results."""
+    sh_a, sh_i = a.shape, idx.shape
+    m, mi = int(sh_a[-1]), int(sh_i[-1])
+    ra = 1
+    for d in sh_a[:-1]:
+        ra *= int(d)
+    a2 = a.reshape(ra, m)
+    i2 = idx.reshape(ra, mi)
+    M = -(-m // 64) * 64
+    MI = -(-mi // 64) * 64
+    if M != m:
+        a2 = jnp.pad(a2, ((0, 0), (0, M - m)))
+    if MI != mi:
+        i2 = jnp.pad(i2, ((0, 0), (0, MI - mi)))
+    out = jnp.take_along_axis(a2, i2, axis=1)
+    if MI != mi:
+        out = out[:, :mi]
+    return out.reshape(sh_i)
+
+
 def extract_ref_codes(gpack, nmask, base, L: int, G: int):
     """Gather L consecutive genome codes starting at flat position
     ``base`` (any leading shape; may be out of range). Returns
@@ -113,7 +166,7 @@ def extract_ref_codes(gpack, nmask, base, L: int, G: int):
     o = (base & 15).astype(U32)
     idx = w0[..., None] + jnp.arange(NW, dtype=I32)
     idx = jnp.clip(idx, 0, gpack.shape[0] - 1)
-    w = gpack[idx]                       # (..., NW) uint32
+    w = take_flat(gpack, idx)            # (..., NW) uint32
     sh = (2 * o)[..., None]
     lo = w[..., :-1] >> sh
     hi = jnp.where(sh == 0, jnp.uint32(0),
@@ -128,7 +181,7 @@ def extract_ref_codes(gpack, nmask, base, L: int, G: int):
     no = (base & 31).astype(U32)
     nidx = nw0[..., None] + jnp.arange(NWn, dtype=I32)
     nidx = jnp.clip(nidx, 0, nmask.shape[0] - 1)
-    nwords = nmask[nidx]
+    nwords = take_flat(nmask, nidx)
     nsh = no[..., None]
     nlo = nwords[..., :-1] >> nsh
     nhi = jnp.where(nsh == 0, jnp.uint32(0),
@@ -296,7 +349,7 @@ def quality_offsets_stage(cfg: QmConfig, qual, density: float,
     nk = len(cfg.offsets_list)
     F32 = jnp.float32
     q = jnp.clip(qual.astype(I32), 0, 127)
-    pc = jnp.asarray(seed_host.PROB_CORRECT)[q]          # (B, L)
+    pc = take_flat(jnp.asarray(seed_host.PROB_CORRECT), q)   # (B, L)
     prob = pc[:, 0:m]
     for j in range(1, k):
         prob = prob * pc[:, j:m + j]
@@ -335,8 +388,8 @@ def quality_offsets_stage(cfg: QmConfig, qual, density: float,
     j = left
     for i in range(nk):
         active = (i < desired) & valid_read
-        pj = jnp.take_along_axis(
-            probs, jnp.clip(j, 0, m - 1)[:, None], axis=1)[:, 0]
+        pj = take_along_flat(
+            probs, jnp.clip(j, 0, m - 1)[:, None])[:, 0]
         condA = pj < l2
         # backward: largest kk in (prev+2, j-1] passing l2 (:459-462)
         mb = ok2 & (idx > (prev + 2)[:, None]) & (idx <= (j - 1)[:, None])
@@ -366,7 +419,8 @@ def quality_offsets_stage(cfg: QmConfig, qual, density: float,
 
 
 def candidate_stage(cfg: QmConfig, bases, starts_d, sites_d,
-                    gcnt_d=None, offsets_dyn=None, rcodes=None):
+                    gcnt_d=None, offsets_dyn=None, rcodes=None,
+                    _stop=None):
     """Steps 1-5 (seed -> chain -> vote -> top-K candidates) against ONE
     CSR index shard. Returns (rcodes (B, L), cand dict of (B, K) arrays:
     votes, mode, strand, start, spread).
@@ -401,8 +455,7 @@ def candidate_stage(cfg: QmConfig, bases, starts_d, sites_d,
             keys_all = _keys_all_positions(rcodes, k, L)    # (B, m)
             m = L - k + 1
             od = offsets_dyn.astype(I32)
-            kp = jnp.take_along_axis(keys_all,
-                                     jnp.clip(od, 0, m - 1), axis=1)
+            kp = take_along_flat(keys_all, jnp.clip(od, 0, m - 1))
             kp = jnp.where(od < 0, -1, kp)
             off_p = jnp.maximum(od, 0)
             off_m = L - (off_p + k)
@@ -411,17 +464,19 @@ def candidate_stage(cfg: QmConfig, bases, starts_d, sites_d,
         offadj = jnp.stack([off_p, off_m], axis=1)
         valid = keys >= 0
         safe = jnp.where(valid, keys, 0)
-        s0 = starts_d[safe]
-        cnt_local = starts_d[safe + 1] - s0
+        s0 = take_flat(starts_d, safe)
+        cnt_local = take_flat(starts_d, safe + 1) - s0
         # admission consults the GLOBAL list length (== local on the
         # single-device path); gathers use the LOCAL length
         gcnt = cnt_local if gcnt_d is None \
-            else gcnt_d[safe].astype(I32)
+            else take_flat(gcnt_d, safe).astype(I32)
         # over-long lists are skipped entirely (reference exclusion
         # semantics, BBIndex.find:421-440), not truncated.
         # staged re-admission (reference: BBIndex.find:421-440):
         # when a (read, strand) hits too few keys at the base cap,
         # progressively longer lists (1.5x/2x/3x/5x) are re-admitted
+        if _stop == "gather0":
+            return rcodes, {"a": cnt_local, "b": s0}
         nz = valid & (gcnt > 0)
         tiers = (S, (3 * S) // 2, 2 * S, 3 * S, 5 * S)
         nh = [jnp.sum((nz & (gcnt <= t)).astype(I32), axis=-1)
@@ -439,22 +494,27 @@ def candidate_stage(cfg: QmConfig, bases, starts_d, sites_d,
         Tsel = tier_arr[sel][..., None]              # (B, 2, 1)
         admit = gcnt <= Tsel
         gadm = jnp.where(valid & admit, gcnt, 0)
-        # greedy hit-list trimming (reference: BBIndex
-        # trimExcessHitListsByGreedy:266): when the admitted lists
-        # overflow the slot budget, the LONGEST lists are dropped until
-        # the rest fit — equivalently, lists are admitted shortest-first
-        # while the cumulative (GLOBAL) length stays within budget, so
-        # every shard reproduces the single-device decision. A list is
-        # always dropped WHOLE (exclusion semantics), never truncated.
-        # Ties break toward the earlier key offset (stable sort).
+        # greedy hit-list trimming, APPROXIMATING the reference's
+        # weighted greedy trim by list length only (reference: BBIndex
+        # trimExcessHitListsByGreedy:266 removes the worst list by
+        # Solver.findWorstGreedy key-score weights under
+        # limit/limit2/maxHitLists conditions — not bit-parity with that
+        # heuristic; ADVICE r2): when the admitted lists overflow the
+        # slot budget, lists are admitted shortest-first while the
+        # cumulative (GLOBAL) length stays within budget, so every shard
+        # reproduces the single-device decision deterministically. A
+        # list is always dropped WHOLE (exclusion semantics), never
+        # truncated. Ties break toward the earlier key offset.
         sort_ord = jnp.argsort(jnp.where(gadm > 0, gadm, BIG), axis=-1,
                                stable=True)              # (B, 2, nk)
-        g_sorted = jnp.take_along_axis(gadm, sort_ord, axis=-1)
+        g_sorted = take_along_flat(gadm, sort_ord)
         fits_sorted = jnp.cumsum(g_sorted, axis=-1) <= SLOT_BUDGET
         inv = jnp.argsort(sort_ord, axis=-1, stable=True)
-        fits = jnp.take_along_axis(fits_sorted, inv, axis=-1)
+        fits = take_along_flat(fits_sorted, inv)
         cnt = jnp.where(valid & admit & fits & (gadm > 0),
                         cnt_local, 0)
+        if _stop == "admit":
+            return rcodes, {"a": cnt}
         # budget-slot gather: pack each (read, strand)'s site lists into
         # SLOT_BUDGET contiguous slots via prefix sums — the compute cost
         # scales with the budget, not nk * (longest allowed list). The
@@ -480,8 +540,10 @@ def candidate_stage(cfg: QmConfig, bases, starts_d, sites_d,
             cum_prev = cum_t
         valid_slot = wslot < cum[..., -1:]
         gather_idx = jnp.clip(base + wslot, 0, sites_d.shape[0] - 1)
-        site = sites_d[gather_idx]                          # (B, 2, WB)
+        site = take_flat(sites_d, gather_idx)               # (B, 2, WB)
         diag = jnp.where(valid_slot, site - offadj_slot, INVALID)
+        if _stop == "slots":
+            return rcodes, {"a": diag}
         # sort diagonals within each (read, strand), carrying each
         # slot's key index so votes can count DISTINCT offsets
         # (reference: BBIndex voting counts keys, not raw hits —
@@ -490,6 +552,8 @@ def candidate_stage(cfg: QmConfig, bases, starts_d, sites_d,
             (diag.reshape(B * 2, WB), toff_slot.reshape(B * 2, WB)),
             dimension=1, num_keys=1)
         valid_f = flat < INVALID
+        if _stop == "sort":
+            return rcodes, {"a": flat, "b": toff}
 
         # chain segmentation — scatter-free: all per-chain statistics are
         # carried by each chain's FIRST element via prefix scans + gathers
@@ -548,6 +612,8 @@ def candidate_stage(cfg: QmConfig, bases, starts_d, sites_d,
         rmax = jnp.flip(jax.lax.cummax(jnp.flip(packed_dc, 1), axis=1), 1)
         chain_distinct = rmax & 0xFFFF
         size = jnp.where(new_chain, chain_distinct, 0)
+        if _stop == "votes":
+            return rcodes, {"a": size}
 
         # modal diagonal: longest equal-diag run in the chain; ties ->
         # lowest diag. Encode (run_size, earliness) per run-first element
@@ -574,7 +640,11 @@ def candidate_stage(cfg: QmConfig, bases, starts_d, sites_d,
         # (B, 2W)-wide take costs ~10x the whole top_k, a (B, K)-wide
         # take is noise.
         votes = size.reshape(B, 2 * nseg)
+        if _stop == "runs":
+            return rcodes, {"a": votes, "b": gmax}
         topv, topi = jax.lax.top_k(votes, MAX_CANDIDATES)  # (B, K)
+        if _stop == "topk":
+            return rcodes, {"a": topv, "b": topi}
         # global-slot helpers: second half of the slot axis is strand 1
         half = (topi >= nseg).astype(I32)
         cd_strand = half
@@ -583,7 +653,7 @@ def candidate_stage(cfg: QmConfig, bases, starts_d, sites_d,
         last2 = last_idx.reshape(B, 2 * nseg)
         segs2 = seg_start.reshape(B, 2 * nseg)
         gmax2 = gmax.reshape(B, 2 * nseg)
-        take = lambda a, i: jnp.take_along_axis(a, i, axis=1)
+        take = lambda a, i: take_along_flat(a, i)
         cd_start = take(flat2, topi)                 # chain min diag
         cd_last = jnp.clip(take(last2, topi) + strand_off,
                            0, 2 * nseg - 1)          # global last idx

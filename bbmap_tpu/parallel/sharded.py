@@ -196,6 +196,11 @@ def build_sharded_quickmap(mesh: Mesh, index: KmerIndex,
 
     cfg = qd.make_config(index, L, chain_dist, min_ratio,
                          max_list_length)
+    # _global_counts saturates at uint8 255: every admission threshold
+    # must stay below that or sharded-vs-single parity silently breaks
+    # (ADVICE r2) — assert the invariant at build time.
+    assert 5 * cfg.S < 255 and qd.SLOT_BUDGET < 255, \
+        (cfg.S, qd.SLOT_BUDGET)
     K = qd.MAX_CANDIDATES
     gcnt = _global_counts(index)
     gpack_np, nmask_np = qd.pack_genome_2bit(index.genome_codes)

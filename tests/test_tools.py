@@ -77,6 +77,27 @@ def test_bbnorm_roundtrip(tmp_path):
     assert n < 25  # ~10/50 kept
 
 
+def test_dedupe2_cli(tmp_path):
+    """dedupe2 is reachable through the CLI dispatcher (ADVICE r2: the
+    entry point existed but was not registered in SUBTOOLS)."""
+    import sys as _sys
+
+    from bbmap_tpu.__main__ import main as cli_main
+    inp = tmp_path / "d.fa"
+    inp.write_text(">a\n" + "ACGT" * 12 + "\n>b\n" + "ACGT" * 12 + "\n")
+    out = tmp_path / "u.fa"
+    argv = ["bbmap_tpu", "dedupe2", f"in={inp}", f"out={out}"]
+    old = _sys.argv
+    _sys.argv = argv
+    try:
+        assert cli_main() == 0
+    finally:
+        _sys.argv = old
+    names = [l for l in out.read_text().splitlines()
+             if l.startswith(">")]
+    assert len(names) == 1
+
+
 def test_dedupe(tmp_path):
     from bbmap_tpu.tools import dedupe
     rng = np.random.default_rng(2)
