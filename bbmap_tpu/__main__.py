@@ -7,7 +7,19 @@ sh/ — bbmap.sh, bbduk.sh, ...). Each tool is a module with main(argv).
 from __future__ import annotations
 
 import importlib
+import os
 import sys
+
+if os.environ.get("BBMAP_FORCE_CPU"):
+    # test/CI hook: pin JAX to the CPU backend before any tool imports
+    # it (this environment's sitecustomize re-registers the TPU plugin
+    # at import time, so env vars alone don't stick — the config must be
+    # set after importing jax; see tests/conftest.py)
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices",
+                      int(os.environ.get("BBMAP_CPU_DEVICES", "1")))
 
 TOOLS = {
     "bbmap": "bbmap_tpu.tools.bbmap",

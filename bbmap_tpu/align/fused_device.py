@@ -210,7 +210,7 @@ def _compact_indices(flags, budget: int):
 
 def fused_stage(fcfg: FusedConfig, rcodes, starts_d, sites_d, gpack_d,
                 nmask_d, offsets_dyn=None, profile=None,
-                _stop_after=None):
+                scnt_d=None, _stop_after=None):
     """The full fused program body. rcodes: (B, L) 2-bit read codes
     (0..3, 4=N). Returns a dict of device arrays (see FusedRun.host)."""
     cfg = fcfg.qm
@@ -224,7 +224,7 @@ def fused_stage(fcfg: FusedConfig, rcodes, starts_d, sites_d, gpack_d,
 
     rcodes, cand = qd.candidate_stage(cfg, None, starts_d, sites_d,
                                       offsets_dyn=offsets_dyn,
-                                      rcodes=rcodes)
+                                      rcodes=rcodes, scnt_d=scnt_d)
     out_i32, out_match, gl_scores = qd.finalize_stage(
         cfg, rcodes, cand, gpack_d, nmask_d, return_scores=True)
     B = rcodes.shape[0]
@@ -511,19 +511,23 @@ def build_fused(index: KmerIndex, L: int, B: int, chain_dist: int = 400,
                              max_list_length, profile)
     cfg = fcfg.qm
     starts_d, sites_d, gpack_d, nmask_d, _G = device_arrays(index)
+    from .quickmap_device import scnt_array
+    scnt_d = scnt_array(index)
     from . import seed as seed_host
     den2, den3 = seed_host.key_density_ladder(L, index.k)
 
-    def prog(codes2, nmask, starts_d, sites_d, gpack_d, nmask_d):
+    def prog(codes2, nmask, starts_d, sites_d, gpack_d, nmask_d,
+             scnt_d):
         rcodes = unpack_reads_device(codes2, nmask, L)
         return fused_stage(fcfg, rcodes, starts_d, sites_d, gpack_d,
-                           nmask_d)
+                           nmask_d, scnt_d=scnt_d)
 
-    def prog_q(codes2, nmask, qual, starts_d, sites_d, gpack_d, nmask_d):
+    def prog_q(codes2, nmask, qual, starts_d, sites_d, gpack_d, nmask_d,
+               scnt_d):
         rcodes = unpack_reads_device(codes2, nmask, L)
         offs = quality_offsets_stage(cfg, qual, den2, den3)
         return fused_stage(fcfg, rcodes, starts_d, sites_d, gpack_d,
-                           nmask_d, offsets_dyn=offs)
+                           nmask_d, offsets_dyn=offs, scnt_d=scnt_d)
 
     jitted = jax.jit(prog)
     jitted_q = jax.jit(prog_q)
@@ -532,10 +536,10 @@ def build_fused(index: KmerIndex, L: int, B: int, chain_dist: int = 400,
         codes2, nm = pack_reads_host(np.ascontiguousarray(bases[:, :L]))
         if quality is None:
             outs = jitted(codes2, nm, starts_d, sites_d, gpack_d,
-                          nmask_d)
+                          nmask_d, scnt_d)
         else:
             outs = jitted_q(codes2, nm, quality[:, :L], starts_d,
-                            sites_d, gpack_d, nmask_d)
+                            sites_d, gpack_d, nmask_d, scnt_d)
         return FusedRun(outs, L, fcfg.Cn, fcfg.Cw)
 
     run.fcfg = fcfg

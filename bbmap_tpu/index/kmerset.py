@@ -173,7 +173,16 @@ def build_kmer_set(seqs: Sequence[bytes], k: int = 27, mink: int = 0,
 def scan_batch(ks: KmerSet, bases: np.ndarray
                ) -> Tuple[np.ndarray, np.ndarray]:
     """Full-length k-mer scan: returns (hits (B, L-k+1) bool,
-    ids (B, L-k+1) int32 with -1 for miss)."""
+    ids (B, L-k+1) int32 with -1 for miss).
+
+    Routes through the device scanner (index/kmerset_device.py, one
+    jitted dispatch per batch) when an accelerator backend is present;
+    the numpy path below is the reference implementation and the
+    fallback."""
+    from . import kmerset_device
+    dev = kmerset_device.device_scan_batch(ks, bases)
+    if dev is not None:
+        return dev
     kmers, valid = rolling_kmers_batch(bases, ks.k)
     if kmers.shape[1] == 0:
         return kmers.astype(bool), kmers.astype(np.int32)

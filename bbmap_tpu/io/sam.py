@@ -62,8 +62,11 @@ def _mk_mode_table(v14: bool) -> bytes:
     if v14:
         for c in b"ms":
             t[c] = ord("=")
-        for c in b"SNB":
-            t[c] = ord("X")
+        t[ord("S")] = ord("X")
+        for c in b"NB":
+            # N/no-call columns print as M even in 1.4 cigars
+            # (reference: SamLine.toCigar14:713-715)
+            t[c] = ord("M")
     else:
         for c in b"msSNB":
             t[c] = ord("M")
@@ -148,8 +151,11 @@ def _match_to_cigar_slow(match: bytes, read_start: int, read_stop: int,
             if ch in "ms":
                 mode = "="
                 refloc += 1
-            elif ch in "SNB":
+            elif ch == "S":
                 mode = "X"
+                refloc += 1
+            elif ch in "NB":
+                mode = "M"
                 refloc += 1
             elif ch in "IXY":
                 mode = "I"
@@ -373,38 +379,73 @@ class SamRecord:
         return "\t".join(fields)
 
 
-def make_md_tag(match: bytes, ref_window: np.ndarray) -> str:
-    """MD:Z tag from a long-form match string + the aligned ref bases
-    (reference: stream/SamLine.makeMdTag:1085-1182). ref_window holds the
-    ref bases consumed by the alignment (length = #mSDN symbols)."""
+def make_md_tag(match: bytes, call: bytes, cha: np.ndarray,
+                refstart: int, scafloc: int, scaflen: int) -> str:
+    """MD:Z tag from a long-form match string, the reference-oriented
+    read bases, and the chromosome array (reference:
+    stream/SamLine.makeMdTag:1361-1445, transcription-golden in
+    tests/golden/gen_samline.py). Reference quirks preserved exactly:
+    consecutive subs omit the separating 0; N columns act as match or
+    sub depending on the call base; clipped/out-of-scaffold columns are
+    skipped; deletion runs longer than INTRON_LIMIT are dropped."""
     out = ["MD:Z:"]
+    scafstop = scafloc + scaflen
+    n_cha = len(cha)
+
+    def get(i):
+        return chr(cha[i]) if 0 <= i < n_cha else "N"
+
+    prev_m = "?"
     count = 0
-    rpos = 0
-    in_del = False
+    dels = 0
+    prev_sub = False
+    rpos = refstart
+    cpos = 0
     for m in match:
         ch = chr(m)
-        if ch in "ms":
-            count += 1
-            rpos += 1
-            in_del = False
-        elif ch in "SN":
-            out.append(str(count))
-            count = 0
-            out.append(chr(ref_window[rpos]))
-            rpos += 1
-            in_del = False
-        elif ch == "D":
-            if not in_del:
+        c = chr(call[cpos]) if cpos < len(call) else "?"
+        if prev_m == "D" and ch != "D":
+            if dels <= INTRON_LIMIT:
                 out.append(str(count))
                 count = 0
                 out.append("^")
-                in_del = True
-            out.append(chr(ref_window[rpos]))
+                for i in range(rpos - dels, rpos):
+                    out.append(get(i))
+                dels = 0
+        if ch == "C" or rpos < scafloc or rpos >= scafstop:
             rpos += 1
-        elif ch in "IXYC":
-            in_del = False
-        else:
-            in_del = False
+            if ch != "D":
+                cpos += 1
+        elif ch in "ms":
+            count += 1
+            rpos += 1
+            cpos += 1
+        elif ch == "S":
+            if count > 0 or not prev_sub:
+                out.append(str(count))
+            out.append(get(rpos))
+            count = 0
+            rpos += 1
+            cpos += 1
+            prev_sub = True
+        elif ch == "N":
+            r = get(rpos)
+            if c == r:
+                count += 1
+            else:
+                if count > 0 or not prev_sub:
+                    out.append(str(count))
+                out.append(r)
+                count = 0
+                prev_sub = True
+            rpos += 1
+            cpos += 1
+        elif ch in "IXY":
+            cpos += 1
+        elif ch == "D":
+            rpos += 1
+            dels += 1
+        prev_m = ch
     out.append(str(count))
     return "".join(out)
 

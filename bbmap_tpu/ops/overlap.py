@@ -41,6 +41,13 @@ def mate_by_overlap_batch(
 
     Returns (insert (B,) int32 with -1 for no-merge, bad (B,) int32,
     ambig (B,) bool)."""
+    if a_bases.shape[0] >= 512:
+        from . import overlap_device as od
+        if od._enabled():
+            return od.mate_by_overlap_device(
+                a_bases, a_qual, b_bases, b_qual, min_overlap0,
+                min_overlap, min_insert0, margin, max_mismatches0,
+                max_mismatches, minq)
     B, alen = a_bases.shape
     blen = b_bases.shape[1]
     min_overlap0 = min(max(1, min_overlap0), min_overlap)
@@ -181,6 +188,13 @@ def mate_by_overlap_ratio_batch(
         ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """b_bases already rc'd to read-1 orientation.
     Returns (insert (B,), bad (B,) float->int, ambig (B,))."""
+    if a_bases.shape[0] >= 512:
+        from . import overlap_device as od
+        if od._enabled():
+            return od.mate_by_overlap_ratio_device(
+                a_bases, b_bases, min_overlap0, min_overlap,
+                min_insert0, min_insert, max_ratio, min_second_ratio,
+                margin, offset, g_incr, b_incr)
     B, alen = a_bases.shape
     blen = b_bases.shape[1]
     min_overlap = max(4, min_overlap0, min_overlap)

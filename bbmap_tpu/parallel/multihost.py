@@ -42,6 +42,48 @@ def init(coordinator_address: Optional[str] = None,
     return process_id
 
 
+def barrier(tag: str, process_id: int, num_processes: int,
+            scratch_base: Optional[str] = None,
+            timeout: float = 900.0) -> None:
+    """Cross-process rendezvous before the host-0 shard merge.
+
+    Uses shared-filesystem markers (the same shared-FS assumption the
+    striped reader already makes); callers that initialized
+    jax.distributed can use device collectives instead, but a
+    sync_global_devices that the backend cannot lower would HANG rather
+    than raise, so the file barrier is the default.
+    """
+    import time as _time
+    if scratch_base is None:
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices(tag)
+        return
+    marker = f"{scratch_base}.{tag}.{process_id}.done"
+    with open(marker, "w"):
+        pass
+    others = [f"{scratch_base}.{tag}.{p}.done"
+              for p in range(num_processes)]
+    deadline = _time.time() + timeout
+    while _time.time() < deadline:
+        if all(os.path.exists(m) for m in others):
+            return
+        _time.sleep(0.05)
+    raise TimeoutError(f"barrier {tag}: peers missing after "
+                       f"{timeout}s: "
+                       f"{[m for m in others if not os.path.exists(m)]}")
+
+
+def barrier_cleanup(tag: str, num_processes: int,
+                    scratch_base: str) -> None:
+    for p in range(num_processes):
+        m = f"{scratch_base}.{tag}.{p}.done"
+        if os.path.exists(m):
+            try:
+                os.unlink(m)
+            except OSError:
+                pass
+
+
 def stripe_batches(batches: Iterator, process_id: int,
                    num_processes: int) -> Iterator:
     """Keep this host's stripe of read batches

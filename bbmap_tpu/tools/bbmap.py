@@ -113,6 +113,26 @@ def main(argv: List[str]) -> int:
               file=sys.stderr)
         return 1
 
+    # multi-host mode (SURVEY §5.8; reference:
+    # stream/ConcurrentReadInputStreamD.java:157 rank ownership):
+    # hosts=N hostid=I coordinator=host:port — every host opens the
+    # shared input and keeps its stripe of batches
+    # (batch_id % hosts == hostid), maps against its own index copy,
+    # writes a SAM shard + batch-offset sidecar, and host 0 reassembles
+    # global input order. Histogram/scafstats outputs are host-local
+    # stripes in this mode.
+    from ..parallel import multihost
+    num_hosts = args.get_int("hosts", default=int(
+        os.environ.get("BBMAP_TPU_NUM_HOSTS", "1")))
+    host_id = 0
+    if num_hosts > 1:
+        if not out:
+            print("multi-host mode requires out=", file=sys.stderr)
+            return 1
+        host_id = multihost.init(
+            args.get("coordinator"), num_hosts,
+            args.get_int("hostid", default=None))
+
     t0 = time.time()
     genome = build_genome(ref)
     sys.stderr.write(f"Loaded Reference:\t{time.time()-t0:.3f} seconds.\n")
@@ -152,9 +172,14 @@ def main(argv: List[str]) -> int:
                            print_secondary=secondary,
                            max_sites=max_sites, profile=profile)
 
-    out_fh = samio.open_sam_writer(out) if out else None
-    if out_fh is not None and (out is None or out.endswith(".sam")
-                               or True):
+    shard = None
+    out_fh = None
+    if num_hosts > 1:
+        shard = multihost.ShardWriter(out, host_id)
+        shard.write_header(
+            ("\n".join(samio.sam_header(genome)) + "\n").encode())
+    elif out:
+        out_fh = samio.open_sam_writer(out)
         for line in samio.sam_header(genome):
             out_fh.write(line + "\n")
 
@@ -252,18 +277,46 @@ def main(argv: List[str]) -> int:
                                 qfin2=args.get("qfin2"))
     # reader thread decodes batch N+1 while N maps (reference P2:
     # stream/ConcurrentGenericReadInputStream.java:122-166)
+    from collections import deque
+
     from ..core.batch import prefetch
-    for chunk in prefetch(batched(iter(reader), batch_size), depth=2):
+    batches = batched(iter(reader), batch_size)
+    if num_hosts > 1:
+        batches = multihost.stripe_batches(batches, host_id, num_hosts)
+    else:
+        batches = enumerate(batches)
+
+    # producer prepares batch N+1 (decode + trim) and queues its
+    # metadata while the aligner stream holds batch N's dispatch in
+    # flight on the device — the CLI now uses the same dispatch/finalize
+    # overlap the bench measures (map_stream / map_pairs_stream;
+    # reference P2: reader/worker thread overlap,
+    # stream/ConcurrentGenericReadInputStream.java:122-166)
+    meta_q = deque()
+
+    def produce():
+        for batch_id, chunk in prefetch(batches, depth=2):
+            recs1 = [p[0] for p in chunk]
+            recs1, info1 = trim_records(recs1)
+            b1 = ReadBatch.from_records(recs1)
+            if paired:
+                recs2 = [p[1] for p in chunk]
+                recs2, info2 = trim_records(recs2)
+                b2 = ReadBatch.from_records(recs2)
+                meta_q.append((batch_id, recs1, info1, info2, b1, b2))
+                yield b1, b2
+            else:
+                meta_q.append((batch_id, recs1, info1, None, b1, None))
+                yield b1
+
+    results_iter = (aligner.map_pairs_stream(produce()) if paired
+                    else aligner.map_batches_stream(produce()))
+    for result in results_iter:
         dog.tick()
         t_batch = time.time()
-        recs1 = [p[0] for p in chunk]
-        recs1, info1 = trim_records(recs1)
-        b1 = ReadBatch.from_records(recs1)
+        batch_id, recs1, info1, info2, b1, b2 = meta_q.popleft()
         if paired:
-            recs2 = [p[1] for p in chunk]
-            recs2, info2 = trim_records(recs2)
-            b2 = ReadBatch.from_records(recs2)
-            res1, res2 = aligner.map_pairs(b1, b2)
+            res1, res2 = result
             if untrim:
                 apply_untrim(res1, info1)
                 apply_untrim(res2, info2)
@@ -284,7 +337,7 @@ def main(argv: List[str]) -> int:
                             abs(max(r1m.stop, r2m.stop)
                                 - min(r1m.start, r2m.start)) + 1)
         else:
-            res1 = aligner.map_batch(b1)
+            res1 = result
             if untrim:
                 apply_untrim(res1, info1)
                 b1 = ReadBatch.from_records([t[1] for t in info1]) \
@@ -293,12 +346,22 @@ def main(argv: List[str]) -> int:
             n_reads += len(recs1)
             n_mapped += sum(r.mapped for r in res1)
             accumulate(b1, res1)
-        if out_fh is not None:
+        if shard is not None:
+            shard.write_batch(batch_id,
+                              ("\n".join(lines) + "\n").encode())
+        elif out_fh is not None:
             out_fh.write("\n".join(lines) + "\n")
         if stats is not None:
             stats.add_time(time.time() - t_batch,
                            (2 if paired else 1) * len(recs1))
     dog.stop()
+    if shard is not None:
+        shard.close()
+        multihost.barrier("bbmap-shards-done", host_id, num_hosts, out)
+        if host_id == 0:
+            multihost.merge_shards(out, num_hosts)
+            multihost.barrier_cleanup("bbmap-shards-done", num_hosts,
+                                      out)
     if out_fh is not None and out_fh not in (sys.stdout,):
         out_fh.close()
     dt = time.time() - t2

@@ -223,6 +223,25 @@ def main():
     if small and small < big:
         # Phase A: bank an insurance number on cheap programs.
         _phase(aligner, gbases, small, 2, L, "phase A")
+    # On-hardware Pallas==oracle parity check (VERDICT r2 #7): a Mosaic
+    # regression flips the bench to the XLA DP fallback with a warning
+    # instead of silently mis-mapping.
+    import jax
+    if jax.default_backend() != "cpu" and \
+            os.environ.get("BENCH_SELFTEST", "1") != "0":
+        try:
+            from bbmap_tpu.ops.msa_selftest import pallas_selftest
+            if pallas_selftest(verbose=note):
+                note("pallas selftest: ok (short + pacbio profiles)")
+            else:
+                os.environ["BBMAP_FUSED_PALLAS"] = "0"
+                aligner._fused_cache.clear()
+                note("PALLAS SELFTEST FAILED — XLA DP fallback engaged")
+        except Exception as e:
+            os.environ["BBMAP_FUSED_PALLAS"] = "0"
+            aligner._fused_cache.clear()
+            note(f"pallas selftest error ({type(e).__name__}: {e}) — "
+                 f"XLA DP fallback engaged")
     # Phase B: the real measurement.
     _phase(aligner, gbases, big, n_steady, L, "phase B")
     _emit_and_exit()

@@ -144,7 +144,9 @@ def test_sharded_readmission_parity():
     offs = np.asarray(index.chrom_offsets, np.int64)
     rep_at = [int(offs[0]) + 5_000]
     reads = A[np.minimum(np.stack([gc[s:s + L] for s in starts]), 4)]
-    reads[: B // 2] = A[np.minimum(unit[50:50 + L], 4)][None, :]
+    # the unit is already ASCII bases (A[min(unit,4)] would turn every
+    # read into NNN... and hollow out the repeat stress)
+    reads[: B // 2] = unit[50:50 + L][None, :]
     for i in range(0, B, 2):
         reads[i, rng.integers(0, L)] = bases4[rng.integers(0, 4)]
     run1 = qd.build_quickmap(index, L)

@@ -278,12 +278,15 @@ def test_rqcfilter(tmp_path):
 def test_md_tag():
     from bbmap_tpu.io.sam import make_md_tag
     ref = np.frombuffer(b"ACGTACGTAC", np.uint8)
-    assert make_md_tag(b"m" * 10, ref) == "MD:Z:10"
+    assert make_md_tag(b"m" * 10, b"ACGTACGTAC", ref, 0, 0,
+                       len(ref)) == "MD:Z:10"
     # sub at position 4 (ref base A)
-    assert make_md_tag(b"mmmmSmmmmm", ref) == "MD:Z:4A5"
+    assert make_md_tag(b"mmmmSmmmmm", b"ACGTTCGTAC", ref, 0, 0,
+                       len(ref)) == "MD:Z:4A5"
     # deletion of ref bases 5-6 (CG)
     ref2 = np.frombuffer(b"ACGTACGTACGT", np.uint8)
-    assert make_md_tag(b"mmmmmDDmmmmm", ref2) == "MD:Z:5^CG5"
+    assert make_md_tag(b"mmmmmDDmmmmm", b"ACGTATACGT", ref2, 0, 0,
+                       len(ref2)) == "MD:Z:5^CG5"
 
 
 def test_local_alignment_conversion():
