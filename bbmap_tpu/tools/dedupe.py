@@ -47,7 +47,7 @@ def dedupe_stream(records, absorb_rc: bool = True, subs: int = 0,
       found by affix (prefix/suffix k-mer) maps
       (reference: jgi/Dedupe.java affix maps :95-117)
     """
-    from ..ops.banded import banded_edit_distance
+    from ..ops import banded_device
 
     seen: Dict[bytes, int] = {}
     sub_buckets: Dict[int, List[np.ndarray]] = {}
@@ -64,24 +64,24 @@ def dedupe_stream(records, absorb_rc: bool = True, subs: int = 0,
         dup = False
         arr = np.frombuffer(can, np.uint8)
         if subs > 0 or edits > 0:
-            for other in sub_buckets.get(len(can), []):
-                if edits > 0:
-                    if banded_edit_distance(other, arr, edits) <= edits:
-                        dup = True
-                        break
-                elif int((other != arr).sum()) <= subs:
-                    dup = True
-                    break
-            if edits > 0 and not dup:
+            others = list(sub_buckets.get(len(can), []))
+            if edits > 0:
                 # cross-length comparisons within the edit budget
                 for dl in range(1, edits + 1):
-                    for other in sub_buckets.get(len(can) - dl, []) \
-                            + sub_buckets.get(len(can) + dl, []):
-                        if banded_edit_distance(other, arr,
-                                                edits) <= edits:
-                            dup = True
-                            break
-                    if dup:
+                    others += sub_buckets.get(len(can) - dl, [])
+                    others += sub_buckets.get(len(can) + dl, [])
+                if others:
+                    # one device dispatch across all candidates
+                    # (reference: the BandedAligner verification loop,
+                    # jni/BandedAlignerJNI.c:588; ops/banded_device.py)
+                    d = banded_device.edit_distances_vs_one(
+                        arr, others, edits)
+                    dup = bool((d <= edits).any())
+            else:
+                for other in others:
+                    if len(other) == len(arr) \
+                            and int((other != arr).sum()) <= subs:
+                        dup = True
                         break
         if not dup and absorb_containment and len(can) >= AFFIX_K:
             # containers index kmers every AFFIX_K positions; querying the
@@ -90,17 +90,52 @@ def dedupe_stream(records, absorb_rc: bool = True, subs: int = 0,
             # (reads >= 2K-1; shorter reads also try the suffix kmer)
             rc = bytes(COMP_ASCII[arr][::-1])
             cands = set()
-            for off in range(0, min(AFFIX_K,
-                                    len(can) - AFFIX_K + 1)):
-                cands |= set(affix.get(can[off:off + AFFIX_K], []))
-                cands |= set(affix.get(rc[off:off + AFFIX_K], []))
-            cands |= set(affix.get(can[-AFFIX_K:], []))
-            cands |= set(affix.get(rc[-AFFIX_K:], []))
-            for ci in cands:
+            # probe a full mod-K residue window from BOTH ends: one
+            # probe per residue class is guaranteed to land on an
+            # indexed container k-mer, and a single edit region can
+            # break the head OR the tail probes, not both
+            n_can = len(can)
+            head = range(0, min(AFFIX_K, n_can - AFFIX_K + 1))
+            tail = range(max(0, n_can - 2 * AFFIX_K + 1),
+                         n_can - AFFIX_K + 1)
+            for off in set(head) | set(tail):
+                for (ci, p) in affix.get(can[off:off + AFFIX_K], []):
+                    cands.add((ci, p - off, 0))
+                for (ci, p) in affix.get(rc[off:off + AFFIX_K], []):
+                    cands.add((ci, p - off, 1))
+            exact_hit = False
+            for (ci, q0, orient) in cands:
                 ks = kept_seqs[ci]
                 if len(ks) >= len(can) and (can in ks or rc in ks):
-                    dup = True
+                    exact_hit = True
                     break
+            dup = exact_hit
+            tol = max(subs, edits)
+            if not dup and tol > 0 and cands:
+                # contained-with-mismatches: banded infix verification
+                # of the read against each candidate container window
+                # (reference: Dedupe containment absorption verifies
+                # candidates with the banded aligner, Dedupe.java
+                # absorb modes :95-117)
+                wins = []
+                for (ci, q0, orient) in cands:
+                    ks = kept_seqs[ci]
+                    if len(ks) < len(can):
+                        continue
+                    lo = max(0, q0 - tol)
+                    hi = min(len(ks), q0 + len(can) + tol)
+                    if hi - lo < len(can) - tol:
+                        continue
+                    w = np.frombuffer(ks[lo:hi], np.uint8)
+                    wins.append(w if orient == 0
+                                else w)   # query orientation handled
+                    # below by testing both read orientations
+                if wins:
+                    d1 = banded_device.contained_distances(
+                        arr, wins, tol)
+                    d2 = banded_device.contained_distances(
+                        np.frombuffer(rc, np.uint8), wins, tol)
+                    dup = bool((np.minimum(d1, d2) <= tol).any())
         if dup:
             if clusters is not None:
                 clusters.setdefault("~near", []).append(rec.id)
@@ -115,8 +150,10 @@ def dedupe_stream(records, absorb_rc: bool = True, subs: int = 0,
                 # index every AFFIX_K-th interior kmer + both affixes so
                 # shorter contained reads can find this container
                 for p in range(0, len(can) - AFFIX_K + 1, AFFIX_K):
-                    affix.setdefault(can[p:p + AFFIX_K], []).append(idx)
-                affix.setdefault(can[-AFFIX_K:], []).append(idx)
+                    affix.setdefault(can[p:p + AFFIX_K],
+                                     []).append((idx, p))
+                affix.setdefault(can[-AFFIX_K:],
+                                 []).append((idx, len(can) - AFFIX_K))
             yield rec, False
 
 
