@@ -47,23 +47,90 @@ class KmerLookup:
             idx, len(self.counts) - 1)], 0).astype(np.int64)
 
 
-def extend_right(lookup: KmerLookup, kmer: int, claimed: Set[int],
+class KmerLookupBig:
+    """K>31 lookup over lexsorted (hi, lo) int64 pairs (Tadpole2's
+    ukmer tables, reference: assemble/Tadpole2.java on KmerTableSetU /
+    ukmer/Kmer.java long[] k-mers; index/kmer_big.py supplies the
+    two-word arithmetic). Walk-side k-mers are arbitrary-precision
+    Python ints (2k bits, 31 < k <= 62)."""
+
+    _M62 = (1 << 62) - 1
+
+    def __init__(self, hi: np.ndarray, lo: np.ndarray,
+                 counts: np.ndarray, k: int):
+        self.hi = hi
+        self.lo = lo
+        self.counts = counts
+        self.k = k
+        self.mask = (1 << (2 * k)) - 1
+
+    def _split(self, kms) -> Tuple[np.ndarray, np.ndarray]:
+        n = len(kms)
+        hi = np.fromiter((x >> 62 for x in kms), np.int64, n)
+        lo = np.fromiter((x & self._M62 for x in kms), np.int64, n)
+        return hi, lo
+
+    def canonical_list(self, kms) -> List[int]:
+        from ..index.kmer_big import canonical_big
+        if not len(kms):
+            return []
+        h, l = self._split(kms)
+        ch, cl = canonical_big(h, l, self.k)
+        return [(int(a) << 62) | int(b) for a, b in zip(ch, cl)]
+
+    def count_list(self, kms) -> np.ndarray:
+        cans = self.canonical_list(kms)
+        out = np.zeros(len(cans), np.int64)
+        if not len(self.hi):
+            return out
+        h, l = self._split(cans)
+        left = np.searchsorted(self.hi, h, "left")
+        right = np.searchsorted(self.hi, h, "right")
+        for i in range(len(cans)):
+            a, b = int(left[i]), int(right[i])
+            if a == b:
+                continue
+            j = a + int(np.searchsorted(self.lo[a:b], l[i]))
+            if j < b and self.lo[j] == l[i]:
+                out[i] = self.counts[j]
+        return out
+
+
+def _mk_count_list(lookup):
+    """Uniform (count_list, canonical_list, mask) view over the small-K
+    and big-K lookups so the walk code is K-agnostic."""
+    if isinstance(lookup, KmerLookupBig):
+        return lookup.count_list, lookup.canonical_list, lookup.mask
+
+    def count_list(kms):
+        return lookup.count(np.asarray(kms, np.int64))
+
+    def canonical_list(kms):
+        return [int(x) for x in
+                lookup.canonical(np.asarray(kms, np.int64))]
+
+    # duck-typed lookups (e.g. bbnorm's KCountArray view) expose k but
+    # not mask
+    return count_list, canonical_list, (1 << (2 * lookup.k)) - 1
+
+
+def extend_right(lookup, kmer: int, claimed: Set[int],
                  min_extend: int, max_len: int) -> List[int]:
-    """Extend while the successor is unique; returns appended base codes."""
-    k = lookup.k
-    mask = lookup.mask
+    """Extend while the successor is unique; returns appended base
+    codes. Works for both K<=31 (int64) and K>31 (python-int) walks."""
+    count_list, canonical_list, mask = _mk_count_list(lookup)
     out: List[int] = []
     cur = kmer
     while len(out) < max_len:
-        nxt = ((cur << 2) & mask)
-        cands = np.array([nxt | b for b in range(4)], np.int64)
-        cnt = lookup.count(cands)
+        nxt = (cur << 2) & mask
+        cands = [nxt | b for b in range(4)]
+        cnt = count_list(cands)
         good = cnt >= min_extend
         if good.sum() != 1:
             break
         b = int(np.argmax(good))
-        nk = int(cands[b])
-        can = int(lookup.canonical(np.array([nk]))[0])
+        nk = cands[b]
+        can = canonical_list([nk])[0]
         if can in claimed:
             break
         claimed.add(can)
@@ -204,6 +271,170 @@ def shave_rinse(keys: np.ndarray, counts: np.ndarray, k: int,
     return keys, counts
 
 
+def _rc_int(x: int, k: int) -> int:
+    """Reverse complement of a k-mer held in a python int (any k<=62)."""
+    if k <= 31:
+        return int(reverse_complement_key(np.array([x], np.int64), k)[0])
+    from ..index.kmer_big import rc_big
+    M62 = (1 << 62) - 1
+    h, l = rc_big(np.array([x >> 62], np.int64),
+                  np.array([x & M62], np.int64), k)
+    return (int(h[0]) << 62) | int(l[0])
+
+
+def kmer_to_str_any(x: int, k: int) -> str:
+    return "".join(BASES[(x >> (2 * (k - 1 - i))) & 3]
+                   for i in range(k))
+
+
+def _degrees_big(hi: np.ndarray, lo: np.ndarray, k: int
+                 ) -> Tuple[np.ndarray, np.ndarray]:
+    """Out-degrees in the bidirected graph for K>31 key pairs."""
+    from ..index.kmer_big import canonical_big, rc_big
+    M62 = (1 << 62) - 1
+    nh = k - 31
+    mask_hi = (1 << (2 * nh)) - 1
+
+    def exists(ch, cl):
+        left = np.searchsorted(hi, ch, "left")
+        out = np.zeros(len(ch), bool)
+        for i in range(len(ch)):
+            a = int(left[i])
+            while a < len(hi) and hi[a] == ch[i]:
+                if lo[a] == cl[i]:
+                    out[i] = True
+                    break
+                if lo[a] > cl[i]:
+                    break
+                a += 1
+        return out
+
+    def outdeg(fh, fl):
+        n = len(fh)
+        deg = np.zeros(n, np.int64)
+        for b in range(4):
+            h2 = ((fh << 2) | (fl >> 60)) & mask_hi
+            l2 = ((fl << 2) & M62) | b
+            ch, cl = canonical_big(h2, l2, k)
+            deg += exists(ch, cl).astype(np.int64)
+        return deg
+
+    rh, rl = rc_big(hi, lo, k)
+    return outdeg(hi, lo), outdeg(rh, rl)
+
+
+def shave_rinse_big(hi: np.ndarray, lo: np.ndarray, counts: np.ndarray,
+                    k: int, shave: bool = True, rinse: bool = True,
+                    max_depth: Optional[int] = None, max_count: int = 1,
+                    passes: int = 2):
+    """K>31 port of shave_rinse over (hi, lo) pairs (reference:
+    assemble/Tadpole2.java shaveAndRinse on ukmer tables)."""
+    if max_depth is None:
+        max_depth = k
+    for _ in range(passes):
+        if len(hi) == 0:
+            break
+        deg_f, deg_r = _degrees_big(hi, lo, k)
+        low = counts <= max_count
+        simple = (deg_f == 1) & (deg_r == 1)
+        tip = (deg_f == 0) | (deg_r == 0)
+        cand = low & (tip | simple)
+        if not cand.any():
+            break
+        join = lambda h, l: [(int(a) << 62) | int(b)
+                             for a, b in zip(h, l)]
+        keys_int = join(hi, lo)
+        cand_set = set(x for x, c in zip(keys_int, cand) if c)
+        branch = (deg_f > 1) | (deg_r > 1)
+        branch_set = set(x for x, c in zip(keys_int, branch) if c)
+        key_set = set(keys_int)
+        mask_bits = (1 << (2 * k)) - 1
+
+        def neighbors(canon_key: int) -> List[int]:
+            out = []
+            for form in (canon_key, _rc_int(canon_key, k)):
+                for b in range(4):
+                    nk = ((form << 2) & mask_bits) | b
+                    can = min(nk, _rc_int(nk, k))
+                    if can in key_set and can != canon_key:
+                        out.append(can)
+            return out
+
+        to_remove: Set[int] = set()
+        seen: Set[int] = set()
+        tips = [x for x, c in zip(keys_int, cand & tip) if c] \
+            if shave else []
+        for start in tips:
+            if start in seen:
+                continue
+            path = [start]
+            seen.add(start)
+            cur = start
+            ok = True
+            while len(path) <= max_depth:
+                nbrs = [n for n in neighbors(cur) if n not in path]
+                nbrs_cand = [n for n in nbrs if n in cand_set]
+                if not nbrs:
+                    break
+                if any(n in branch_set for n in nbrs):
+                    break
+                if len(nbrs_cand) != 1:
+                    ok = False
+                    break
+                cur = nbrs_cand[0]
+                path.append(cur)
+                seen.add(cur)
+            else:
+                ok = False
+            if ok:
+                to_remove.update(path)
+        if rinse:
+            for start, c in zip(keys_int, cand & simple):
+                if not c or start in to_remove:
+                    continue
+                nbrs = neighbors(start)
+                if (len(nbrs) == 2
+                        and all(n in branch_set for n in nbrs)):
+                    to_remove.add(start)
+        if not to_remove:
+            break
+        keep = np.array([x not in to_remove for x in keys_int], bool)
+        hi, lo, counts = hi[keep], lo[keep], counts[keep]
+    return hi, lo, counts
+
+
+def assemble_big(hi: np.ndarray, lo: np.ndarray, counts: np.ndarray,
+                 k: int, min_seed: int = 3, min_extend: int = 2,
+                 min_contig: int = 0, max_contig: int = 10_000_000
+                 ) -> List[str]:
+    """Tadpole2: contig building for 31 < K <= 62 (reference:
+    assemble/Tadpole2.java:158-278 equivalent over ukmer pairs)."""
+    lookup = KmerLookupBig(hi, lo, counts, k)
+    min_contig = max(min_contig, k + 1)
+    claimed: Set[int] = set()
+    contigs: List[str] = []
+    order = np.argsort(-counts, kind="stable")
+    for oi in order:
+        if counts[oi] < min_seed:
+            break
+        seed = (int(hi[oi]) << 62) | int(lo[oi])
+        if seed in claimed:
+            continue
+        claimed.add(seed)
+        right = extend_right(lookup, seed, claimed, min_extend,
+                             max_contig)
+        left = extend_right(lookup, _rc_int(seed, k), claimed,
+                            min_extend, max_contig)
+        mid = kmer_to_str_any(seed, k)
+        right_s = "".join(BASES[b] for b in right)
+        left_s = rc_str("".join(BASES[b] for b in left))
+        contig = left_s + mid + right_s
+        if len(contig) >= min_contig:
+            contigs.append(contig)
+    contigs.sort(key=len, reverse=True)
+    return contigs
+
+
 def assemble(keys: np.ndarray, counts: np.ndarray, k: int,
              min_seed: int = 3, min_extend: int = 2,
              min_contig: int = 0, max_contig: int = 10_000_000
@@ -238,52 +469,62 @@ def assemble(keys: np.ndarray, counts: np.ndarray, k: int,
     return contigs
 
 
-def extend_sequence(lookup: KmerLookup, seq: bytes, k: int,
+def _rolling_ints(arr: np.ndarray, k: int):
+    """All k-mers of a sequence as python ints + validity, any k<=62."""
+    if k <= 31:
+        from ..index.kmerset import rolling_kmers_batch
+        km, valid = rolling_kmers_batch(arr[None, :], k)
+        return [int(x) for x in km[0]], valid[0]
+    from ..index.kmer_big import rolling_kmers_big
+    hi, lo, valid = rolling_kmers_big(arr[None, :], k)
+    return [(int(a) << 62) | int(b)
+            for a, b in zip(hi[0], lo[0])], valid[0]
+
+
+def extend_sequence(lookup, seq: bytes, k: int,
                     extend_len: int, min_extend: int = 2) -> bytes:
     """Extend a sequence right/left while successors are unique
-    (reference: Tadpole mode=extend, extendLeft/extendRight)."""
+    (reference: Tadpole mode=extend, extendLeft/extendRight; K>31 via
+    the Tadpole2 lookup)."""
     import numpy as _np
-    from ..index.kmerset import rolling_kmers_batch
     arr = _np.frombuffer(seq, _np.uint8)
     if len(arr) < k:
         return seq
     claimed: Set[int] = set()
-    km, valid = rolling_kmers_batch(arr[None, :], k)
-    if not valid[0, -1]:
+    km, valid = _rolling_ints(arr, k)
+    if not valid[-1]:
         right = []
     else:
-        right = extend_right(lookup, int(km[0, -1]), claimed,
+        right = extend_right(lookup, km[-1], claimed,
                              min_extend, extend_len)
-    from ..index.build import reverse_complement_key
-    if not valid[0, 0]:
+    if not valid[0]:
         left = []
     else:
-        rc0 = int(reverse_complement_key(
-            _np.array([km[0, 0]], _np.int64), k)[0])
-        left = extend_right(lookup, rc0, claimed, min_extend, extend_len)
+        left = extend_right(lookup, _rc_int(km[0], k), claimed,
+                            min_extend, extend_len)
     rs = "".join(BASES[b] for b in right)
     ls = rc_str("".join(BASES[b] for b in left))
     return ls.encode() + seq + rs.encode()
 
 
-def correct_read(lookup: KmerLookup, seq: bytes, k: int,
+def correct_read(lookup, seq: bytes, k: int,
                  min_count: int = 2) -> bytes:
     """Simple k-mer spectrum error correction: for each position covered
     only by weak k-mers, try the substitution that maximizes the minimum
     covering k-mer count (reference: Tadpole mode=correct, pincer/tail
-    correction simplified)."""
+    correction simplified; K>31 via the Tadpole2 lookup)."""
     import numpy as _np
-    from ..index.kmerset import rolling_kmers_batch
     arr = bytearray(seq)
     n = len(arr)
     if n < k:
         return seq
+    count_list, _canon, _mask = _mk_count_list(lookup)
 
     def covering_ok(a: bytearray) -> _np.ndarray:
-        km, valid = rolling_kmers_batch(
-            _np.frombuffer(bytes(a), _np.uint8)[None, :], k)
-        cnt = lookup.count(km[0])
-        return _np.where(valid[0], cnt, 0)
+        km, valid = _rolling_ints(
+            _np.frombuffer(bytes(a), _np.uint8), k)
+        cnt = count_list(km)
+        return _np.where(valid, cnt, 0)
 
     cnt = covering_ok(arr)
     weak = cnt < min_count
@@ -328,16 +569,28 @@ def main(argv: List[str]) -> int:
               "mode=contig", file=sys.stderr)
         return 1
     extra = args.get("extra")  # separate kmer source for extend/correct
-    counter = KmerCounter(k)
+    big = k > 31   # Tadpole2: ukmer-backed assembly for 31 < K <= 62
+    # (reference: assemble/Tadpole2.java dispatched from Tadpole.java
+    # when K > 31; index/kmer_big.py is the KmerTableSetU analog)
+    if big:
+        from ..index.kmer_big import KmerCounterBig
+        counter = KmerCounterBig(k)
+    else:
+        counter = KmerCounter(k)
     n = 0
     kmer_src = extra if (extra and mode in ("extend", "correct")) else in1
     for chunk in batched(fastx.read_seqs(kmer_src), 8192):
         b = ReadBatch.from_records(chunk)
         counter.add_batch(b.bases)
         n += b.size
-    keys, counts = counter.finish()
+    if big:
+        khi, klo, counts = counter.finish()
+        keys = None
+    else:
+        keys, counts = counter.finish()
     if mode in ("extend", "correct"):
-        lookup = KmerLookup(keys, counts, k)
+        lookup = KmerLookupBig(khi, klo, counts, k) if big \
+            else KmerLookup(keys, counts, k)
         extend_len = args.get_int("extendleft", "extendright", "el", "er",
                                   default=100)
         out_fh = fastx.xopen(out, "wb")
@@ -369,22 +622,32 @@ def main(argv: List[str]) -> int:
     do_shave = args.get_bool("shave", default=False)
     do_rinse = args.get_bool("rinse", default=False)
     if do_shave or do_rinse:
-        n_before = len(keys)
-        keys, counts = shave_rinse(
-            keys, counts, k, shave=do_shave, rinse=do_rinse,
-            max_depth=args.get_int("shavedepth", default=k),
-            max_count=args.get_int("shavedepth2", "maxshavecount",
-                                   default=1))
+        n_before = len(counts)
+        sd = args.get_int("shavedepth", default=k)
+        mc = args.get_int("shavedepth2", "maxshavecount", default=1)
+        if big:
+            khi, klo, counts = shave_rinse_big(
+                khi, klo, counts, k, shave=do_shave, rinse=do_rinse,
+                max_depth=sd, max_count=mc)
+        else:
+            keys, counts = shave_rinse(
+                keys, counts, k, shave=do_shave, rinse=do_rinse,
+                max_depth=sd, max_count=mc)
         sys.stderr.write(f"Shave/rinse removed "
-                         f"{n_before - len(keys)} kmers.\n")
-    contigs = assemble(keys, counts, k, min_seed, min_extend, min_contig)
+                         f"{n_before - len(counts)} kmers.\n")
+    if big:
+        contigs = assemble_big(khi, klo, counts, k, min_seed,
+                               min_extend, min_contig)
+    else:
+        contigs = assemble(keys, counts, k, min_seed, min_extend,
+                           min_contig)
     with fastx.xopen(out, "wt") as fh:
         for i, c in enumerate(contigs):
             fh.write(f">contig_{i+1},length={len(c)}\n")
             for j in range(0, len(c), 70):
                 fh.write(c[j:j + 70] + "\n")
     total = sum(len(c) for c in contigs)
-    sys.stderr.write(f"Reads:\t{n}\nUnique kmers:\t{len(keys)}\n"
+    sys.stderr.write(f"Reads:\t{n}\nUnique kmers:\t{len(counts)}\n"
                      f"Contigs:\t{len(contigs)}\tTotal length:\t{total}\n")
     return 0
 
