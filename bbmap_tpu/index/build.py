@@ -178,6 +178,11 @@ def analyze_index(index: KmerIndex,
             starts = np.zeros(len(index.starts), np.int64)
             np.cumsum(new_counts, out=starts[1:])
             index.starts = starts
+            # compaction invalidates any device-resident mirrors (the
+            # device index build seeds them pre-analysis)
+            for attr in ("_device_arrays", "_scnt_array"):
+                if hasattr(index, attr):
+                    delattr(index, attr)
             lengths = np.diff(index.starts)
             nzk = np.nonzero(lengths)[0]
             if len(nzk) == 0:
