@@ -368,6 +368,8 @@ def fused_stage(fcfg: FusedConfig, rcodes, starts_d, sites_d, gpack_d,
         out3, prevs = msa_pallas.msa_fill_pallas_t(
             r1t, r0t, rpt, rwt, L, Cn, bb_t, P)        # (3,T),(R+C,R+1,T)
         sc2, col, _st = out3[0], out3[1], out3[2]
+        if _stop_after == "fill":
+            return out3 + esc_match[:3, :3].astype(I32).sum()
         sym, ln, gaps = jax.vmap(
             lambda pv, rd, rf, c0, s0: msa_jax._walk_device(
                 pv, rd, rf, c0, s0, L, Cn),

@@ -153,8 +153,11 @@ class DeviceKmerSet:
             hi = hi | U32(lm >> 32)
         return hi, lo, ~bad
 
-    def _scan_program(self, codes):
-        """(B, L) codes -> (B, m) int32 ids (-1 miss)."""
+    def _scan_program(self, codes, s_hi, s_lo, s_ids, s_starts):
+        """(B, L) codes -> (B, m) int32 ids (-1 miss). The set arrays
+        arrive as jit ARGUMENTS — the remote compile service rejects
+        programs with big inlined constants (HTTP 413), so nothing
+        device-resident may be closed over."""
         jax, jnp = _jnp()
         from ..align.quickmap_device import take_flat
         I = jnp.int32
@@ -176,9 +179,9 @@ class DeviceKmerSet:
                    & U32((1 << (2 * self.k + 1 - s)) - 1)).astype(I)
         else:
             bkt = qlo.astype(I)
-        bkt = jnp.clip(bkt, 0, self.starts.shape[0] - 2)
-        base = take_flat(self.starts, bkt)
-        end = take_flat(self.starts, bkt + 1)
+        bkt = jnp.clip(bkt, 0, s_starts.shape[0] - 2)
+        base = take_flat(s_starts, bkt)
+        end = take_flat(s_starts, bkt + 1)
         sz = end - base
 
         # branchless lower_bound within the bucket
@@ -186,17 +189,17 @@ class DeviceKmerSet:
             half = sz >> 1
             mid = base + half
             midc = jnp.clip(mid, 0, max(self.n - 1, 0))
-            vh = take_flat(self.hi, midc)
-            vl = take_flat(self.lo, midc)
+            vh = take_flat(s_hi, midc)
+            vl = take_flat(s_lo, midc)
             go_right = _lt_pair(vh, vl, qhi, qlo) & (sz > 0)
             base = jnp.where(go_right, mid + 1, base)
             sz = jnp.where(go_right, sz - half - 1, half)
 
         pos = jnp.clip(base, 0, max(self.n - 1, 0))
-        fh = take_flat(self.hi, pos)
-        fl = take_flat(self.lo, pos)
+        fh = take_flat(s_hi, pos)
+        fl = take_flat(s_lo, pos)
         hit = (fh == qhi) & (fl == qlo) & (base < self.n)
-        ids = jnp.where(hit, take_flat(self.ids, pos), -1).astype(I)
+        ids = jnp.where(hit, take_flat(s_ids, pos), -1).astype(I)
         return ids
 
     def scan_ids(self, bases: np.ndarray) -> np.ndarray:
@@ -207,11 +210,13 @@ class DeviceKmerSet:
         key = (B, L)
         prog = self._scan_cache.get(key)
         if prog is None:
-            def f(b):
-                return self._scan_program(ascii_to_codes(b))
+            def f(b, s_hi, s_lo, s_ids, s_starts):
+                return self._scan_program(ascii_to_codes(b), s_hi,
+                                          s_lo, s_ids, s_starts)
             prog = jax.jit(f)
             self._scan_cache[key] = prog
-        return np.asarray(prog(np.ascontiguousarray(bases)))
+        return np.asarray(prog(np.ascontiguousarray(bases), self.hi,
+                               self.lo, self.ids, self.starts))
 
 
 def _enabled() -> bool:

@@ -460,10 +460,13 @@ def _walk_device(prevs, read, ref, col0, st0, R: int, C: int):
     defined = jnp.asarray(_DEFINED_TABLE)
     read_i = read.astype(I32)
     ref_i = ref.astype(I32)
-    # per-position predicates, gathered once instead of per step
-    read_def = defined[read_i]
-    ref_def = defined[ref_i]
-    ref_gap = ref_i == GAPC
+    # pack per-position predicates into ONE gatherable word per side —
+    # the walk is a serial scan of tiny-vector steps, so every
+    # non-fusable gather inside the body costs a full step of latency
+    # (measured: the walk dominated the fused trace stage)
+    read_prop = read_i | (jnp.where(defined[read_i], 1, 0) << 8)
+    ref_prop = ref_i | (jnp.where(defined[ref_i], 1, 0) << 8) \
+        | (jnp.where(ref_i == GAPC, 1, 0) << 9)
 
     def step(carry, _):
         row, col, st, gaps = carry
@@ -474,13 +477,15 @@ def _walk_device(prevs, read, ref, col0, st0, R: int, C: int):
         prev = (code >> (2 * st)) & 3
         ri = jnp.maximum(row - 1, 0)
         ci = jnp.clip(col - 1, 0, C - 1)
-        c_ = read_i[ri]
-        r_ = ref_i[ci]
+        rp = read_prop[ri]
+        fp = ref_prop[ci]
+        c_ = rp & 255
+        r_ = fp & 255
+        both_def = jnp.logical_and(rp & 256 > 0, fp & 256 > 0)
         sym_ms = jnp.where(
             c_ == r_, ord("m"),
-            jnp.where(jnp.logical_or(~read_def[ri], ~ref_def[ci]),
-                      ord("N"), ord("S")))
-        is_gap = ref_gap[ci]
+            jnp.where(both_def, ord("S"), ord("N")))
+        is_gap = fp & 512 > 0
         sym_del = jnp.where(is_gap, ord("-"), ord("D"))
         sym_ins = jnp.where(col >= C, ord("Y"), ord("I"))
         sym = jnp.where(st == MODE_MS, sym_ms,
