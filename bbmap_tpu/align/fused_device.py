@@ -261,7 +261,8 @@ def fused_stage(fcfg: FusedConfig, rcodes, starts_d, sites_d, gpack_d,
     reads_ascii = _codes_to_read_ascii(
         reads_j2.reshape(E * 2, L))                    # (2E, L)
     wflat = wstart.reshape(E * 2).astype(I32)
-    wcodes, wn = extract_ref_codes(gpack_d, nmask_d, wflat, Cn, G)
+    wcodes, wn = extract_ref_codes(gpack_d, nmask_d, wflat, Cn, G,
+                                   has_n=cfg.has_n)
     refs_ascii = jnp.where(wn, jnp.uint8(78),
                            _codes_to_read_ascii(wcodes))
     bb_s = _pick_bb(E * 2) if _pallas_enabled() else 0
@@ -287,7 +288,8 @@ def fused_stage(fcfg: FusedConfig, rcodes, starts_d, sites_d, gpack_d,
     wloc = _compact_indices(wide_flat, W)              # job indices
     w_ok = wloc < BIG
     wl = jnp.clip(wloc, 0, E * 2 - 1)
-    wwc, wwn = extract_ref_codes(gpack_d, nmask_d, wflat[wl], Cw, G)
+    wwc, wwn = extract_ref_codes(gpack_d, nmask_d, wflat[wl], Cw, G,
+                                 has_n=cfg.has_n)
     wrefs = jnp.where(wwn, jnp.uint8(78), _codes_to_read_ascii(wwc))
     wsc = jax.vmap(
         lambda rd, rf: msa_jax.msa_score_single(rd, rf, L, Cw, P)[0]
@@ -329,7 +331,7 @@ def fused_stage(fcfg: FusedConfig, rcodes, starts_d, sites_d, gpack_d,
     # --- winner gapless match symbols at the winner diagonal (2-bit
     # packed, same codec as the quickmap best-match block)
     ref_codes_w, ref_n_w = extract_ref_codes(gpack_d, nmask_d, wdiag,
-                                             L, G)
+                                             L, G, has_n=cfg.has_n)
     win_codes = reads_j2[ar, w0]                       # (E, L)
     read_n_w = win_codes > 3
     eq_w = (win_codes == ref_codes_w) & ~ref_n_w
@@ -353,7 +355,8 @@ def fused_stage(fcfg: FusedConfig, rcodes, starts_d, sites_d, gpack_d,
     tl = jnp.clip(tloc, 0, E - 1)
     treads = _codes_to_read_ascii(reads_j2[tl, w0[tl]])
     tws = wws[tl].astype(I32)
-    twcodes, twn = extract_ref_codes(gpack_d, nmask_d, tws, Cn, G)
+    twcodes, twn = extract_ref_codes(gpack_d, nmask_d, tws, Cn, G,
+                                     has_n=cfg.has_n)
     trefs = jnp.where(twn, jnp.uint8(78), _codes_to_read_ascii(twcodes))
     # fill emits the full (R+C, R+1, BB) prev-code block through VMEM;
     # 128 lanes (the minimum hardware block) needs the raised
@@ -399,7 +402,8 @@ def fused_stage(fcfg: FusedConfig, rcodes, starts_d, sites_d, gpack_d,
     rtl = jnp.clip(rloc, 0, T - 1)
     rws = jnp.where(twide[rtl], tws[rtl],
                     tws[rtl] - jnp.where(clip_l[rtl], RETRY_EXTRA, 0))
-    rwc, rwn = extract_ref_codes(gpack_d, nmask_d, rws, Cw, G)
+    rwc, rwn = extract_ref_codes(gpack_d, nmask_d, rws, Cw, G,
+                                 has_n=cfg.has_n)
     rrefs = jnp.where(rwn, jnp.uint8(78), _codes_to_read_ascii(rwc))
     sym_w, ln_w, gaps_w, sc2_w, col_w, _stw = jax.vmap(
         lambda rd, rf: msa_jax._align_single(rd, rf, L, Cw, P=P)

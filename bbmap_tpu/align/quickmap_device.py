@@ -154,12 +154,16 @@ def take_along_flat(a, idx):
     return out.reshape(sh_i)
 
 
-def extract_ref_codes(gpack, nmask, base, L: int, G: int):
+def extract_ref_codes(gpack, nmask, base, L: int, G: int,
+                      has_n: bool = True):
     """Gather L consecutive genome codes starting at flat position
     ``base`` (any leading shape; may be out of range). Returns
     (codes uint8 (..., L) in 0..3, is_n bool (..., L) — N or out of
     bounds). One uint32 gather per 16 bases + register shifts instead of
-    a byte gather per base."""
+    a byte gather per base. ``has_n=False`` (genome contains no
+    N/undefined bases — true for phiX/E. coli-class references, known at
+    index build) skips the whole nmask gather chain: the windows are
+    ~40% of the candidate stage's random-access traffic."""
     base = base.astype(I32)
     NW = (L + 15) // 16 + 1
     w0 = base >> 4                       # arithmetic shift = floor div
@@ -176,6 +180,11 @@ def extract_ref_codes(gpack, nmask, base, L: int, G: int):
     codes = ((aligned[..., :, None] >> slots) & 3).astype(jnp.uint8)
     codes = codes.reshape(codes.shape[:-2] + ((NW - 1) * 16,))[..., :L]
 
+    pos = base[..., None] + jnp.arange(L, dtype=I32)
+    oob = (pos < 0) | (pos >= G)
+    if not has_n:
+        return codes, oob
+
     NWn = (L + 31) // 32 + 1
     nw0 = base >> 5
     no = (base & 31).astype(U32)
@@ -191,9 +200,6 @@ def extract_ref_codes(gpack, nmask, base, L: int, G: int):
     bslots = jnp.arange(32, dtype=U32)
     nbits = ((naligned[..., :, None] >> bslots) & 1).astype(bool)
     nbits = nbits.reshape(nbits.shape[:-2] + ((NWn - 1) * 32,))[..., :L]
-
-    pos = base[..., None] + jnp.arange(L, dtype=I32)
-    oob = (pos < 0) | (pos >= G)
     return codes, nbits | oob
 
 
@@ -331,6 +337,8 @@ class QmConfig(NamedTuple):
     offsets_list: tuple    # static seed offsets
     G: int                 # flat genome length
     profile: object = None  # ScoringProfile (None = SHORT)
+    has_n: bool = True     # genome contains N bases (False skips the
+    #                        nmask gathers in every window extraction)
 
 
 def make_config(index: KmerIndex, L: int, chain_dist: int = 400,
@@ -349,10 +357,15 @@ def make_config(index: KmerIndex, L: int, chain_dist: int = 400,
     S = int(max(2, min(max_list_length, MAX_SITES_CAP, SLOT_BUDGET)))
     max_sw = profile.max_quality(L) if profile is not None \
         else K.max_quality(L)
+    has_n = getattr(index, "_has_n", None)
+    if has_n is None:
+        has_n = bool(np.any(index.genome_codes > 3))
+        index._has_n = has_n
     return QmConfig(k=k, L=L, S=S, chain_dist=chain_dist,
                     min_score=int(max_sw * min_ratio),
                     offsets_list=tuple(int(o) for o in offsets_np),
-                    G=len(index.genome_codes), profile=profile)
+                    G=len(index.genome_codes), profile=profile,
+                    has_n=has_n)
 
 
 def quality_offsets_stage(cfg: QmConfig, qual, density: float,
@@ -727,7 +740,8 @@ def finalize_stage(cfg: QmConfig, rcodes, cand, gpack_d, nmask_d,
     if True:
         # gapless scoring at modal diagonal, against the packed genome
         ref_codes, ref_n = extract_ref_codes(
-            gpack_d, nmask_d, cd_mode, L, G)         # (B, C, L)
+            gpack_d, nmask_d, cd_mode, L, G,
+            has_n=cfg.has_n)                         # (B, C, L)
         rc = jnp.where(rcodes <= 3, 3 - rcodes, rcodes)[:, ::-1]
         cand_codes = jnp.where((cd_strand == 0)[..., None],
                                rcodes[:, None, :], rc[:, None, :])
