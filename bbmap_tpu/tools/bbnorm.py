@@ -17,7 +17,7 @@ import numpy as np
 
 from ..core.batch import ReadBatch, batched
 from ..index.build import reverse_complement_key
-from ..index.kcount import KCountArray
+from ..index.kcount import KCountArray, make_kca
 from ..index.kmerset import rolling_kmers_batch
 from ..io import fastx
 from ..utils.args import Args
@@ -82,7 +82,7 @@ def main(argv: List[str]) -> int:
               file=sys.stderr)
         return 1
 
-    kca = KCountArray(mem_cells, cell_bits=bits, hashes=hashes)
+    kca = make_kca(mem_cells, cell_bits=bits, hashes=hashes)
     # pass 1: load counts
     n_reads = 0
     reader = fastx.PairedReader(in1, in2)

@@ -12,7 +12,7 @@ from typing import Dict, List
 import numpy as np
 
 from ..core.batch import ReadBatch, batched
-from ..index.kcount import KCountArray
+from ..index.kcount import KCountArray, make_kca
 from ..io import fastx
 from ..utils.args import Args
 from .bbnorm import canonical_kmers, read_depths
@@ -75,7 +75,7 @@ def kmercoverage(argv: List[str]) -> int:
         print("Usage: kmercoverage in=<reads> [out=annotated.fq] "
               "[hist=depth.txt]", file=sys.stderr)
         return 1
-    kca = KCountArray(cells, cell_bits=16, hashes=2)
+    kca = make_kca(cells, cell_bits=16, hashes=2)
     for chunk in batched(fastx.read_seqs(inp), 8192):
         b = ReadBatch.from_records(chunk)
         can, valid = canonical_kmers(b.bases, k)

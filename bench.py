@@ -160,8 +160,11 @@ def _phase(aligner, gbases, batch_size: int, n_steady: int, L: int,
             numeric_ids=np.arange(lo, lo + batch_size, dtype=np.int64))
 
     note(f"{label}: warmup batch (B={batch_size}) — compiles here")
+    t_w = time.time()
     mb0 = aligner.map_batch_columnar(mk_batch(0))
-    note(f"{label}: warmup done, timing {n_steady} batches")
+    warmup_s = time.time() - t_w
+    note(f"{label}: warmup done ({warmup_s:.1f}s), "
+         f"timing {n_steady} batches")
     stats = [mb0]
     t0 = time.time()
     for mb in aligner.map_stream(mk_batch(b) for b in range(1, n_batches)):
@@ -187,6 +190,8 @@ def _phase(aligner, gbases, batch_size: int, n_steady: int, L: int,
         "sensitivity": round(n_correct / n_total, 4),
         "batch": batch_size,
         "setup_seconds": round(time.time() - T_START, 1),
+        "warmup_seconds": round(warmup_s, 1),
+        "steady_ms_per_batch": round(1000.0 * dt / n_steady, 1),
     }
     note(f"{label}: {rps:.0f} reads/s "
          f"(sens {res['sensitivity']}, mapped {res['mapped_fraction']})")
