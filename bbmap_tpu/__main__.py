@@ -111,6 +111,10 @@ SUBTOOLS = {
     "splitoffperfectcontigs": ("bbmap_tpu.tools.pacbio",
                                "splitoffperfectcontigs_main"),
     "bbmapskimmer": ("bbmap_tpu.tools.bbmap", "skimmer_main"),
+    "bbmapacc": ("bbmap_tpu.tools.bbmap", "acc_main"),
+    "bbmap5": ("bbmap_tpu.tools.bbmap", "bbmap5_main"),
+    "mappacbioskimmer": ("bbmap_tpu.tools.mappacbio",
+                         "skimmer_main"),
     "ecc": ("bbmap_tpu.tools.bbnorm", "ecc_main"),
     "tadpolewrapper": ("bbmap_tpu.tools.tadpole", "wrapper_main"),
     "splitnexteralmp": ("bbmap_tpu.tools.pairtools",

@@ -266,6 +266,21 @@ def main(argv: List[str]) -> int:
             res.start -= a
             res.stop += b_
 
+    # optional device profiler trace around the mapping loop
+    # (SURVEY §5.1 'TPU plan: jax.profiler traces + per-phase wall
+    # timers'; view with tensorboard/xprof)
+    profile_dir = args.get("profiledir", "profile")
+    prof_active = False
+    if profile_dir:
+        try:
+            import jax
+
+            jax.profiler.start_trace(profile_dir)
+            prof_active = True
+            sys.stderr.write(f"Profiler trace -> {profile_dir}\n")
+        except Exception as e:
+            sys.stderr.write(f"profiler unavailable: {e}\n")
+
     # hung-run watchdog: aborts if no batch completes for 30 min
     # (reference: stream/KillSwitch.java:17 kill timer around the
     # map/print loop)
@@ -355,6 +370,13 @@ def main(argv: List[str]) -> int:
             stats.add_time(time.time() - t_batch,
                            (2 if paired else 1) * len(recs1))
     dog.stop()
+    if prof_active:
+        try:
+            import jax
+
+            jax.profiler.stop_trace()
+        except Exception:
+            pass
     if shard is not None:
         shard.close()
         multihost.barrier("bbmap-shards-done", host_id, num_hosts, out)
@@ -393,6 +415,38 @@ def main(argv: List[str]) -> int:
 
 if __name__ == "__main__":
     raise SystemExit(main(sys.argv[1:]))
+
+
+def acc_main(argv: List[str]) -> int:
+    """bbmapacc: the accuracy-leaning variant (reference:
+    align2/BBMapAcc.java setDefaults:44-66 — denser seeding
+    keyDensity 2.3/3.2/1.8, MIN_APPROX_HITS_TO_KEEP=1, up to 8 site
+    scores). The TPU engine has ONE unified index/thread stack (the CSR
+    block layout already is BBIndexAcc/BBIndex5's flat-array design),
+    so the variant is its parameter set, applied here."""
+    from ..align import seed
+    saved = (seed.KEY_DENSITY, seed.MAX_KEY_DENSITY,
+             seed.MIN_KEY_DENSITY)
+    seed.KEY_DENSITY, seed.MAX_KEY_DENSITY, seed.MIN_KEY_DENSITY = \
+        2.3, 3.2, 1.8
+    try:
+        extra = []
+        keys = {a.split("=")[0].lower() for a in argv if "=" in a}
+        if "maxsites" not in keys and "sssr" not in keys:
+            extra.append("maxsites=8")
+        return main(argv + extra)
+    finally:
+        (seed.KEY_DENSITY, seed.MAX_KEY_DENSITY,
+         seed.MIN_KEY_DENSITY) = saved
+
+
+def bbmap5_main(argv: List[str]) -> int:
+    """bbmap5 (reference: align2/BBMap5.java over BBIndex5.java:16 —
+    'a single array per block, 32-bit unsigned'). That memory layout IS
+    this engine's CSR index (one flat int32 sites array per shard), so
+    bbmap5 runs the standard pipeline; the name exists for CLI
+    compatibility."""
+    return main(argv)
 
 
 def skimmer_main(argv: List[str]) -> int:

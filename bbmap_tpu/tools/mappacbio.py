@@ -176,3 +176,20 @@ def main(argv: List[str]) -> int:
 
 if __name__ == "__main__":
     raise SystemExit(main(sys.argv[1:]))
+
+
+def skimmer_main(argv: List[str]) -> int:
+    """mappacbioskimmer: long-read mapping that emits ALL sites above
+    threshold (reference: align2/BBMapPacBioSkimmer.java via
+    sh/bbmapskimmer.sh — the PacBio stack with skimmer site emission).
+    Parameter-preset variant over the unified engine: pacbio profile +
+    secondary-site output + ambig=all."""
+    extra = []
+    keys = {a.split("=")[0].lower() for a in argv if "=" in a}
+    if "ambig" not in keys and "ambiguous" not in keys:
+        extra.append("ambig=all")
+    if "secondary" not in keys:
+        extra.append("secondary=t")
+    if "maxsites" not in keys and "sssr" not in keys:
+        extra.append("maxsites=20")
+    return main(argv + extra)

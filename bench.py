@@ -65,6 +65,9 @@ def _bank(res):
     with _best_lock:
         if _best_result is None or res["value"] > _best_result["value"]:
             _best_result = res
+    # past the deadline the watchdog emits the first banked result; the
+    # bank from the measuring thread races it benignly (emit is
+    # idempotent under _printed)
 
 
 def _watchdog(deadline_s: float):
@@ -75,6 +78,13 @@ def _watchdog(deadline_s: float):
         time.sleep(min(left, 2.0))
     note("deadline reached — emitting banked result")
     _emit_and_exit()
+    # nothing banked yet (a compile-service stall swallowed phase A):
+    # emit the FIRST result that lands instead of running unbounded
+    note("deadline passed with no banked result — will emit the first "
+         "phase that completes")
+    while not _printed.is_set():
+        time.sleep(1.0)
+        _emit_and_exit()
 
 
 def note(msg: str):
@@ -224,6 +234,26 @@ def main():
     big = int(os.environ.get("BENCH_BATCH", 32768))
     small = int(os.environ.get("BENCH_BATCH_SMALL", 4096))
     n_steady = int(os.environ.get("BENCH_STEADY_BATCHES", 3))
+
+    # submit the big-shape compile CONCURRENTLY with phase A: the remote
+    # compile service is the wall-clock bottleneck, and overlapping the
+    # two compiles gets phase B inside the deadline on most days
+    def warm_big():
+        try:
+            from bbmap_tpu.core.batch import ReadBatch
+            rw, _ = make_reads(gbases, big, L=L, seed=99)
+            bw = ReadBatch(
+                bases=rw, quality=None,
+                lengths=np.full(big, L, np.int32),
+                ids=[str(i) for i in range(big)],
+                numeric_ids=np.arange(big, dtype=np.int64))
+            f = aligner._fused_dispatch(bw, L)
+            f.host()
+            note("big-shape program warm")
+        except Exception as e:
+            note(f"big-shape warm failed: {type(e).__name__}: {e}")
+
+    threading.Thread(target=warm_big, daemon=True).start()
 
     if small and small < big:
         # Phase A: bank an insurance number on cheap programs.
