@@ -373,14 +373,21 @@ def fused_stage(fcfg: FusedConfig, rcodes, starts_d, sites_d, gpack_d,
         sc2, col, _st = out3[0], out3[1], out3[2]
         if _stop_after == "fill":
             return out3 + esc_match[:3, :3].astype(I32).sum()
-        sym, ln, gaps = jax.vmap(
+        # bounded walk: the serial scan runs R + max-deletion-span
+        # steps instead of R + Cn (the window bounds deletions to its
+        # spread); a truncated walk (row_end > 0) re-traces at Cw like
+        # a clipped alignment, so the bound is safe
+        steps_n = L + (Cn - L) + 16
+        sym, ln, gaps, row_end = jax.vmap(
             lambda pv, rd, rf, c0, s0: msa_jax._walk_device(
-                pv, rd, rf, c0, s0, L, Cn),
+                pv, rd, rf, c0, s0, L, Cn, steps=steps_n),
             in_axes=(2, 0, 0, 0, 0))(prevs, treads, trefs, col, _st)
+        truncated = row_end > 0
     else:
         sym, ln, gaps, sc2, col, _st = jax.vmap(
             lambda rd, rf: msa_jax._align_single(rd, rf, L, Cn, P=P)
         )(treads, trefs)                               # sym (T, L+Cn)
+        truncated = jnp.zeros(sym.shape[0], bool)
     if _stop_after == "trace":
         return sym[:, :4] + sc2[:, None].astype(jnp.uint8) + esc_match[:T, :4]
 
@@ -396,7 +403,7 @@ def fused_stage(fcfg: FusedConfig, rcodes, starts_d, sites_d, gpack_d,
     clip_l = (first == ord("I")) | (first == ord("X"))
     clip_r = (last == ord("I")) | (last == ord("Y"))
     clipped = (clip_l | clip_r) & ~twide
-    rneed = t_valid & (clipped | twide)
+    rneed = t_valid & (clipped | twide | truncated)
     rloc = _compact_indices(rneed, RT)                 # rows into trace blk
     r_ok = rloc < BIG
     rtl = jnp.clip(rloc, 0, T - 1)
@@ -463,11 +470,13 @@ TRACE_COLS = ("tloc", "ln", "gaps", "sc2", "col", "tws", "retried")
 class FusedRun:
     """In-flight fused dispatch; .host() blocks and unpacks."""
 
-    def __init__(self, outs, L: int, Cn: int, Cw: int):
+    def __init__(self, outs, L: int, Cn: int, Cw: int,
+                 wn: Optional[int] = None):
         self._outs = outs
         self._L = L
         self._Cn = Cn
         self._Cw = Cw
+        self._wn = wn if wn is not None else L + Cn  # narrow sym width
         for o in outs:
             try:
                 o.copy_to_host_async()
@@ -495,8 +504,9 @@ class FusedRun:
         tr = {k: trace_i32[:, i] for i, k in enumerate(TRACE_COLS)}
         T = trace_i32.shape[0]
         sym = np.zeros((T, L + self._Cw), np.uint8)
-        sym[:, :L + self._Cn] = _SYM_UNPACK[sym_packed].reshape(
-            T, -1)[:, :L + self._Cn]
+        wn = min(self._wn, L + self._Cn)
+        sym[:, :wn] = _SYM_UNPACK[sym_packed].reshape(
+            T, -1)[:, :wn]
         rloc = retry_i32[:, 0]
         r_ok = rloc < 2 ** 30
         if r_ok.any():
@@ -546,7 +556,12 @@ def build_fused(index: KmerIndex, L: int, B: int, chain_dist: int = 400,
         else:
             outs = jitted_q(codes2, nm, quality[:, :L], starts_d,
                             sites_d, gpack_d, nmask_d, scnt_d)
-        return FusedRun(outs, L, fcfg.Cn, fcfg.Cw)
+        # narrow-walk sym width must match the trace branch taken in
+        # fused_stage (bounded Pallas walk vs full XLA walk)
+        bb_t = _pick_bb(fcfg.T, vmem_cap=128) if _pallas_enabled() \
+            else 0
+        wn = (fcfg.Cn + 16) if bb_t else (L + fcfg.Cn)
+        return FusedRun(outs, L, fcfg.Cn, fcfg.Cw, wn=wn)
 
     run.fcfg = fcfg
     return run

@@ -448,9 +448,14 @@ for _c in b"ACGTU":
     _DEFINED_TABLE[_c] = True
 
 
-def _walk_device(prevs, read, ref, col0, st0, R: int, C: int):
+def _walk_device(prevs, read, ref, col0, st0, R: int, C: int,
+                 steps: int = 0):
     """Traceback walk on device. prevs: (R+C, R+1) uint8; returns
-    (symbols (R+C,) uint8 reversed order, out_len, gaps).
+    (symbols (steps,) uint8 reversed order, out_len, gaps, row_end).
+    ``steps`` (default R+C, the hard maximum) bounds the serial scan —
+    callers with narrow DP windows pass R + max-deletion-span and treat
+    row_end > 0 (walk truncated) as a retry/fallback signal, trading
+    the guaranteed bound for ~40% fewer serial steps.
 
     Active steps are a contiguous prefix of the walk (a step is active
     iff row > 0, and row is non-increasing), so the output position of
@@ -506,17 +511,17 @@ def _walk_device(prevs, read, ref, col0, st0, R: int, C: int):
     carry0 = (jnp.int32(R), col0.astype(I32), st0.astype(I32),
               jnp.int32(0))
     (row, col, st, gaps), syms = jax.lax.scan(
-        step, carry0, None, length=R + C)
+        step, carry0, None, length=steps if steps else R + C)
     outpos = jnp.sum((syms != 0).astype(I32))
-    return syms, outpos, gaps
+    return syms, outpos, gaps, row
 
 
 def _align_single(read, ref, R: int, C: int, rtrue=None,
                   P: ScoringProfile = _SHORT):
     prevs, score, col, state = _scan(read, ref, R, C, True, rtrue=rtrue,
                                      P=P)
-    symbols, out_len, gaps = _walk_device(prevs, read, ref, col, state,
-                                          R, C)
+    symbols, out_len, gaps, _row = _walk_device(prevs, read, ref, col,
+                                                state, R, C)
     return symbols, out_len, gaps, score, col, state
 
 
