@@ -117,8 +117,15 @@ def take_flat(table, idx):
     m = 1
     for d in sh[1:]:
         m *= int(d)
-    i2 = idx.reshape(sh[0], m)
     M = -(-m // 64) * 64
+    total = int(sh[0]) * m
+    if M != m and total >= (1 << 16) and total % 256 == 0:
+        # minor-dim padding would inflate the index count (the backend's
+        # gather runtime is ~8 ns PER INDEX, padded or not — measured);
+        # fully flatten instead: every index slot is a real index
+        i1 = idx.reshape(total // 256, 256)
+        return table[i1].reshape(sh)
+    i2 = idx.reshape(sh[0], m)
     if M != m or len(sh) > 2:
         if M != m:
             i2 = jnp.pad(i2, ((0, 0), (0, M - m)))
@@ -127,6 +134,40 @@ def take_flat(table, idx):
             out = out[:, :m]
         return out.reshape(sh)
     return table[i2].reshape(sh)
+
+
+def onehot_take_rows(cols, idx, n: int):
+    """Batched ``take_along_axis(col, idx, axis=1)`` for several int32
+    source arrays sharing one index, realized as a one-hot f32 matmul on
+    the MXU. XLA's take_along/gather lowering on this backend costs ~8 ns
+    per (padded) index regardless of source size — ~17 ms for a
+    (32k, 8->64) take — while the equivalent one-hot matmul runs in
+    ~1.5 ms (measured). Exact for ALL int32 values: each value is split
+    into four unsigned bytes, and a one-hot row has exactly one nonzero,
+    so every product/sum is an integer <= 255 — exact even after the
+    MXU's default bf16 operand rounding (8 significand bits).
+
+    cols: list of (B, n) int32. idx: (B, K) int32 in [0, n).
+    Returns list of (B, K) int32.
+    """
+    oh = jax.nn.one_hot(idx, n, dtype=jnp.float32)          # (B, K, n)
+    # 8-bit byte planes: the MXU's default f32 matmul rounds operands to
+    # bf16 (8 significand bits), so 16-bit halves are NOT exact — bytes
+    # (<= 255) are, under every precision mode
+    planes = []
+    for a in cols:
+        for sh in (0, 8, 16, 24):
+            planes.append(((a >> sh) & 0xFF).astype(jnp.float32))
+    src = jnp.stack(planes, axis=2)                         # (B, n, 4F)
+    out = jnp.einsum("bkn,bnf->bkf", oh, src,
+                     preferred_element_type=jnp.float32)
+    res = []
+    for j in range(len(cols)):
+        v = out[..., 4 * j].astype(U32)
+        for b in range(1, 4):
+            v = v | (out[..., 4 * j + b].astype(U32) << (8 * b))
+        res.append(v.astype(I32))
+    return res
 
 
 def take_along_flat(a, idx):
@@ -154,6 +195,51 @@ def take_along_flat(a, idx):
     return out.reshape(sh_i)
 
 
+def _gather_words(table, w0, NW: int):
+    """Gather NW consecutive words starting at word index ``w0`` (any
+    leading shape; may be negative or past the end) from a 1-D uint32
+    word table, via 8-wide ROW gathers: the backend's gather runtime is
+    per-INDEX (~8 ns each, row width free up to ~8 — measured), so
+    fetching ceil((NW+14)/8) rows of 8 costs ~NW/8 the indices of the
+    naive per-word gather. The dynamic 0..7 intra-row offset is resolved
+    by an 8-way static-slice select.
+
+    Exactness contract: in-range words (0 <= w0+j < len) are returned
+    exactly; out-of-range words return ZERO instead of the old per-word
+    clip's edge word — callers mask those positions via the oob/N mask,
+    so window extraction results are unchanged wherever they are used.
+    """
+    NR = (NW + 14) // 8                  # rows covering NW words at any
+    #                                      0..7 intra-row offset
+    F_ROWS = NR + 2                      # zero front-pad so every
+    #                                      possibly-in-range w0 maps to a
+    #                                      non-clipped row (see callers:
+    #                                      base >= -(L + ~90) always)
+    nrows = (table.shape[0] + 7) // 8
+    t8 = jnp.pad(table, (F_ROWS * 8,
+                         nrows * 8 - table.shape[0])).reshape(
+        nrows + F_ROWS, 8)               # tiny (genome/16 words)
+    r0 = (w0 + F_ROWS * 8) >> 3          # >= 0 whenever any word in range
+    ridx = jnp.clip(r0[..., None] + jnp.arange(NR, dtype=I32),
+                    0, nrows + F_ROWS - 1)
+    # 2-D row gather with a flat, unpadded index layout (every index
+    # slot real — the gather runtime is per-index)
+    sh = ridx.shape
+    total = 1
+    for d in sh:
+        total *= int(d)
+    lane = 256
+    while lane > 1 and total % lane:
+        lane //= 2
+    rows = t8[ridx.reshape(total // lane, lane)].reshape(sh + (8,))
+    wide = rows.reshape(rows.shape[:-2] + (NR * 8,))
+    s = (w0 & 7)[..., None]
+    out = wide[..., 0:NW]
+    for k in range(1, 8):
+        out = jnp.where(s == k, wide[..., k:k + NW], out)
+    return out
+
+
 def extract_ref_codes(gpack, nmask, base, L: int, G: int,
                       has_n: bool = True):
     """Gather L consecutive genome codes starting at flat position
@@ -168,9 +254,7 @@ def extract_ref_codes(gpack, nmask, base, L: int, G: int,
     NW = (L + 15) // 16 + 1
     w0 = base >> 4                       # arithmetic shift = floor div
     o = (base & 15).astype(U32)
-    idx = w0[..., None] + jnp.arange(NW, dtype=I32)
-    idx = jnp.clip(idx, 0, gpack.shape[0] - 1)
-    w = take_flat(gpack, idx)            # (..., NW) uint32
+    w = _gather_words(gpack, w0, NW)     # (..., NW) uint32
     sh = (2 * o)[..., None]
     lo = w[..., :-1] >> sh
     hi = jnp.where(sh == 0, jnp.uint32(0),
@@ -188,9 +272,7 @@ def extract_ref_codes(gpack, nmask, base, L: int, G: int,
     NWn = (L + 31) // 32 + 1
     nw0 = base >> 5
     no = (base & 31).astype(U32)
-    nidx = nw0[..., None] + jnp.arange(NWn, dtype=I32)
-    nidx = jnp.clip(nidx, 0, nmask.shape[0] - 1)
-    nwords = take_flat(nmask, nidx)
+    nwords = _gather_words(nmask, nw0, NWn)
     nsh = no[..., None]
     nlo = nwords[..., :-1] >> nsh
     nhi = jnp.where(nsh == 0, jnp.uint32(0),
@@ -498,6 +580,8 @@ def candidate_stage(cfg: QmConfig, bases, starts_d, sites_d,
         offadj = jnp.stack([off_p, off_m], axis=1)
         valid = keys >= 0
         safe = jnp.where(valid, keys, 0)
+        if _stop == "keys":
+            return rcodes, {"a": safe}
         if scnt_d is not None:
             sc = take_flat(scnt_d, safe)
             s0 = (sc >> 8).astype(I32)
@@ -701,16 +785,27 @@ def candidate_stage(cfg: QmConfig, bases, starts_d, sites_d,
         last2 = last_idx.reshape(B, 2 * nseg)
         segs2 = seg_start.reshape(B, 2 * nseg)
         gmax2 = gmax.reshape(B, 2 * nseg)
-        take = lambda a, i: take_along_flat(a, i)
-        cd_start = take(flat2, topi)                 # chain min diag
-        cd_last = jnp.clip(take(last2, topi) + strand_off,
+        # all remaining takes ride the MXU (onehot_take_rows): round 1
+        # indexes by topi, round 2 by the derived cd_last, round 3 by the
+        # modal-run slot — 3 small matmuls instead of 6 pathological
+        # take_along gathers (~103 ms -> ~5 ms per 32k batch, exact)
+        # all remaining takes ride the MXU (onehot_take_rows): round 1
+        # indexes by topi, round 2 by the derived cd_last, round 3 by the
+        # modal-run slot — 3 small matmuls instead of 6 pathological
+        # take_along gathers (~103 ms -> ~5 ms per 32k batch, exact)
+        cd_start, last_raw, segs_raw = onehot_take_rows(
+            [flat2, last2, segs2], topi, 2 * nseg)
+        if _stop == "take1":
+            return rcodes, {"a": cd_start}
+        cd_last = jnp.clip(last_raw + strand_off,
                            0, 2 * nseg - 1)          # global last idx
-        cd_stop = take(flat2, cd_last)               # chain max diag
-        win = take(gmax2, cd_last)                   # winner-run meta
+        cd_stop, win = onehot_take_rows([flat2, gmax2], cd_last,
+                                        2 * nseg)
         win_off = 255 - (win & 0xFF)
-        cd_mode_idx = jnp.clip(take(segs2, topi) + win_off, 0, nseg - 1)
-        cd_mode = take(flat2, jnp.clip(cd_mode_idx + strand_off,
-                                       0, 2 * nseg - 1))
+        cd_mode_idx = jnp.clip(segs_raw + win_off, 0, nseg - 1)
+        (cd_mode,) = onehot_take_rows(
+            [flat2], jnp.clip(cd_mode_idx + strand_off, 0, 2 * nseg - 1),
+            2 * nseg)
         cd_votes = topv
         cd_valid = cd_votes > 0
         cd_spread = jnp.where(cd_valid,
