@@ -208,11 +208,88 @@ def _compact_indices(flags, budget: int):
     return -neg
 
 
+# pairing constants (must mirror align/pipeline.py — reference:
+# AbstractMapThread.java:2975-2991)
+MAX_PAIR_DIST = 32000
+OUTER_DIST_MULT = 14
+OUTER_DIST_DIV = 32
+NEG_BOOST = -(2 ** 30)
+DEV_CAP = 1 << 22      # insert-deviation clamp (see pair_boost_device)
+
+
+def pair_boost_device(gl, cand, Bp: int, L1: int, L2: int, apd,
+                      chrom_offsets_d):
+    """Device mirror of the host ``_pair_boost_fixed`` (reference:
+    AbstractMapThread.pairSiteScoresFinal:1919-2100): every candidate of
+    one mate is boosted by the best innie-compatible candidate of the
+    other. ``gl``: (2*Bp, C) raw gapless scores, mate-1 rows then
+    mate-2 rows; ``apd``: traced int32 scalar (the dynamic insert
+    average — traced so its per-batch updates don't recompile).
+
+    All arithmetic in int32: on valid (ok-masked) lanes every
+    intermediate fits comfortably (|inner| <= MAX_PAIR_DIST, scores
+    <= ~2^15, deviation*score <= ~2^30); invalid lanes may wrap but are
+    masked before use. Bit-equal to the host int64 path on ok lanes."""
+    s1 = gl[:Bp]
+    s2 = gl[Bp:]
+    v1 = s1 > -(2 ** 29)
+    v2 = s2 > -(2 ** 29)
+    a_start = cand["start"][:Bp]
+    a_stop = a_start + cand["spread"][:Bp] + (L1 - 1)
+    b_start = cand["start"][Bp:]
+    b_stop = b_start + cand["spread"][Bp:] + (L2 - 1)
+    st1 = cand["strand"][:Bp]
+    st2 = cand["strand"][Bp:]
+    ch1 = jnp.searchsorted(chrom_offsets_d, a_start, side="right")
+    ch2 = jnp.searchsorted(chrom_offsets_d, b_start, side="right")
+    A = lambda x: x[:, :, None]
+    Bx = lambda x: x[:, None, :]
+    opp = A(st1) != Bx(st2)
+    inner = jnp.where(A(st1) == 0, Bx(b_start) - A(a_stop),
+                      A(a_start) - Bx(b_stop))
+    outer = jnp.where(A(st1) == 0, Bx(b_stop) - A(a_start),
+                      A(a_stop) - Bx(b_start))
+    outer_limit = (max(L1, L2) * OUTER_DIST_MULT) // OUTER_DIST_DIV
+    ok = (A(v1) & Bx(v2) & opp & (A(ch1) == Bx(ch2))
+          & (outer >= outer_limit) & (inner <= MAX_PAIR_DIST))
+    expected_frag = apd + (L1 + L2)
+    # DEV_CAP keeps deviation*score inside int32 on ok lanes (inner is
+    # only bounded by the chromosome length on the low side). For
+    # positive mate scores the cap is provably value-preserving:
+    # capped_term >= 12*s2 > mult*s2 >= m, so max(1, m-term) is already
+    # pinned at 1 either way. (Host _pair_boost_fixed applies the same
+    # cap so both paths stay bit-equal.)
+    deviation = jnp.minimum(jnp.abs(apd - jnp.where(ok, inner, 0)),
+                            DEV_CAP)
+    mult1 = min(0.5, max(0.25, L1 / (4.0 * L2)))
+    mult2 = min(0.5, max(0.25, L2 / (4.0 * L1)))
+    denom = jnp.maximum(100, 10 * expected_frag + 100)
+    # float multiply exactly as the host (float64 there; exact for the
+    # power-of-two mults of the equal-length case), trunc toward zero
+    m1 = (Bx(s2).astype(jnp.float32) * jnp.float32(mult1)).astype(I32)
+    m2 = (A(s1).astype(jnp.float32) * jnp.float32(mult2)).astype(I32)
+    p1 = A(s1) + 1 + jnp.maximum(1, m1 - (deviation * Bx(s2)) // denom)
+    p2 = Bx(s2) + 1 + jnp.maximum(1, m2 - (deviation * A(s1)) // denom)
+    neg = jnp.int32(NEG_BOOST)
+    boost1 = jnp.where(ok, p1, neg).max(axis=2)
+    boost2 = jnp.where(ok, p2, neg).max(axis=1)
+    return jnp.concatenate([jnp.maximum(boost1, neg),
+                            jnp.maximum(boost2, neg)], axis=0)
+
+
 def fused_stage(fcfg: FusedConfig, rcodes, starts_d, sites_d, gpack_d,
                 nmask_d, offsets_dyn=None, profile=None,
-                scnt_d=None, _stop_after=None):
+                scnt_d=None, _stop_after=None, pair=None):
     """The full fused program body. rcodes: (B, L) 2-bit read codes
-    (0..3, 4=N). Returns a dict of device arrays (see FusedRun.host)."""
+    (0..3, 4=N). Returns a dict of device arrays (see FusedRun.host).
+
+    ``pair``: optional paired-mode context — rcodes is then the CONCAT
+    of mate-1 and mate-2 rows (2*Bp, L) and the dict carries
+    {"apd": traced int32 scalar, "chrom_offsets": device array,
+    "min_gate": static int}. Pair boost (pair_boost_device) reorders
+    winner selection everywhere downstream; escalation compacts PAIRS so
+    both mates of an escalated pair ride the DP together (reference:
+    BBMapThread.processReadPair:943 scores both mates' retained sites)."""
     cfg = fcfg.qm
     L, G = cfg.L, cfg.G
     C = MAX_CANDIDATES
@@ -225,25 +302,53 @@ def fused_stage(fcfg: FusedConfig, rcodes, starts_d, sites_d, gpack_d,
     rcodes, cand = qd.candidate_stage(cfg, None, starts_d, sites_d,
                                       offsets_dyn=offsets_dyn,
                                       rcodes=rcodes, scnt_d=scnt_d)
-    out_i32, out_match, gl_scores = qd.finalize_stage(
-        cfg, rcodes, cand, gpack_d, nmask_d, return_scores=True)
     B = rcodes.shape[0]
-    meta = out_i32[:, :N_META]
+    if pair is None:
+        out_i32, out_match, gl_scores = qd.finalize_stage(
+            cfg, rcodes, cand, gpack_d, nmask_d, return_scores=True)
+        boosted = gl_scores
+        meta = out_i32[:, :N_META]
+    else:
+        Bp = B // 2
+
+        def boost_fn(scores):
+            boost = pair_boost_device(scores, cand, Bp, L, L,
+                                      pair["apd"],
+                                      pair["chrom_offsets"])
+            return jnp.maximum(scores, boost)
+
+        out_i32, out_match, gl_scores, boosted = qd.finalize_stage(
+            cfg, rcodes, cand, gpack_d, nmask_d, return_scores=True,
+            boost_fn=boost_fn)
+        meta = out_i32[:, :N_META + 1]     # + [eff] column
 
     # --- escalation compaction (reference: AbstractMapThread.java:1252)
     best0 = meta[:, 0]
-    escalate = best0 < fcfg.max_imp
-    esc_idx = _compact_indices(escalate, E)            # (E,) ascending
+    if pair is None:
+        escalate = best0 < fcfg.max_imp
+        esc_idx = _compact_indices(escalate, E)        # (E,) ascending
+    else:
+        # both mates of a pair escalate together (host paired rule)
+        esc_p = (best0[:Bp] < fcfg.max_imp) | (best0[Bp:] < fcfg.max_imp)
+        pidx = _compact_indices(esc_p, E // 2)         # pair indices
+        esc_idx = jnp.concatenate(
+            [pidx, jnp.where(pidx < BIG, pidx + Bp, BIG)])
     esc_valid = esc_idx < BIG
     eidx = jnp.clip(esc_idx, 0, B - 1)
 
-    # top-2 candidates by gapless score (stable, matching the host
-    # np.argsort(-scs, kind='stable') in _escalate_columnar)
+    # top-2 candidates by SELECTION score (raw gapless, or boosted on
+    # the paired path), stable — matching the host argsort in
+    # _escalate_columnar / _repick
     scs = gl_scores[eidx]                              # (E, C)
-    ord_all = jnp.argsort(-scs, axis=1, stable=True)
+    bscs = boosted[eidx] if pair is not None else scs
+    ord_all = jnp.argsort(-bscs, axis=1, stable=True)
     ordc = ord_all[:, :2]
     take2 = lambda a: jnp.take_along_axis(a[eidx], ordc, axis=1)
     g_sc = jnp.take_along_axis(scs, ordc, axis=1)
+    # boost delta carried through the DP competition: eff(slot) =
+    # max(gapless, dp) + (boosted - gapless)
+    delta = jnp.take_along_axis(bscs, ordc, axis=1) - g_sc \
+        if pair is not None else None
     diag = take2(cand["mode"])
     strand = take2(cand["strand"])
     start = take2(cand["start"])
@@ -309,22 +414,25 @@ def fused_stage(fcfg: FusedConfig, rcodes, starts_d, sites_d, gpack_d,
 
     # --- selection (mirrors _escalate_columnar host math exactly)
     eff = jnp.maximum(g_sc, sc_dp)
+    if delta is not None:
+        eff = eff + delta                              # boost carry-over
     w0 = jnp.where(eff[:, 1] > eff[:, 0], 1, 0)        # ties -> slot 0
     ar = jnp.arange(E)
     best_e = eff[ar, w0]
     second_e = eff[ar, 1 - w0]
-    rest = jnp.take_along_axis(scs, ord_all[:, 2:], axis=1)
+    rest = jnp.take_along_axis(bscs, ord_all[:, 2:], axis=1)
     rest_best = rest.max(axis=1) if rest.shape[1] else \
         jnp.full(E, -(2 ** 30), I32)
     second_full = jnp.maximum(second_e, rest_best)
-    n_sites = ((eff >= fcfg.min_score).sum(axis=1)
-               + (rest >= fcfg.min_score).sum(axis=1)).astype(I32)
+    min_gate = fcfg.min_score if pair is None else pair["min_gate"]
+    n_sites = ((eff >= min_gate).sum(axis=1)
+               + (rest >= min_gate).sum(axis=1)).astype(I32)
     wdiag = diag[ar, w0]
     wstrand = strand[ar, w0]
     wws = wstart[ar, w0]
     g_w = g_sc[ar, w0]
     dp_w = sc_dp[ar, w0]
-    mapped_e = best_e >= fcfg.min_score
+    mapped_e = best_e >= min_gate
     if _stop_after == "select":
         return best_e + second_full + n_sites + wdiag + wstrand + wws
 
@@ -471,12 +579,13 @@ class FusedRun:
     """In-flight fused dispatch; .host() blocks and unpacks."""
 
     def __init__(self, outs, L: int, Cn: int, Cw: int,
-                 wn: Optional[int] = None):
+                 wn: Optional[int] = None, n_meta: int = N_META):
         self._outs = outs
         self._L = L
         self._Cn = Cn
         self._Cw = Cw
         self._wn = wn if wn is not None else L + Cn  # narrow sym width
+        self._n_meta = n_meta
         for o in outs:
             try:
                 o.copy_to_host_async()
@@ -498,6 +607,8 @@ class FusedRun:
             "n_good": meta[:, 6],
             "best_match": _UNPACK_LUT[out_match].reshape(B, -1)[:, :L],
         }
+        if self._n_meta > N_META:
+            d["eff"] = meta[:, N_META]       # boosted winner score
         esc = {k: esc_i32[:, i] for i, k in enumerate(ESC_COLS)}
         esc["match"] = _UNPACK_LUT[esc_match].reshape(
             esc_match.shape[0], -1)[:, :L]
@@ -564,4 +675,90 @@ def build_fused(index: KmerIndex, L: int, B: int, chain_dist: int = 400,
         return FusedRun(outs, L, fcfg.Cn, fcfg.Cw, wn=wn)
 
     run.fcfg = fcfg
+    return run
+
+
+def paired_min_gate(profile, L: int, min_ratio: float) -> int:
+    """The relaxed paired-site retention score (reference:
+    AbstractMapThread.java:106 removeLowQualitySitesPaired; host mirror
+    in pipeline._direct_select)."""
+    ratio_paired = max(min_ratio * 0.80, 1 - (1 - min_ratio) * 1.4)
+    return int(profile.max_quality(L) * ratio_paired)
+
+
+def build_fused_pair(index: KmerIndex, L: int, Bp: int,
+                     chrom_offsets: np.ndarray, chain_dist: int = 400,
+                     min_ratio: float = 0.56,
+                     max_list_length: Optional[int] = None,
+                     profile=None):
+    """Paired single-dispatch mapping: both mates' candidates, the pair
+    boost, DP escalation of boosted winners, and traceback in ONE device
+    program (reference: BBMapThread.processReadPair:943 —
+    quickMap x2 -> pairSiteScoresFinal -> scoreSlow -> traceback).
+    Mate rescue runs as a separate small program (ops/rescue_device)
+    because its job set depends on host-side mapping decisions.
+
+    Returns run(bases1, bases2, apd, quality1=None, quality2=None)
+    -> FusedRun over the 2*Bp concatenated rows (mate-1 rows then
+    mate-2 rows). ``apd`` is the dynamic average insert distance
+    (traced scalar — updates never recompile)."""
+    fcfg = make_fused_config(index, L, 2 * Bp, chain_dist, min_ratio,
+                             max_list_length, profile)
+    cfg = fcfg.qm
+    if profile is None:
+        from ..core.constants import SHORT_PROFILE
+        profile = SHORT_PROFILE
+    min_gate = paired_min_gate(profile, L, min_ratio)
+    starts_d, sites_d, gpack_d, nmask_d, _G = device_arrays(index)
+    from .quickmap_device import scnt_array
+    scnt_d = scnt_array(index)
+    choff_d = jax.device_put(np.asarray(chrom_offsets, np.int32))
+    from . import seed as seed_host
+    den2, den3 = seed_host.key_density_ladder(L, index.k)
+
+    def prog(c2a, nma, c2b, nmb, apd, starts_d, sites_d, gpack_d,
+             nmask_d, scnt_d, choff_d):
+        r1 = unpack_reads_device(c2a, nma, L)
+        r2 = unpack_reads_device(c2b, nmb, L)
+        rcodes = jnp.concatenate([r1, r2], axis=0)
+        return fused_stage(fcfg, rcodes, starts_d, sites_d, gpack_d,
+                           nmask_d, scnt_d=scnt_d,
+                           pair={"apd": apd, "chrom_offsets": choff_d,
+                                 "min_gate": min_gate})
+
+    def prog_q(c2a, nma, q1, c2b, nmb, q2, apd, starts_d, sites_d,
+               gpack_d, nmask_d, scnt_d, choff_d):
+        r1 = unpack_reads_device(c2a, nma, L)
+        r2 = unpack_reads_device(c2b, nmb, L)
+        rcodes = jnp.concatenate([r1, r2], axis=0)
+        qual = jnp.concatenate([q1, q2], axis=0)
+        offs = quality_offsets_stage(cfg, qual, den2, den3)
+        return fused_stage(fcfg, rcodes, starts_d, sites_d, gpack_d,
+                           nmask_d, offsets_dyn=offs, scnt_d=scnt_d,
+                           pair={"apd": apd, "chrom_offsets": choff_d,
+                                 "min_gate": min_gate})
+
+    jitted = jax.jit(prog)
+    jitted_q = jax.jit(prog_q)
+
+    def run(bases1, bases2, apd: int, quality1=None, quality2=None
+            ) -> FusedRun:
+        c2a, nma = pack_reads_host(np.ascontiguousarray(bases1[:, :L]))
+        c2b, nmb = pack_reads_host(np.ascontiguousarray(bases2[:, :L]))
+        apd32 = np.int32(apd)
+        if quality1 is None:
+            outs = jitted(c2a, nma, c2b, nmb, apd32, starts_d, sites_d,
+                          gpack_d, nmask_d, scnt_d, choff_d)
+        else:
+            outs = jitted_q(c2a, nma, quality1[:, :L], c2b, nmb,
+                            quality2[:, :L], apd32, starts_d, sites_d,
+                            gpack_d, nmask_d, scnt_d, choff_d)
+        bb_t = _pick_bb(fcfg.T, vmem_cap=128) if _pallas_enabled() \
+            else 0
+        wn = (fcfg.Cn + 16) if bb_t else (L + fcfg.Cn)
+        return FusedRun(outs, L, fcfg.Cn, fcfg.Cw, wn=wn,
+                        n_meta=N_META + 1)
+
+    run.fcfg = fcfg
+    run.min_gate = min_gate
     return run

@@ -554,16 +554,40 @@ class BBMapAligner:
         escalate = best0 < max_imp
         d.setdefault("_bases", batch.bases)
         self._direct_fill_columnar(batch, L, d, mb, ~escalate)
+        E = len(d["_esc"]["idx"])
+        over = np.nonzero(escalate)[0][E:]           # esc budget overflow
+        fallback, applied = self._apply_fused_esc(batch, L, d, mb, over)
+        if len(fallback):
+            self._refit_rows(batch, L, fallback, mb)
+        still = applied[~mb.mapped[applied]]
+        if self.maxindel > self.chain_dist and len(still):
+            proxy = _ResultsProxy()
+            self._long_indel_pass(batch, L, still.astype(np.int64),
+                                  proxy)
+            if proxy.store:
+                mb.absorb_objects(proxy.store)
+        return mb
+
+    def _apply_fused_esc(self, batch: ReadBatch, L: int, d: dict,
+                         mb: MappedBatch, overflow_rows: np.ndarray,
+                         paired: bool = False):
+        """Apply a fused dispatch's escalation + trace blocks to ``mb``.
+        ``overflow_rows``: escalated rows that did not fit the device
+        budget (caller computes — pair and single compaction differ).
+        Returns (fallback_rows, applied_rows). ``paired``: the device
+        best is the pair-BOOSTED winner score; mapping then follows the
+        host paired retention rule (raw winner score vs the relaxed
+        paired ratio when the boost decided the winner —
+        pipeline._direct_select, reference: AbstractMapThread.java:106)."""
         esc = d["_esc"]
         tr = d["_trace"]
         eidx = esc["idx"].astype(np.int64)
         valid = eidx < 2 ** 30
         E = len(eidx)
-        n_esc = int(escalate.sum())
 
         fallback = []
-        if n_esc > E:
-            fallback.append(np.nonzero(escalate)[0][E:])
+        if len(overflow_rows):
+            fallback.append(overflow_rows)
         fb = esc["fb"].astype(bool) & valid
         if fb.any():
             fallback.append(eidx[fb])
@@ -573,8 +597,21 @@ class BBMapAligner:
         seconda = esc["second"].astype(np.int64)
         max_sw = self.profile.max_quality(L)
         min_score = int(max_sw * self.min_ratio)
-        mapped = app & (besta >= min_score)
-        perfect = besta >= max_sw
+        if paired:
+            raweff = np.maximum(esc["g_w"], esc["dp_w"]).astype(np.int64)
+            ratio_paired = max(self.min_ratio * 0.80,
+                               1 - (1 - self.min_ratio) * 1.4)
+            min_paired = int(max_sw * ratio_paired)
+            mapped = app & np.where(besta > raweff,
+                                    raweff >= min_paired,
+                                    raweff >= min_score)
+            # perfection is a property of the RAW alignment, not the
+            # boosted selection value (a boost past max_sw must not
+            # fake NM:i:0 / perfect)
+            perfect = raweff >= max_sw
+        else:
+            mapped = app & (besta >= min_score)
+            perfect = besta >= max_sw
         cz = self._czvec(besta, max_sw, perfect)
         ambiguous = (seconda > -(2 ** 29)) & (besta - seconda < cz)
         toss = self.ambig_mode == "toss"
@@ -637,18 +674,10 @@ class BBMapAligner:
                 tr["col"][tsel].astype(np.int32), L)
 
         if fallback:
-            fb = np.unique(np.concatenate(fallback)).astype(np.int64)
-            self._refit_rows(batch, L, fb, mb)
-
-        applied = eidx[app]
-        still = applied[~mb.mapped[applied]]
-        if self.maxindel > self.chain_dist and len(still):
-            proxy = _ResultsProxy()
-            self._long_indel_pass(batch, L, still.astype(np.int64),
-                                  proxy)
-            if proxy.store:
-                mb.absorb_objects(proxy.store)
-        return mb
+            fb_rows = np.unique(np.concatenate(fallback)).astype(np.int64)
+        else:
+            fb_rows = np.zeros(0, np.int64)
+        return fb_rows, eidx[app]
 
     def _refit_rows(self, batch: ReadBatch, L: int, rows: np.ndarray,
                     mb: MappedBatch) -> None:
@@ -1084,6 +1113,11 @@ class BBMapAligner:
         B = b1.size
         res1 = [MappedRead() for _ in range(B)]
         res2 = [MappedRead() for _ in range(B)]
+        mbs = self.map_pairs_columnar(b1, b2)
+        if mbs is not None:
+            mbs[0].fill_objects(res1)
+            mbs[1].fill_objects(res2)
+            return res1, res2
         l1 = np.unique(b1.lengths)
         l2 = np.unique(b2.lengths)
         if len(l1) != 1 or len(l2) != 1:
@@ -1142,7 +1176,12 @@ class BBMapAligner:
               & (outer >= outer_limit) & (inner <= MAX_PAIR_DIST))
         apd = int(self.average_pair_dist)
         expected_frag = apd + L1 + L2
-        deviation = np.abs(apd - inner)
+        # deviation cap mirrors fused_device.pair_boost_device (int32
+        # overflow guard there; value-preserving for positive mate
+        # scores — see DEV_CAP note there)
+        from .fused_device import DEV_CAP
+        deviation = np.minimum(np.abs(apd - np.where(ok, inner, 0)),
+                               DEV_CAP)
         mult1 = min(0.5, max(0.25, L1 / (4.0 * L2)))
         mult2 = min(0.5, max(0.25, L2 / (4.0 * L1)))
         denom = max(100, 10 * expected_frag + 100)
@@ -1186,15 +1225,20 @@ class BBMapAligner:
         lists in order."""
         pending = None
         for b1, b2 in pairs:
-            l1 = np.unique(b1.lengths)
-            l2 = np.unique(b2.lengths)
+            Lp = self._can_pair_columnar(b1, b2)
             item = None
-            if len(l1) == 1 and len(l2) == 1 and self.device_quickmap:
-                L1, L2 = int(l1[0]), int(l2[0])
-                if L1 >= self.index.k and L2 >= self.index.k:
-                    h1 = self._qm_dispatch(b1, L1)
-                    h2 = self._qm_dispatch(b2, L2)
-                    item = (b1, b2, L1, L2, h1, h2)
+            if Lp is not None:
+                item = (b1, b2, Lp, self._fused_pair_dispatch(b1, b2,
+                                                              Lp))
+            if item is None:
+                l1 = np.unique(b1.lengths)
+                l2 = np.unique(b2.lengths)
+                if len(l1) == 1 and len(l2) == 1 and self.device_quickmap:
+                    L1, L2 = int(l1[0]), int(l2[0])
+                    if L1 >= self.index.k and L2 >= self.index.k:
+                        h1 = self._qm_dispatch(b1, L1)
+                        h2 = self._qm_dispatch(b2, L2)
+                        item = (b1, b2, L1, L2, h1, h2)
             if item is None:
                 item = (b1, b2)
             if pending is not None:
@@ -1206,6 +1250,15 @@ class BBMapAligner:
     def _finish_pair_item(self, item):
         if len(item) == 2:
             return self.map_pairs(item[0], item[1])
+        if len(item) == 4:
+            b1, b2, Lp, f = item
+            mb1, mb2 = self._columnar_pair_from_fused(b1, b2, Lp,
+                                                      f.host())
+            res1 = [MappedRead() for _ in range(b1.size)]
+            res2 = [MappedRead() for _ in range(b2.size)]
+            mb1.fill_objects(res1)
+            mb2.fill_objects(res2)
+            return res1, res2
         b1, b2, L1, L2, h1, h2 = item
         B = b1.size
         res1 = [MappedRead() for _ in range(B)]
@@ -1256,6 +1309,431 @@ class BBMapAligner:
         self._rescue(b1, b2, L1, L2, res1, res2)
         self._set_pair_flags(res1, res2, L1, L2)
         return res1, res2
+
+    # ------------------------------------------------------------------
+    # fused paired device path (single dispatch per pair batch)
+    # ------------------------------------------------------------------
+
+    def _fused_pair_dispatch(self, b1: ReadBatch, b2: ReadBatch, L: int):
+        """Dispatch both mates through the fused paired program
+        (align/fused_device.build_fused_pair) — candidates, pair boost,
+        DP escalation and traceback in ONE device program."""
+        from . import fused_device as fdev
+        key = ("pair", L, b1.size)
+        f = self._fused_cache.get(key)
+        if f is None:
+            f = fdev.build_fused_pair(
+                self.index, L, b1.size, self.chrom_offsets,
+                chain_dist=self.chain_dist, min_ratio=self.min_ratio,
+                profile=self.profile)
+            self._fused_cache[key] = f
+        q1 = b1.quality
+        q2 = b2.quality
+        return f(b1.bases, b2.bases, int(self.average_pair_dist),
+                 q1, q2)
+
+    def _can_pair_columnar(self, b1: ReadBatch, b2: ReadBatch):
+        l1 = np.unique(b1.lengths)
+        l2 = np.unique(b2.lengths)
+        if not (self.device_quickmap and self._use_fused()
+                and self.maxindel > 0 and len(l1) == 1 and len(l2) == 1):
+            return None
+        L1, L2 = int(l1[0]), int(l2[0])
+        if L1 != L2 or L1 < self.index.k:
+            return None
+        if (b1.quality is None) != (b2.quality is None):
+            return None
+        return L1
+
+    def map_pairs_columnar(self, b1: ReadBatch, b2: ReadBatch):
+        """Columnar paired fast path: one fused device dispatch for the
+        pair batch + one small device rescue dispatch. Returns
+        (mb1, mb2) MappedBatches, or None when the batch shapes don't
+        qualify (caller falls back to map_pairs)."""
+        L = self._can_pair_columnar(b1, b2)
+        if L is None:
+            return None
+        f = self._fused_pair_dispatch(b1, b2, L)
+        return self._columnar_pair_from_fused(b1, b2, L, f.host())
+
+    def _columnar_pair_from_fused(self, b1: ReadBatch, b2: ReadBatch,
+                                  L: int, d: dict):
+        """Assemble (mb1, mb2) from the fused paired dispatch: direct
+        fill with boosted eff/second, escalation/trace application with
+        the paired retention rule, host fallback by PAIR, device mate
+        rescue, and columnar pair flags."""
+        B = b1.size
+        vbases = np.vstack([b1.bases[:, :L], b2.bases[:, :L]])
+        vbatch = ReadBatch(
+            bases=vbases, quality=None,
+            lengths=np.full(2 * B, L, np.int32),
+            ids=b1.ids + b2.ids,
+            numeric_ids=np.arange(2 * B, dtype=np.int64))
+        mb = MappedBatch(2 * B, L)
+        max_imp = self.profile.max_imperfect_score(L)
+        best0 = d["best_score"].astype(np.int64)
+        esc_p = (best0[:B] < max_imp) | (best0[B:] < max_imp)
+        escalate = np.concatenate([esc_p, esc_p])
+        d.setdefault("_bases", vbases)
+        self._direct_fill_columnar(
+            vbatch, L, d, mb, ~escalate,
+            scored=d["eff"].astype(np.int64),
+            second=d["second_score"].astype(np.int64))
+        Ep = len(d["_esc"]["idx"]) // 2
+        over_pairs = np.nonzero(esc_p)[0][Ep:]
+        over_rows = np.concatenate([over_pairs, over_pairs + B])
+        fallback, applied = self._apply_fused_esc(
+            vbatch, L, d, mb, over_rows, paired=True)
+        # long-indel tail on still-unmapped applied rows (same as the
+        # single fused path)
+        still = applied[~mb.mapped[applied]]
+        if self.maxindel > self.chain_dist and len(still):
+            proxy = _ResultsProxy()
+            self._long_indel_pass(vbatch, L, still.astype(np.int64),
+                                  proxy)
+            if proxy.store:
+                mb.absorb_objects(proxy.store)
+        mb1 = self._mb_slice(mb, 0, B, L)
+        mb2 = self._mb_slice(mb, B, 2 * B, L)
+        if len(fallback):
+            pair_ids = np.unique(fallback % B)
+            self._refit_pairs(b1, b2, L, pair_ids, mb1, mb2)
+        self._rescue_columnar(b1, b2, L, L, mb1, mb2)
+        self._set_pair_flags_columnar(mb1, mb2, L, L)
+        return mb1, mb2
+
+    @staticmethod
+    def _mb_slice(mb: MappedBatch, lo: int, hi: int,
+                  L: int) -> MappedBatch:
+        """View-slice a MappedBatch row range (shares the column
+        buffers)."""
+        out = MappedBatch.__new__(MappedBatch)
+        out.size = hi - lo
+        for f in ("mapped", "strand", "chrom", "start", "stop", "score",
+                  "ambiguous", "perfect", "paired", "rescued",
+                  "n_sites", "match_is_row"):
+            setattr(out, f, getattr(mb, f)[lo:hi])
+        out.match_rows = None if mb.match_rows is None \
+            else mb.match_rows[lo:hi]
+        out.match_override = {
+            i - lo: v for i, v in mb.match_override.items()
+            if lo <= i < hi}
+        return out
+
+    def _refit_pairs(self, b1: ReadBatch, b2: ReadBatch, L: int,
+                     pair_ids: np.ndarray, mb1: MappedBatch,
+                     mb2: MappedBatch) -> None:
+        """Re-map fallback pairs through the host paired path (unfused
+        quickmap + host escalation + host rescue) and merge."""
+        n = len(pair_ids)
+        P = _bucket_pad(n)
+
+        def sub(b):
+            bases = np.full((P, b.bases.shape[1]), ord("N"), np.uint8)
+            bases[:n] = b.bases[pair_ids]
+            qual = None
+            if b.quality is not None:
+                qual = np.zeros((P, b.quality.shape[1]), np.int8)
+                qual[:n] = b.quality[pair_ids]
+            return ReadBatch(
+                bases=bases, quality=qual,
+                lengths=np.full(P, L, np.int32),
+                ids=[b.ids[int(r)] for r in pair_ids] + [""] * (P - n),
+                numeric_ids=np.arange(P, dtype=np.int64))
+
+        res1, res2 = self._map_pairs_device(
+            sub(b1), sub(b2), L, L,
+            [MappedRead() for _ in range(P)],
+            [MappedRead() for _ in range(P)])
+        for t, pid in enumerate(pair_ids):
+            for mbx, r in ((mb1, res1[t]), (mb2, res2[t])):
+                i = int(pid)
+                mbx.mapped[i] = r.mapped
+                mbx.strand[i] = r.strand
+                mbx.chrom[i] = r.chrom
+                mbx.start[i] = r.start
+                mbx.stop[i] = r.stop
+                mbx.score[i] = r.score
+                mbx.ambiguous[i] = r.ambiguous
+                mbx.perfect[i] = r.perfect
+                mbx.paired[i] = r.paired
+                mbx.rescued[i] = r.rescued
+                mbx.n_sites[i] = r.n_sites
+                mbx.match_is_row[i] = False
+                mbx.match_override[i] = r.match
+
+    def _rescue_programs(self, Lm: int, R: int):
+        from ..ops import rescue_device
+        key = ("rescue", Lm, R)
+        f = self._fused_cache.get(key)
+        if f is None:
+            f = rescue_device.build_rescue(self.index, Lm, R)
+            self._fused_cache[key] = f
+        return f
+
+    def _rescue_columnar(self, b1, b2, L1: int, L2: int,
+                         mb1: MappedBatch, mb2: MappedBatch) -> None:
+        """Columnar mate rescue: job construction vectorized, the
+        quickRescue scan on device (ops/rescue_device — bit-equal to the
+        host oracle), slowRescue gapless re-score vectorized, DP
+        escalation of imperfect rescues through the bucketed batch DP.
+        Semantics mirror ``_rescue`` (reference:
+        AbstractMapThread.rescue:1144-1250)."""
+        from ..core.bases import COMP_ASCII
+        from . import gapless
+
+        if self._mapped_retained > 1000 and \
+                self._num_mated * 20 < self._mapped_retained:
+            return
+        apd = int(self.average_pair_dist)
+        search_dist = min(MAX_PAIR_DIST, 2 * apd + 100)
+        if search_dist > MAX_RESCUE_DIST:
+            return
+
+        jobs = []      # (mb_target, row, mate_read_ascii, lo, n,
+        #                 ideal_k, right, max_mm, strand, anchor_mb)
+        for which, (amb, mmb, bm, Lm, La) in (
+                (2, (mb1, mb2, b2, L2, L1)),
+                (1, (mb2, mb1, b1, L1, L2))):
+            rows = np.nonzero(amb.mapped & ~mmb.mapped)[0]
+            if not len(rows):
+                continue
+            a_chrom = amb.chrom[rows].astype(np.int64)
+            a_start = amb.start[rows].astype(np.int64)
+            a_stop = amb.stop[rows].astype(np.int64)
+            a_strand = amb.strand[rows].astype(np.int64)
+            anchor_flat = self.chrom_offsets[a_chrom - 1] + a_start
+            span = a_stop - a_start
+            search_into = (span - 1) + (La * 11) // 16
+            strand0 = a_strand == 0
+            loc = np.where(strand0,
+                           anchor_flat + span - search_into,
+                           anchor_flat + search_into)
+            ideal = np.where(strand0, anchor_flat + span + apd,
+                             anchor_flat - apd)
+            total = search_dist + search_into
+            ch_lo = self.chrom_offsets[a_chrom - 1]
+            ch_hi = np.where(
+                a_chrom < len(self.chrom_offsets) - 1,
+                self.chrom_offsets[np.minimum(
+                    a_chrom, len(self.chrom_offsets) - 1)],
+                len(self.codes_ascii))
+            lo = np.where(strand0, np.maximum(ch_lo, loc),
+                          np.maximum(ch_lo, loc - total))
+            hi = np.where(strand0, np.minimum(ch_hi - Lm, loc + total),
+                          np.minimum(ch_hi - Lm, loc))
+            n = hi - lo + 1
+            max_mm = min(MAX_RESCUE_MISMATCHES, int(0.60 * Lm - 1))
+            for t, row in enumerate(rows):
+                if n[t] <= 0:
+                    continue
+                raw = bm.bases[row, :Lm]
+                mate_read = COMP_ASCII[raw][::-1] if strand0[t] else raw
+                jobs.append((which, int(row), mate_read, int(lo[t]),
+                             int(n[t]), int(ideal[t] - lo[t]),
+                             bool(strand0[t]), max_mm,
+                             0 if not strand0[t] else 1))
+        if not jobs:
+            return
+
+        from .quickmap_device import _B2C
+        Lm = L2   # L1 == L2 on this path
+        N_OFF = 1536
+        dev_jobs: list = []
+        host_jobs: list = []
+        for j in jobs:
+            if self.device_quickmap and j[4] <= N_OFF:
+                dev_jobs.append(j)
+            else:
+                host_jobs.append(j)
+        results = {}   # (which, row) -> (job, start_flat, mm)
+        if dev_jobs:
+            R = _bucket_pad(len(dev_jobs))
+            rescue = self._rescue_programs(Lm, R)
+            reads_c = np.full((R, Lm), 4, np.uint8)
+            lo_a = np.zeros(R, np.int32)
+            n_a = np.zeros(R, np.int32)
+            ik_a = np.zeros(R, np.int32)
+            rt_a = np.zeros(R, bool)
+            mm_a = np.full(R, -1, np.int32)
+            for t, (which, row, mate_read, lo_t, n_t, ik, right,
+                    max_mm, mstrand) in enumerate(dev_jobs):
+                reads_c[t] = _B2C[mate_read]
+                lo_a[t] = lo_t
+                n_a[t] = n_t
+                ik_a[t] = ik
+                rt_a[t] = right
+                mm_a[t] = max_mm
+            best_k, min_mm = rescue(reads_c, lo_a, n_a, ik_a, rt_a,
+                                    mm_a)
+            for t, job in enumerate(dev_jobs):
+                which, row = job[0], job[1]
+                bk = int(best_k[t])
+                if bk < 0:
+                    continue
+                n_t, right = job[4], job[6]
+                start = (lo_a[t] + bk) if right \
+                    else (lo_a[t] + (n_t - 1) - bk)
+                results[(which, row)] = (job, int(start),
+                                         int(min_mm[t]))
+        for job in host_jobs:
+            which, row, mate_read, lo_t, n_t, ik, right, max_mm, \
+                mstrand = job
+            found = self._quick_rescue(
+                mate_read, lo_t if right else lo_t + n_t - 1,
+                n_t - 1, right, ik + lo_t, max_mm,
+                int((mb1 if which == 2 else mb2).chrom[row]))
+            if found is not None:
+                results[(which, row)] = (job, int(found[0]),
+                                         int(found[1]))
+
+        if not results:
+            return
+        # slowRescue: vectorized gapless re-score of every found site
+        recs = list(results.values())
+        g = self.codes_ascii
+        max_mm_v = np.array([r[0][7] for r in recs])
+        mm_v = np.array([r[2] for r in recs])
+        ok0 = mm_v <= max_mm_v
+        reads_m = np.stack([r[0][2] for r in recs])
+        diag_v = np.array([r[1] for r in recs], np.int64)
+        scores = gapless.score_no_indels_flat(
+            reads_m, np.full(len(recs), Lm), g, diag_v, self.profile)
+        max_sw = self.profile.max_quality(Lm)
+        max_imp = self.profile.max_imperfect_score(Lm)
+        retain = int(0.4 * max_sw)
+        retain2 = int(0.55 * max_sw)
+
+        start_flat = diag_v.copy()
+        stop_flat = diag_v + Lm - 1
+        match_v: list = [None] * len(recs)
+        score_v = scores.astype(np.int64)
+        dp_rows = np.nonzero(ok0 & (score_v < max_imp))[0] \
+            if self.maxindel > 0 else np.zeros(0, np.int64)
+        if len(dp_rows):
+            # slowRescue DP, batched (host _rescue runs the numpy oracle
+            # per job — same DP family, parity-tested in tests/test_msa)
+            pad = SLOW_ALIGN_PADDING + 6
+            C = Lm + 2 * pad
+            chunk = _bucket_pad(len(dp_rows))
+            reads_b = np.full((chunk, Lm), ord("N"), np.uint8)
+            refs_b = np.full((chunk, C), ord("N"), np.uint8)
+            for s_i, t in enumerate(dp_rows):
+                reads_b[s_i] = reads_m[t]
+                refs_b[s_i] = self._window(int(diag_v[t]) - pad, C)
+            sym, ln, gaps, sc, col, st = msa_jax.msa_align_batch(
+                reads_b, refs_b, Lm, C, self.profile)
+            sym, ln, gaps, sc, col = _fetch([sym, ln, gaps, sc, col])
+            for s_i, t in enumerate(dp_rows):
+                if int(sc[s_i]) > score_v[t]:
+                    mmatch = msa_jax.finish_match(
+                        sym[s_i], int(ln[s_i]), int(gaps[s_i]))
+                    refc = sum(1 for ch in mmatch if ch in b"mSDN-")
+                    ws = int(diag_v[t]) - pad
+                    score_v[t] = int(sc[s_i])
+                    start_flat[t] = ws + int(col[s_i]) - refc
+                    stop_flat[t] = ws + int(col[s_i]) - 1
+                    match_v[t] = mmatch
+
+        keep = ok0 & (score_v > retain)
+        rows_k = np.nonzero(keep)[0]
+        if len(rows_k):
+            nomatch = [t for t in rows_k if match_v[t] is None]
+            if nomatch:
+                refs = gapless.gather_ref_rows(
+                    g, start_flat[np.array(nomatch)], Lm)
+                mats = gapless.gen_match_no_indels_batch(
+                    reads_m[np.array(nomatch)], refs)
+                for s_i, t in enumerate(nomatch):
+                    match_v[t] = bytes(mats[s_i])
+        for t in rows_k:
+            job, _, mmv = recs[t]
+            which, row = job[0], job[1]
+            mmb = mb2 if which == 2 else mb1
+            amb = mb1 if which == 2 else mb2
+            mmb.mapped[row] = True
+            mmb.rescued[row] = True
+            mmb.strand[row] = 1 if job[6] else 0   # right => anchor fwd
+            mmb.score[row] = score_v[t]
+            mmb.perfect[row] = score_v[t] >= max_sw
+            mmb.ambiguous[row] = False
+            mmb.n_sites[row] = 1
+            chrom, lloc = self._chrom_of(int(start_flat[t]))
+            mmb.chrom[row] = chrom
+            mmb.start[row] = lloc
+            mmb.stop[row] = lloc + int(stop_flat[t] - start_flat[t])
+            mmb.match_is_row[row] = False
+            mmb.match_override[int(row)] = bytes(match_v[t])
+            if score_v[t] > retain2:
+                mmb.paired[row] = True
+                amb.paired[row] = True
+
+    def _set_pair_flags_columnar(self, mb1: MappedBatch,
+                                 mb2: MappedBatch, L1: int,
+                                 L2: int) -> None:
+        """Vectorized canPair + running insert model (mirrors
+        _set_pair_flags; reference: AbstractMapThread.canPair:2098)."""
+        outer_limit = (max(L1, L2) * OUTER_DIST_MULT) // OUTER_DIST_DIV
+        both = (mb1.mapped & mb2.mapped & (mb1.chrom == mb2.chrom)
+                & (mb1.strand != mb2.strand))
+        s0 = mb1.strand == 0
+        inner = np.where(s0, mb2.start - mb1.stop, mb1.start - mb2.stop)
+        outer = np.where(s0, mb2.stop - mb1.start, mb1.stop - mb2.start)
+        ok = both & (outer >= outer_limit) & (inner <= MAX_PAIR_DIST)
+        mb1.paired |= ok
+        mb2.paired |= ok
+        inner_cl = np.clip(inner[ok], MIN_PAIR_DIST, MAX_PAIR_DIST)
+        self._mapped_retained += int(mb1.mapped.sum()) \
+            + int(mb2.mapped.sum())
+        self._num_mated += 2 * int(ok.sum())
+        self._inner_sum += int(inner_cl.sum())
+        if ok.any() and self._num_mated > 2000:
+            self.average_pair_dist = (
+                self._inner_sum * 2.0 / self._num_mated)
+
+    def map_pairs_columnar_stream(self, pairs):
+        """Streaming columnar paired mapping: batch N+1's fused pair
+        dispatch reaches the device before batch N finalizes. Yields
+        (mb1, mb2); pairs that can't take the device path yield via the
+        object path converted to columns."""
+        pending = None
+        for b1, b2 in pairs:
+            L = self._can_pair_columnar(b1, b2)
+            if L is not None:
+                item = (b1, b2, L, self._fused_pair_dispatch(b1, b2, L))
+            else:
+                item = (b1, b2)
+            if pending is not None:
+                yield self._finish_pair_columnar(pending)
+            pending = item
+        if pending is not None:
+            yield self._finish_pair_columnar(pending)
+
+    def _finish_pair_columnar(self, item):
+        if len(item) == 4:
+            b1, b2, L, f = item
+            return self._columnar_pair_from_fused(b1, b2, L, f.host())
+        b1, b2 = item
+        res1, res2 = self.map_pairs(b1, b2)
+        mbs = []
+        for b, res in ((b1, res1), (b2, res2)):
+            mbo = MappedBatch(b.size, int(b.lengths.max())
+                              if b.size else 0)
+            for i, r in enumerate(res):
+                mbo.mapped[i] = r.mapped
+                mbo.strand[i] = r.strand
+                mbo.chrom[i] = r.chrom
+                mbo.start[i] = r.start
+                mbo.stop[i] = r.stop
+                mbo.score[i] = r.score
+                mbo.ambiguous[i] = r.ambiguous
+                mbo.perfect[i] = r.perfect
+                mbo.paired[i] = r.paired
+                mbo.rescued[i] = r.rescued
+                mbo.n_sites[i] = r.n_sites
+                mbo.match_override[i] = r.match
+            mbs.append(mbo)
+        return mbs[0], mbs[1]
 
     def _quick_rescue(self, mate_read: np.ndarray, loc: int,
                       search_dist: int, search_right: bool, ideal: int,

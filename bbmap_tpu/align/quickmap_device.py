@@ -816,11 +816,17 @@ def candidate_stage(cfg: QmConfig, bases, starts_d, sites_d,
 
 
 def finalize_stage(cfg: QmConfig, rcodes, cand, gpack_d, nmask_d,
-                   return_scores: bool = False):
+                   return_scores: bool = False, boost_fn=None):
     """Steps 6-7: gapless scoring of the candidate table at each modal
     diagonal + best/second selection + packed match symbols. ``cand`` is
     the dict produced by candidate_stage (possibly merged across index
-    shards). Returns (out_i32 (B, N_META + 5K), out_match packed)."""
+    shards). Returns (out_i32 (B, N_META + 5K), out_match packed).
+
+    ``boost_fn(scores) -> sel``: optional selection-score override (the
+    paired path passes the pair-boost; reference:
+    AbstractMapThread.pairSiteScoresFinal:1919). Winner/second selection
+    and the match block follow ``sel``; best_score stays the raw gapless
+    score of the selected slot and meta gains an [eff] column."""
     L, G, min_score = cfg.L, cfg.G, cfg.min_score
     INVALID = jnp.int32(2 ** 30)
     L4 = (L + 3) // 4
@@ -848,14 +854,19 @@ def finalize_stage(cfg: QmConfig, rcodes, cand, gpack_d, nmask_d,
                                      cfg.profile)       # (B, C)
         scores = jnp.where(cd_valid, scores, -(2 ** 30))
 
+        # optional selection-score override (paired path: pair boost) —
+        # ordering/winner selection follow ``sel``, the reported
+        # best_score stays the RAW gapless score of the selected slot
+        # (mirrors the host _repick semantics, pipeline._repick)
+        sel = scores if boost_fn is None else boost_fn(scores)
         # per-read best/second (deterministic: score desc, then slot order,
         # slots already sorted by votes desc then segment order)
-        order = jnp.argsort(-scores, axis=1, stable=True)
+        order = jnp.argsort(-sel, axis=1, stable=True)
         o0 = order[:, 0:1]
         o1 = order[:, 1:2]
         g1 = lambda a, o: jnp.take_along_axis(a, o, axis=1)[:, 0]
         best_score = g1(scores, o0)
-        second_score = g1(scores, o1)
+        second_score = g1(sel, o1)
         n_good = jnp.sum(scores >= min_score, axis=1).astype(I32)
 
         # match symbols of the best site: 2-bit codes 0=m 1=S 2=N
@@ -878,8 +889,16 @@ def finalize_stage(cfg: QmConfig, rcodes, cand, gpack_d, nmask_d,
             scores.astype(I32), cd_mode, cd_strand, cd_start,
             cd_spread.astype(I32)], axis=1).reshape(
                 B, N_CFIELD * cd_votes.shape[1])
+        if boost_fn is not None:
+            # paired path appends [eff (boosted winner score)] so the
+            # host can apply clearzone on boosted values
+            meta_cols = jnp.concatenate(
+                [meta_cols, g1(sel, o0).astype(I32)[:, None]], axis=1)
         out_i32 = jnp.concatenate([meta_cols, cand_block], axis=1)
         if return_scores:
+            if boost_fn is not None:
+                return out_i32, out_match, scores.astype(I32), \
+                    sel.astype(I32)
             return out_i32, out_match, scores.astype(I32)
         return out_i32, out_match
 

@@ -1,39 +1,37 @@
-"""Benchmark: reads/s/chip mapping synthetic 2x150 bp reads to an
+"""Benchmark: reads/s/chip mapping synthetic PAIRED 2x150 bp reads to an
 E. coli-scale genome (the BASELINE.json north-star metric).
 
 Runs on whatever jax.devices() provides (real TPU chip under the driver).
 Prints ONE JSON line (the final line of stdout).
 
 Baseline: the reference publishes no numeric throughput table
-(BASELINE.md); the figure used here is 30,000 reads/s for single-node Java
-BBMap on 2x150bp vs E. coli with 32 threads, a mid-range estimate of the
-poster-era "similar in speed to bwa" claim (BASELINE.md rows 1-2).
-vs_baseline = value / 30000.
+(BASELINE.md); the figure used here is 30,000 reads/s for single-node
+Java BBMap on 2x150bp vs E. coli with 32 threads, a mid-range estimate
+of the poster-era "similar in speed to bwa" claim (BASELINE.md rows
+1-2). vs_baseline = value / 30000.
 
-Workload honesty (VERDICT r1 "the bench flatters the mapper"): the genome
-is E. coli-sized with implanted repeat families (7x 5 kbp rRNA-like
-operons, 20x 1.2 kbp IS-element-like, 30x 700 bp diverged copies) so
-k-mer site lists are NOT uniformly short; reads carry substitutions AND
-1-10 bp indels; `sensitivity` reports the strict-correct fraction
-(mapped within +-20 bp of the sampled origin, gradesam-strict style,
-reference: align2/GradeSamFile.java:17).
+Workload honesty (VERDICT r3 #2 — the round-3 bench mapped single-ended
+reads under a paired metric name): the timed loop now maps PAIRS through
+``map_pairs_columnar_stream`` — pair boost, DP escalation, device mate
+rescue, proper-pair flags, and the dynamic insert model all run inside
+the measurement. The genome carries implanted repeat families (7x 5 kbp,
+20x 1.2 kbp, 30x 700 bp at 1% divergence); reads carry substitutions AND
+1-10 bp indels; inserts ~N(250, 45). ``value`` is the MEDIAN of timed
+rounds (VERDICT r3 weak #2 — best-of is kept as ``value_best``);
+``sensitivity`` is the strict-correct fraction over BOTH mates (mapped
+within +-20 bp of the sampled origin, gradesam-strict style, reference:
+align2/GradeSamFile.java:17).
 
-Robustness (VERDICT r2 weak #1: the round-2 bench timed out under the
-driver — the remote XLA compile service has 10-20x latency variance, so
-a single big-batch cold compile can take 30 s one day and 9 minutes the
-next): the bench is PHASED with a hard deadline.
-
-* Phase A maps a small batch (cheap, fast-compiling programs) and banks
-  an honest reads/s number within ~2 minutes worst-case.
-* Phase B compiles the full-size batch programs and re-measures; its
-  (higher) number replaces phase A's if it completes.
-* A watchdog thread prints the best banked result and exits 0 when
-  BENCH_DEADLINE (default 250 s) approaches, so the driver ALWAYS
-  captures a number regardless of compile-service weather.
+Robustness: phased with a hard deadline (BENCH_DEADLINE, default 250 s)
+— the remote XLA compile service has 10-20x latency variance, so phase A
+banks an honest small-batch number while the full-size programs compile
+concurrently in a warm thread; a watchdog emits the best banked result
+and exits 0 at the deadline.
 """
 
 import json
 import os
+import statistics
 import sys
 import threading
 import time
@@ -65,9 +63,6 @@ def _bank(res):
     with _best_lock:
         if _best_result is None or res["value"] > _best_result["value"]:
             _best_result = res
-    # past the deadline the watchdog emits the first banked result; the
-    # bank from the measuring thread races it benignly (emit is
-    # idempotent under _printed)
 
 
 def _watchdog(deadline_s: float):
@@ -115,23 +110,15 @@ def make_genome(n=4_600_000, seed=7):
     return g
 
 
-def make_reads(genome, n_reads, L=150, seed=11):
-    """Sample reads with truth starts. Error model: ~78% clean, 12% with
-    1-3 substitutions, 5% with one 1-10 bp deletion, 5% with one 1-10 bp
-    insertion; half reverse-complemented. Returns (reads (N, L) uint8
-    ASCII, truth_start (N,) int64)."""
-    from bbmap_tpu.core.bases import COMP_ASCII
-    rng = np.random.default_rng(seed)
-    W = L + 12
-    starts = rng.integers(0, len(genome) - W, size=n_reads)
-    idx = starts[:, None] + np.arange(W)[None, :]
-    windows = genome[idx]
-    reads = windows[:, :L].copy()
+def _mutate(reads, windows, rng, L):
+    """~78% clean, 12% 1-3 subs, 5% one 1-10 bp deletion, 5% one
+    1-10 bp insertion (per mate)."""
+    n_reads = len(reads)
+    bases = np.frombuffer(b"ACGT", np.uint8)
     r = rng.random(n_reads)
     sub_rows = np.nonzero((r >= 0.78) & (r < 0.90))[0]
     del_rows = np.nonzero((r >= 0.90) & (r < 0.95))[0]
     ins_rows = np.nonzero(r >= 0.95)[0]
-    bases = np.frombuffer(b"ACGT", np.uint8)
     for i in sub_rows:
         for _ in range(int(rng.integers(1, 4))):
             p = int(rng.integers(0, L))
@@ -147,74 +134,103 @@ def make_reads(genome, n_reads, L=150, seed=11):
         ins = bases[rng.integers(0, 4, size=d)]
         reads[i] = np.concatenate([reads[i, :p], ins,
                                    reads[i, p:L - d]])
-    flip = rng.random(n_reads) < 0.5
-    reads[flip] = COMP_ASCII[reads[flip]][:, ::-1]
-    return reads, starts.astype(np.int64)
+    return reads
 
 
-def _phase(aligner, gbases, batch_size: int, n_steady: int, L: int,
+def make_pairs(genome, n_pairs, L=150, seed=11):
+    """FR innie pairs, insert ~N(250, 45) clipped to [2L+10, 420]; both
+    mates carry the single-end error model. Returns (reads1, reads2,
+    truth1, truth2) — truth = genome-forward alignment start of each
+    mate; mate 2 is reverse-complemented in its read row."""
+    from bbmap_tpu.core.bases import COMP_ASCII
+    rng = np.random.default_rng(seed)
+    W = L + 12
+    insert = np.clip(rng.normal(250, 45, n_pairs).astype(np.int64),
+                     2 * L + 10, 420)
+    starts = rng.integers(0, len(genome) - 460, size=n_pairs)
+    idx1 = starts[:, None] + np.arange(W)[None, :]
+    r1 = genome[idx1]
+    s2 = starts + insert - L
+    idx2 = s2[:, None] + np.arange(W)[None, :]
+    win2 = genome[idx2]
+    r1 = _mutate(r1[:, :L].copy(), genome[idx1], rng, L)
+    r2f = _mutate(win2[:, :L].copy(), win2, rng, L)
+    r2 = COMP_ASCII[r2f][:, ::-1]
+    return (np.ascontiguousarray(r1), np.ascontiguousarray(r2),
+            starts.astype(np.int64), s2.astype(np.int64))
+
+
+def _phase(aligner, gbases, n_pairs: int, n_steady: int, L: int,
            label: str, rounds: int = 1):
-    """Map 1 warmup + ``rounds`` x n_steady timed batches at
-    ``batch_size``; the best round defines the banked number (the
-    tunnel link shows multi-x transient slowdowns, so one stalled round
-    must not define it). Returns the result dict."""
+    """Map 1 warmup + ``rounds`` x n_steady timed PAIR batches.
+    value = median round reads/s (reads = 2 x pairs), best kept as
+    value_best."""
     from bbmap_tpu.core.batch import ReadBatch
     n_batches = 1 + n_steady
-    reads, truth = make_reads(gbases, batch_size * n_batches, L=L)
+    r1, r2, t1, t2 = make_pairs(gbases, n_pairs * n_batches, L=L)
 
-    def mk_batch(b):
-        lo = b * batch_size
-        rows = reads[lo:lo + batch_size]
+    def mk(rows, b):
+        lo = b * n_pairs
         return ReadBatch(
-            bases=rows, quality=None,
-            lengths=np.full(batch_size, L, np.int32),
-            ids=[str(i) for i in range(lo, lo + batch_size)],
-            numeric_ids=np.arange(lo, lo + batch_size, dtype=np.int64))
+            bases=rows[lo:lo + n_pairs], quality=None,
+            lengths=np.full(n_pairs, L, np.int32),
+            ids=[str(i) for i in range(lo, lo + n_pairs)],
+            numeric_ids=np.arange(lo, lo + n_pairs, dtype=np.int64))
 
-    note(f"{label}: warmup batch (B={batch_size}) — compiles here")
+    note(f"{label}: warmup batch ({n_pairs} pairs) — compiles here")
     t_w = time.time()
-    mb0 = aligner.map_batch_columnar(mk_batch(0))
+    out0 = aligner.map_pairs_columnar(mk(r1, 0), mk(r2, 0))
     warmup_s = time.time() - t_w
     note(f"{label}: warmup done ({warmup_s:.1f}s), "
-         f"timing {rounds}x{n_steady} batches")
-    stats = [mb0]
-    dt = None
-    for r in range(rounds):
+         f"timing {rounds}x{n_steady} pair batches")
+    stats = [out0]
+    rates = []
+    t_host = 0.0
+    for rnd in range(rounds):
         t0 = time.time()
-        out = list(aligner.map_stream(
-            mk_batch(b) for b in range(1, n_batches)))
+        out = list(aligner.map_pairs_columnar_stream(
+            (mk(r1, b), mk(r2, b)) for b in range(1, n_batches)))
         dt_r = time.time() - t0
-        dt = dt_r if dt is None else min(dt, dt_r)
-        if r == 0:
+        rates.append(2 * n_steady * n_pairs / dt_r)
+        if rnd == 0:
             stats.extend(out)
         if rounds > 1:
-            note(f"{label}: round {r + 1}: "
-                 f"{n_steady * batch_size / dt_r:.0f} reads/s")
-    rps = n_steady * batch_size / dt
+            note(f"{label}: round {rnd + 1}: {rates[-1]:.0f} reads/s")
+    rps = statistics.median(rates)
 
-    n_mapped = 0
-    n_correct = 0
-    for b, mb in enumerate(stats):
-        lo = b * batch_size
-        n_mapped += int(mb.mapped.sum())
-        ok = mb.mapped & (np.abs(mb.start - truth[lo:lo + batch_size])
-                          <= 20)
-        n_correct += int(ok.sum())
-    n_total = n_batches * batch_size
+    n_mapped = n_correct = n_paired = n_rescued = 0
+    for b, (mb1, mb2) in enumerate(stats):
+        lo = b * n_pairs
+        for mb, truth in ((mb1, t1), (mb2, t2)):
+            tr = truth[lo:lo + n_pairs]
+            flat = aligner.chrom_offsets[
+                np.maximum(mb.chrom, 1) - 1] + mb.start
+            n_mapped += int(mb.mapped.sum())
+            ok = mb.mapped & (np.abs(flat - tr) <= 20)
+            n_correct += int(ok.sum())
+            n_rescued += int(mb.rescued.sum())
+        n_paired += int(mb1.paired.sum())
+    n_total = 2 * n_batches * n_pairs
     res = {
         "metric": "reads_per_sec_per_chip_2x150_ecoli",
         "value": round(rps, 1),
         "unit": "reads/s",
         "vs_baseline": round(rps / BASELINE_READS_PER_SEC, 3),
+        "value_best": round(max(rates), 1),
         "mapped_fraction": round(n_mapped / n_total, 4),
         "sensitivity": round(n_correct / n_total, 4),
-        "batch": batch_size,
+        "pair_rate": round(n_paired / (n_batches * n_pairs), 4),
+        "rescued": n_rescued,
+        "paired_workload": True,
+        "batch_pairs": n_pairs,
         "setup_seconds": round(time.time() - T_START, 1),
         "warmup_seconds": round(warmup_s, 1),
-        "steady_ms_per_batch": round(1000.0 * dt / n_steady, 1),
+        "steady_ms_per_batch": round(
+            1000.0 * 2 * n_steady * n_pairs / rps / n_steady, 1),
     }
-    note(f"{label}: {rps:.0f} reads/s "
-         f"(sens {res['sensitivity']}, mapped {res['mapped_fraction']})")
+    note(f"{label}: {rps:.0f} reads/s median (best {max(rates):.0f}; "
+         f"sens {res['sensitivity']}, mapped {res['mapped_fraction']}, "
+         f"paired {res['pair_rate']}, rescued {n_rescued})")
     _bank(res)
     return res
 
@@ -241,36 +257,35 @@ def main():
     note("setup done")
 
     L = 150
-    big = int(os.environ.get("BENCH_BATCH", 32768))
-    small = int(os.environ.get("BENCH_BATCH_SMALL", 4096))
+    big = int(os.environ.get("BENCH_PAIRS", 16384))
+    small = int(os.environ.get("BENCH_PAIRS_SMALL", 2048))
     n_steady = int(os.environ.get("BENCH_STEADY_BATCHES", 3))
 
     # submit the big-shape compile CONCURRENTLY with phase A: the remote
-    # compile service is the wall-clock bottleneck, and overlapping the
-    # two compiles gets phase B inside the deadline on most days
+    # compile service is the wall-clock bottleneck
     def warm_big():
         try:
             from bbmap_tpu.core.batch import ReadBatch
-            rw, _ = make_reads(gbases, big, L=L, seed=99)
-            bw = ReadBatch(
-                bases=rw, quality=None,
-                lengths=np.full(big, L, np.int32),
-                ids=[str(i) for i in range(big)],
-                numeric_ids=np.arange(big, dtype=np.int64))
-            f = aligner._fused_dispatch(bw, L)
+            r1, r2, _t1, _t2 = make_pairs(gbases, big, L=L, seed=99)
+
+            def mb(rows):
+                return ReadBatch(
+                    bases=rows, quality=None,
+                    lengths=np.full(big, L, np.int32),
+                    ids=[str(i) for i in range(big)],
+                    numeric_ids=np.arange(big, dtype=np.int64))
+
+            f = aligner._fused_pair_dispatch(mb(r1), mb(r2), L)
             f.host()
-            note("big-shape program warm")
+            note("big-shape pair program warm")
         except Exception as e:
             note(f"big-shape warm failed: {type(e).__name__}: {e}")
 
     threading.Thread(target=warm_big, daemon=True).start()
 
     if small and small < big:
-        # Phase A: bank an insurance number on cheap programs.
         _phase(aligner, gbases, small, 2, L, "phase A")
-    # On-hardware Pallas==oracle parity check (VERDICT r2 #7): a Mosaic
-    # regression flips the bench to the XLA DP fallback with a warning
-    # instead of silently mis-mapping.
+    # On-hardware Pallas==oracle parity check (VERDICT r2 #7)
     import jax
     if jax.default_backend() != "cpu" and \
             os.environ.get("BENCH_SELFTEST", "1") != "0":
@@ -287,8 +302,6 @@ def main():
             aligner._fused_cache.clear()
             note(f"pallas selftest error ({type(e).__name__}: {e}) — "
                  f"XLA DP fallback engaged")
-    # Phase B: the real measurement (3 rounds, best banked — the
-    # tunnel shows multi-x transient slowdowns).
     _phase(aligner, gbases, big, n_steady, L, "phase B",
            rounds=int(os.environ.get("BENCH_ROUNDS", "3")))
     _emit_and_exit()
