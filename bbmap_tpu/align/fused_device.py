@@ -139,12 +139,16 @@ class FusedConfig(NamedTuple):
     Cw: int           # wide DP window width
     max_imp: int      # maxImperfectScore(L)
     min_score: int
+    maxindel: int = 16000   # long-indel plausibility gate (li_plaus)
 
 
 def esc_budget(B: int) -> int:
+    # 25%: the bench error model escalates ~22-23% of reads (gapless
+    # best under maxImperfectScore); a 3/16 budget pushed ~4% of rows
+    # through the slow host refit every batch
     if B <= 2048:
         return B
-    return max(1024, (B * 3 // 16 + 255) // 256 * 256)
+    return max(1024, (B * 4 // 16 + 255) // 256 * 256)
 
 
 def trace_budget(B: int) -> int:
@@ -156,7 +160,7 @@ def trace_budget(B: int) -> int:
 def make_fused_config(index: KmerIndex, L: int, B: int,
                       chain_dist: int = 400, min_ratio: float = 0.56,
                       max_list_length: Optional[int] = None,
-                      profile=None) -> FusedConfig:
+                      profile=None, maxindel: int = 16000) -> FusedConfig:
     qm = make_config(index, L, chain_dist, min_ratio, max_list_length,
                      profile)
     if profile is None:
@@ -169,7 +173,7 @@ def make_fused_config(index: KmerIndex, L: int, B: int,
         Cn=L + 2 * SLOW_ALIGN_PADDING + NARROW_SPREAD,
         Cw=L + 2 * SLOW_ALIGN_PADDING + WIDE_SPREAD,
         max_imp=int(profile.max_imperfect_score(L)),
-        min_score=qm.min_score)
+        min_score=qm.min_score, maxindel=maxindel)
 
 
 def _pallas_enabled() -> bool:
@@ -279,7 +283,7 @@ def pair_boost_device(gl, cand, Bp: int, L1: int, L2: int, apd,
 
 def fused_stage(fcfg: FusedConfig, rcodes, starts_d, sites_d, gpack_d,
                 nmask_d, offsets_dyn=None, profile=None,
-                scnt_d=None, _stop_after=None, pair=None):
+                scnt_d=None, _stop_after=None, pair=None, ccnt_d=None):
     """The full fused program body. rcodes: (B, L) 2-bit read codes
     (0..3, 4=N). Returns a dict of device arrays (see FusedRun.host).
 
@@ -287,9 +291,10 @@ def fused_stage(fcfg: FusedConfig, rcodes, starts_d, sites_d, gpack_d,
     of mate-1 and mate-2 rows (2*Bp, L) and the dict carries
     {"apd": traced int32 scalar, "chrom_offsets": device array,
     "min_gate": static int}. Pair boost (pair_boost_device) reorders
-    winner selection everywhere downstream; escalation compacts PAIRS so
-    both mates of an escalated pair ride the DP together (reference:
-    BBMapThread.processReadPair:943 scores both mates' retained sites)."""
+    winner selection everywhere downstream; escalation stays per-MATE
+    (a mate at/above maxImperfectScore cannot be beaten by any indel
+    alignment, so only sub-threshold mates ride the DP; reference:
+    BBMapThread.processReadPair:943 + AbstractMapThread.java:1252)."""
     cfg = fcfg.qm
     L, G = cfg.L, cfg.G
     C = MAX_CANDIDATES
@@ -301,13 +306,13 @@ def fused_stage(fcfg: FusedConfig, rcodes, starts_d, sites_d, gpack_d,
 
     rcodes, cand = qd.candidate_stage(cfg, None, starts_d, sites_d,
                                       offsets_dyn=offsets_dyn,
-                                      rcodes=rcodes, scnt_d=scnt_d)
+                                      rcodes=rcodes, scnt_d=scnt_d,
+                                      ccnt_d=ccnt_d)
     B = rcodes.shape[0]
     if pair is None:
-        out_i32, out_match, gl_scores = qd.finalize_stage(
+        out_i32, _om, gl_scores = qd.finalize_stage(
             cfg, rcodes, cand, gpack_d, nmask_d, return_scores=True)
         boosted = gl_scores
-        meta = out_i32[:, :N_META]
     else:
         Bp = B // 2
 
@@ -317,22 +322,47 @@ def fused_stage(fcfg: FusedConfig, rcodes, starts_d, sites_d, gpack_d,
                                       pair["chrom_offsets"])
             return jnp.maximum(scores, boost)
 
-        out_i32, out_match, gl_scores, boosted = qd.finalize_stage(
+        out_i32, _om, gl_scores, boosted = qd.finalize_stage(
             cfg, rcodes, cand, gpack_d, nmask_d, return_scores=True,
             boost_fn=boost_fn)
-        meta = out_i32[:, :N_META + 1]     # + [eff] column
+
+    # long-indel plausibility (shipped as a meta flag so the host
+    # gap-compressed pass only runs on rows that can possibly stitch a
+    # wide chain — it was re-seeding EVERY unmapped row before): two
+    # same-strand candidate chains whose modal diagonals differ by
+    # (chain_dist, maxindel], or one chain already wider than MINGAP
+    from ..core.constants import MINGAP
+    dgc = cand["mode"]
+    stc = cand["strand"]
+    vc = cand["votes"] > 0
+    sep = jnp.abs(dgc[:, :, None] - dgc[:, None, :])
+    same = stc[:, :, None] == stc[:, None, :]
+    okp = (vc[:, :, None] & vc[:, None, :] & same
+           & (sep > cfg.chain_dist) & (sep <= fcfg.maxindel))
+    li = okp.any(axis=(1, 2)) | (vc & (cand["spread"]
+                                       >= MINGAP)).any(axis=1)
+
+    # reduced meta: [best_raw, diag, strand, second(sel), n_good,
+    # (eff,) li] — best_start/best_spread and the packed match block are
+    # NOT shipped; the host recomputes gapless match rows from the
+    # genome (the 40 MB/s tunnel link, not device compute, is the
+    # paired bottleneck)
+    meta_cols = [out_i32[:, 0], out_i32[:, 1], out_i32[:, 2],
+                 out_i32[:, 5], out_i32[:, 6]]
+    if pair is not None:
+        meta_cols.append(out_i32[:, N_META])       # eff
+    meta_cols.append(li.astype(I32))
+    meta = jnp.stack(meta_cols, axis=1)
 
     # --- escalation compaction (reference: AbstractMapThread.java:1252)
+    # Per-ROW also in pair mode: a mate whose raw gapless best is at or
+    # above maxImperfectScore cannot be beaten by ANY indel alignment
+    # (the single-path invariant), so only the sub-threshold mate needs
+    # the DP — pair-OR escalation would double the DP load for nothing
+    # and overflow the budget on real error rates.
     best0 = meta[:, 0]
-    if pair is None:
-        escalate = best0 < fcfg.max_imp
-        esc_idx = _compact_indices(escalate, E)        # (E,) ascending
-    else:
-        # both mates of a pair escalate together (host paired rule)
-        esc_p = (best0[:Bp] < fcfg.max_imp) | (best0[Bp:] < fcfg.max_imp)
-        pidx = _compact_indices(esc_p, E // 2)         # pair indices
-        esc_idx = jnp.concatenate(
-            [pidx, jnp.where(pidx < BIG, pidx + Bp, BIG)])
+    escalate = best0 < fcfg.max_imp
+    esc_idx = _compact_indices(escalate, E)            # (E,) ascending
     esc_valid = esc_idx < BIG
     eidx = jnp.clip(esc_idx, 0, B - 1)
 
@@ -436,24 +466,10 @@ def fused_stage(fcfg: FusedConfig, rcodes, starts_d, sites_d, gpack_d,
     if _stop_after == "select":
         return best_e + second_full + n_sites + wdiag + wstrand + wws
 
-    # --- winner gapless match symbols at the winner diagonal (2-bit
-    # packed, same codec as the quickmap best-match block)
-    ref_codes_w, ref_n_w = extract_ref_codes(gpack_d, nmask_d, wdiag,
-                                             L, G, has_n=cfg.has_n)
-    win_codes = reads_j2[ar, w0]                       # (E, L)
-    read_n_w = win_codes > 3
-    eq_w = (win_codes == ref_codes_w) & ~ref_n_w
-    sym2 = jnp.where(read_n_w | ref_n_w, 2,
-                     jnp.where(eq_w, 0, 1)).astype(jnp.uint8)
-    L4 = (L + 3) // 4
-    pad = jnp.full((E, L4 * 4 - L), 3, jnp.uint8)
-    quads = jnp.concatenate([sym2, pad], axis=1).reshape(
-        E, L4, 4).astype(jnp.uint32)
-    packshift = jnp.arange(4, dtype=U32) * 2
-    esc_match = (quads << packshift[None, None, :]).sum(
-        axis=2, dtype=jnp.uint32).astype(jnp.uint8)
+    # (winner gapless match rows are recomputed on the host from the
+    # genome — shipping them cost more link time than the host compute)
     if _stop_after == "wmatch":
-        return esc_match
+        return wdiag[:, None]
 
     # --- trace compaction + fill/traceback (narrow window)
     wide_w = wide_c[ar, w0]                            # winner job wide
@@ -480,7 +496,7 @@ def fused_stage(fcfg: FusedConfig, rcodes, starts_d, sites_d, gpack_d,
             r1t, r0t, rpt, rwt, L, Cn, bb_t, P)        # (3,T),(R+C,R+1,T)
         sc2, col, _st = out3[0], out3[1], out3[2]
         if _stop_after == "fill":
-            return out3 + esc_match[:3, :3].astype(I32).sum()
+            return out3
         # bounded walk: the serial scan runs R + max-deletion-span
         # steps instead of R + Cn (the window bounds deletions to its
         # spread); a truncated walk (row_end > 0) re-traces at Cw like
@@ -497,7 +513,7 @@ def fused_stage(fcfg: FusedConfig, rcodes, starts_d, sites_d, gpack_d,
         )(treads, trefs)                               # sym (T, L+Cn)
         truncated = jnp.zeros(sym.shape[0], bool)
     if _stop_after == "trace":
-        return sym[:, :4] + sc2[:, None].astype(jnp.uint8) + esc_match[:T, :4]
+        return sym[:, :4] + sc2[:, None].astype(jnp.uint8)
 
     # --- wide/retry traceback (Cw window): winner jobs that are wide
     # re-trace at full width (the unfused trace_w class); narrow traces
@@ -525,7 +541,7 @@ def fused_stage(fcfg: FusedConfig, rcodes, starts_d, sites_d, gpack_d,
     )(treads[rtl], rrefs)                              # (RT, L+Cw)
     if _stop_after == "retrace":
         return (sym_w[:, :4] + sc2_w[:, None].astype(jnp.uint8)
-                + sym[:64, :4] + esc_match[:RT, :4])
+                + sym[:64, :4])
     # merge scalar results back (trash-slot scatter for padded entries)
     rtl_s = jnp.where(r_ok, rtl, T)
 
@@ -566,8 +582,8 @@ def fused_stage(fcfg: FusedConfig, rcodes, starts_d, sites_d, gpack_d,
         tloc, ln, gaps, sc2, col, tws_final,
         retried.astype(I32)], axis=1)                  # (T, 7)
     retry_i32 = jnp.stack([rloc], axis=1)              # (RT, 1)
-    return (meta, out_match, esc_i32, esc_match, trace_i32, sym_packed,
-            retry_i32, sym_w_packed)
+    return (meta, esc_i32, trace_i32, sym_packed, retry_i32,
+            sym_w_packed)
 
 
 ESC_COLS = ("idx", "best", "second", "n_sites", "wdiag", "wstrand",
@@ -576,16 +592,18 @@ TRACE_COLS = ("tloc", "ln", "gaps", "sc2", "col", "tws", "retried")
 
 
 class FusedRun:
-    """In-flight fused dispatch; .host() blocks and unpacks."""
+    """In-flight fused dispatch; .host() blocks and unpacks. Match rows
+    are NOT shipped — the host recomputes winner gapless match rows from
+    the genome (cheaper than the tunnel link)."""
 
     def __init__(self, outs, L: int, Cn: int, Cw: int,
-                 wn: Optional[int] = None, n_meta: int = N_META):
+                 wn: Optional[int] = None, pair: bool = False):
         self._outs = outs
         self._L = L
         self._Cn = Cn
         self._Cw = Cw
         self._wn = wn if wn is not None else L + Cn  # narrow sym width
-        self._n_meta = n_meta
+        self._pair = pair
         for o in outs:
             try:
                 o.copy_to_host_async()
@@ -593,25 +611,22 @@ class FusedRun:
                 pass
 
     def host(self) -> Dict[str, np.ndarray]:
-        (meta, out_match, esc_i32, esc_match, trace_i32, sym_packed,
-         retry_i32, sym_w_packed) = [np.asarray(o) for o in self._outs]
+        (meta, esc_i32, trace_i32, sym_packed, retry_i32,
+         sym_w_packed) = [np.asarray(o) for o in self._outs]
         L = self._L
-        B = meta.shape[0]
         d = {
             "best_score": meta[:, 0],
             "best_diag": meta[:, 1],
             "best_strand": meta[:, 2],
-            "best_start": meta[:, 3],
-            "best_spread": meta[:, 4],
-            "second_score": meta[:, 5],
-            "n_good": meta[:, 6],
-            "best_match": _UNPACK_LUT[out_match].reshape(B, -1)[:, :L],
+            "second_score": meta[:, 3],
+            "n_good": meta[:, 4],
         }
-        if self._n_meta > N_META:
-            d["eff"] = meta[:, N_META]       # boosted winner score
+        if self._pair:
+            d["eff"] = meta[:, 5]            # boosted winner score
+            d["li_plaus"] = meta[:, 6].astype(bool)
+        else:
+            d["li_plaus"] = meta[:, 5].astype(bool)
         esc = {k: esc_i32[:, i] for i, k in enumerate(ESC_COLS)}
-        esc["match"] = _UNPACK_LUT[esc_match].reshape(
-            esc_match.shape[0], -1)[:, :L]
         tr = {k: trace_i32[:, i] for i, k in enumerate(TRACE_COLS)}
         T = trace_i32.shape[0]
         sym = np.zeros((T, L + self._Cw), np.uint8)
@@ -638,23 +653,25 @@ def build_fused(index: KmerIndex, L: int, B: int, chain_dist: int = 400,
                              max_list_length, profile)
     cfg = fcfg.qm
     starts_d, sites_d, gpack_d, nmask_d, _G = device_arrays(index)
-    from .quickmap_device import scnt_array
+    from .quickmap_device import ccnt_array, scnt_array
     scnt_d = scnt_array(index)
+    ccnt_d = ccnt_array(index) if cfg.ref_admit else None
     from . import seed as seed_host
     den2, den3 = seed_host.key_density_ladder(L, index.k)
 
     def prog(codes2, nmask, starts_d, sites_d, gpack_d, nmask_d,
-             scnt_d):
+             scnt_d, ccnt_d):
         rcodes = unpack_reads_device(codes2, nmask, L)
         return fused_stage(fcfg, rcodes, starts_d, sites_d, gpack_d,
-                           nmask_d, scnt_d=scnt_d)
+                           nmask_d, scnt_d=scnt_d, ccnt_d=ccnt_d)
 
     def prog_q(codes2, nmask, qual, starts_d, sites_d, gpack_d, nmask_d,
-               scnt_d):
+               scnt_d, ccnt_d):
         rcodes = unpack_reads_device(codes2, nmask, L)
         offs = quality_offsets_stage(cfg, qual, den2, den3)
         return fused_stage(fcfg, rcodes, starts_d, sites_d, gpack_d,
-                           nmask_d, offsets_dyn=offs, scnt_d=scnt_d)
+                           nmask_d, offsets_dyn=offs, scnt_d=scnt_d,
+                           ccnt_d=ccnt_d)
 
     jitted = jax.jit(prog)
     jitted_q = jax.jit(prog_q)
@@ -663,10 +680,10 @@ def build_fused(index: KmerIndex, L: int, B: int, chain_dist: int = 400,
         codes2, nm = pack_reads_host(np.ascontiguousarray(bases[:, :L]))
         if quality is None:
             outs = jitted(codes2, nm, starts_d, sites_d, gpack_d,
-                          nmask_d, scnt_d)
+                          nmask_d, scnt_d, ccnt_d)
         else:
             outs = jitted_q(codes2, nm, quality[:, :L], starts_d,
-                            sites_d, gpack_d, nmask_d, scnt_d)
+                            sites_d, gpack_d, nmask_d, scnt_d, ccnt_d)
         # narrow-walk sym width must match the trace branch taken in
         # fused_stage (bounded Pallas walk vs full XLA walk)
         bb_t = _pick_bb(fcfg.T, vmem_cap=128) if _pallas_enabled() \
@@ -710,24 +727,25 @@ def build_fused_pair(index: KmerIndex, L: int, Bp: int,
         profile = SHORT_PROFILE
     min_gate = paired_min_gate(profile, L, min_ratio)
     starts_d, sites_d, gpack_d, nmask_d, _G = device_arrays(index)
-    from .quickmap_device import scnt_array
+    from .quickmap_device import ccnt_array, scnt_array
     scnt_d = scnt_array(index)
+    ccnt_d = ccnt_array(index) if cfg.ref_admit else None
     choff_d = jax.device_put(np.asarray(chrom_offsets, np.int32))
     from . import seed as seed_host
     den2, den3 = seed_host.key_density_ladder(L, index.k)
 
     def prog(c2a, nma, c2b, nmb, apd, starts_d, sites_d, gpack_d,
-             nmask_d, scnt_d, choff_d):
+             nmask_d, scnt_d, ccnt_d, choff_d):
         r1 = unpack_reads_device(c2a, nma, L)
         r2 = unpack_reads_device(c2b, nmb, L)
         rcodes = jnp.concatenate([r1, r2], axis=0)
         return fused_stage(fcfg, rcodes, starts_d, sites_d, gpack_d,
-                           nmask_d, scnt_d=scnt_d,
+                           nmask_d, scnt_d=scnt_d, ccnt_d=ccnt_d,
                            pair={"apd": apd, "chrom_offsets": choff_d,
                                  "min_gate": min_gate})
 
     def prog_q(c2a, nma, q1, c2b, nmb, q2, apd, starts_d, sites_d,
-               gpack_d, nmask_d, scnt_d, choff_d):
+               gpack_d, nmask_d, scnt_d, ccnt_d, choff_d):
         r1 = unpack_reads_device(c2a, nma, L)
         r2 = unpack_reads_device(c2b, nmb, L)
         rcodes = jnp.concatenate([r1, r2], axis=0)
@@ -735,6 +753,7 @@ def build_fused_pair(index: KmerIndex, L: int, Bp: int,
         offs = quality_offsets_stage(cfg, qual, den2, den3)
         return fused_stage(fcfg, rcodes, starts_d, sites_d, gpack_d,
                            nmask_d, offsets_dyn=offs, scnt_d=scnt_d,
+                           ccnt_d=ccnt_d,
                            pair={"apd": apd, "chrom_offsets": choff_d,
                                  "min_gate": min_gate})
 
@@ -748,16 +767,15 @@ def build_fused_pair(index: KmerIndex, L: int, Bp: int,
         apd32 = np.int32(apd)
         if quality1 is None:
             outs = jitted(c2a, nma, c2b, nmb, apd32, starts_d, sites_d,
-                          gpack_d, nmask_d, scnt_d, choff_d)
+                          gpack_d, nmask_d, scnt_d, ccnt_d, choff_d)
         else:
             outs = jitted_q(c2a, nma, quality1[:, :L], c2b, nmb,
                             quality2[:, :L], apd32, starts_d, sites_d,
-                            gpack_d, nmask_d, scnt_d, choff_d)
+                            gpack_d, nmask_d, scnt_d, ccnt_d, choff_d)
         bb_t = _pick_bb(fcfg.T, vmem_cap=128) if _pallas_enabled() \
             else 0
         wn = (fcfg.Cn + 16) if bb_t else (L + fcfg.Cn)
-        return FusedRun(outs, L, fcfg.Cn, fcfg.Cw, wn=wn,
-                        n_meta=N_META + 1)
+        return FusedRun(outs, L, fcfg.Cn, fcfg.Cw, wn=wn, pair=True)
 
     run.fcfg = fcfg
     run.min_gate = min_gate

@@ -90,7 +90,8 @@ class MappedBatch:
 
     __slots__ = ("size", "mapped", "strand", "chrom", "start", "stop",
                  "score", "ambiguous", "perfect", "paired", "rescued",
-                 "n_sites", "match_rows", "match_is_row", "match_override")
+                 "n_sites", "match_rows", "match_is_row",
+                 "match_override", "match_fill")
 
     def __init__(self, B: int, L: int = 0):
         self.size = B
@@ -108,8 +109,19 @@ class MappedBatch:
         self.match_rows: Optional[np.ndarray] = None  # (B, L) uint8
         self.match_is_row = np.zeros(B, bool)
         self.match_override: Dict[int, Optional[bytes]] = {}
+        # deferred gapless-match fillers (fused path: match rows are
+        # recomputed from the genome only when a consumer actually asks
+        # — throughput paths never pay for them)
+        self.match_fill: list = []
+
+    def materialize_matches(self) -> None:
+        if self.match_fill:
+            fns, self.match_fill[:] = list(self.match_fill), []
+            for fn in fns:
+                fn()
 
     def match(self, i: int) -> Optional[bytes]:
+        self.materialize_matches()
         if i in self.match_override:
             return self.match_override[i]
         if self.match_is_row[i] and self.match_rows is not None:
@@ -446,9 +458,25 @@ class BBMapAligner:
         mb.chrom[keep] = sel["chroms"][keep] + 1
         mb.start[keep] = sel["locs"][keep]
         mb.stop[keep] = sel["locs"][keep] + L - 1
-        if mb.match_rows is None:
-            mb.match_rows = d["best_match"]
-        mb.match_is_row |= keep
+        if "best_match" in d:
+            if mb.match_rows is None:
+                mb.match_rows = d["best_match"]
+            mb.match_is_row |= keep
+        else:
+            # fused path: match rows are not shipped over the link —
+            # recompute the kept winners' gapless m/S/N rows from the
+            # genome, LAZILY (throughput consumers never ask)
+            if mb.match_rows is None:
+                mb.match_rows = np.zeros((mb.size, L), np.uint8)
+            mrows = mb.match_rows
+            rows = np.nonzero(keep)[0]
+            if len(rows):
+                d.setdefault("_bases", batch.bases)
+
+                def _fill(rows=rows, d=d, mrows=mrows):
+                    mrows[rows] = self._stale_match_rows(d, rows, L)
+                mb.match_fill.append(_fill)
+            mb.match_is_row |= keep
         stale = d.get("match_stale")
         if stale is not None:
             rows = np.nonzero(keep & stale)[0]
@@ -559,7 +587,11 @@ class BBMapAligner:
         fallback, applied = self._apply_fused_esc(batch, L, d, mb, over)
         if len(fallback):
             self._refit_rows(batch, L, fallback, mb)
-        still = applied[~mb.mapped[applied]]
+        # long-indel tail only on rows the device flagged plausible
+        # (li_plaus: a stitched wide chain exists in the candidate
+        # table) — the pass was re-seeding EVERY unmapped row before
+        still = applied[~mb.mapped[applied]
+                        & d["li_plaus"][applied]]
         if self.maxindel > self.chain_dist and len(still):
             proxy = _ResultsProxy()
             self._long_indel_pass(batch, L, still.astype(np.int64),
@@ -637,6 +669,8 @@ class BBMapAligner:
 
         gl = keep & ~dp_beat
         if gl.any():
+            from ..core.bases import COMP_ASCII
+            from . import gapless
             gdiag = esc["wdiag"][gl].astype(np.int64)
             chroms = np.clip(np.searchsorted(self.chrom_offsets, gdiag,
                                              side="right") - 1,
@@ -649,7 +683,22 @@ class BBMapAligner:
             mb.start[rows] = locs
             mb.stop[rows] = locs + L - 1
             mb.match_is_row[rows] = True
-            mb.match_rows[rows] = esc["match"][gl]
+            # winner gapless match recomputed host-side, lazily
+            if mb.match_rows is None:
+                mb.match_rows = np.zeros((mb.size, L), np.uint8)
+            mrows = mb.match_rows
+            wstrand_gl = esc["wstrand"][gl].copy()
+            bases_rows = batch.bases[rows][:, :L]
+
+            def _fill_gl(rows=rows, gdiag=gdiag, mrows=mrows,
+                         wstrand=wstrand_gl, sub=bases_rows):
+                refs = gapless.gather_ref_rows(self.codes_ascii,
+                                               gdiag, L)
+                rc = COMP_ASCII[sub][:, ::-1]
+                reads = np.where((wstrand == 1)[:, None], rc, sub)
+                mrows[rows] = gapless.gen_match_no_indels_batch(
+                    reads, refs)
+            mb.match_fill.append(_fill_gl)
 
         tsel = t_valid & keep[np.clip(tloc, 0, E - 1)] \
             & ~t_over[np.clip(tloc, 0, E - 1)]
@@ -1362,6 +1411,16 @@ class BBMapAligner:
         fill with boosted eff/second, escalation/trace application with
         the paired retention rule, host fallback by PAIR, device mate
         rescue, and columnar pair flags."""
+        mid = self._pair_phase1(b1, b2, L, d)
+        return self._pair_phase2(mid)
+
+    def _pair_phase1(self, b1: ReadBatch, b2: ReadBatch, L: int,
+                     d: dict):
+        """Everything up to and including the rescue DISPATCH (the
+        rescue program queues on the device; fetching it is deferred to
+        _pair_phase2 so a streaming caller can slot the next batch's
+        fused dispatch in between — ops/rescue_device rides behind it
+        without stalling the host)."""
         B = b1.size
         vbases = np.vstack([b1.bases[:, :L], b2.bases[:, :L]])
         vbatch = ReadBatch(
@@ -1372,21 +1431,20 @@ class BBMapAligner:
         mb = MappedBatch(2 * B, L)
         max_imp = self.profile.max_imperfect_score(L)
         best0 = d["best_score"].astype(np.int64)
-        esc_p = (best0[:B] < max_imp) | (best0[B:] < max_imp)
-        escalate = np.concatenate([esc_p, esc_p])
+        escalate = best0 < max_imp      # per MATE (see fused_stage note)
         d.setdefault("_bases", vbases)
         self._direct_fill_columnar(
             vbatch, L, d, mb, ~escalate,
             scored=d["eff"].astype(np.int64),
             second=d["second_score"].astype(np.int64))
-        Ep = len(d["_esc"]["idx"]) // 2
-        over_pairs = np.nonzero(esc_p)[0][Ep:]
-        over_rows = np.concatenate([over_pairs, over_pairs + B])
+        E = len(d["_esc"]["idx"])
+        over_rows = np.nonzero(escalate)[0][E:]
         fallback, applied = self._apply_fused_esc(
             vbatch, L, d, mb, over_rows, paired=True)
-        # long-indel tail on still-unmapped applied rows (same as the
-        # single fused path)
-        still = applied[~mb.mapped[applied]]
+        # long-indel tail on still-unmapped applied rows flagged
+        # plausible by the device (same as the single fused path)
+        still = applied[~mb.mapped[applied]
+                        & d["li_plaus"][applied]]
         if self.maxindel > self.chain_dist and len(still):
             proxy = _ResultsProxy()
             self._long_indel_pass(vbatch, L, still.astype(np.int64),
@@ -1398,7 +1456,14 @@ class BBMapAligner:
         if len(fallback):
             pair_ids = np.unique(fallback % B)
             self._refit_pairs(b1, b2, L, pair_ids, mb1, mb2)
-        self._rescue_columnar(b1, b2, L, L, mb1, mb2)
+        pend = self._rescue_dispatch(b1, b2, L, L, mb1, mb2)
+        return (b1, b2, L, mb1, mb2, pend)
+
+    def _pair_phase2(self, mid):
+        if mid[0] == "done":       # host-path stream item
+            return mid[1]
+        b1, b2, L, mb1, mb2, pend = mid
+        self._rescue_apply(pend)
         self._set_pair_flags_columnar(mb1, mb2, L, L)
         return mb1, mb2
 
@@ -1418,6 +1483,8 @@ class BBMapAligner:
         out.match_override = {
             i - lo: v for i, v in mb.match_override.items()
             if lo <= i < hi}
+        out.match_fill = mb.match_fill   # shared deferred fillers (they
+        # write into the parent buffer the slices view)
         return out
 
     def _refit_pairs(self, b1: ReadBatch, b2: ReadBatch, L: int,
@@ -1473,22 +1540,26 @@ class BBMapAligner:
 
     def _rescue_columnar(self, b1, b2, L1: int, L2: int,
                          mb1: MappedBatch, mb2: MappedBatch) -> None:
-        """Columnar mate rescue: job construction vectorized, the
-        quickRescue scan on device (ops/rescue_device — bit-equal to the
-        host oracle), slowRescue gapless re-score vectorized, DP
-        escalation of imperfect rescues through the bucketed batch DP.
-        Semantics mirror ``_rescue`` (reference:
+        self._rescue_apply(self._rescue_dispatch(b1, b2, L1, L2,
+                                                 mb1, mb2))
+
+    def _rescue_dispatch(self, b1, b2, L1: int, L2: int,
+                         mb1: MappedBatch, mb2: MappedBatch):
+        """Columnar mate rescue, dispatch half: job construction
+        vectorized, the quickRescue scan launched on device
+        (ops/rescue_device — bit-equal to the host oracle). Returns the
+        pending state for :meth:`_rescue_apply` (or None). Semantics
+        mirror ``_rescue`` (reference:
         AbstractMapThread.rescue:1144-1250)."""
         from ..core.bases import COMP_ASCII
-        from . import gapless
 
         if self._mapped_retained > 1000 and \
                 self._num_mated * 20 < self._mapped_retained:
-            return
+            return None
         apd = int(self.average_pair_dist)
         search_dist = min(MAX_PAIR_DIST, 2 * apd + 100)
         if search_dist > MAX_RESCUE_DIST:
-            return
+            return None
 
         jobs = []      # (mb_target, row, mate_read_ascii, lo, n,
         #                 ideal_k, right, max_mm, strand, anchor_mb)
@@ -1534,7 +1605,7 @@ class BBMapAligner:
                              bool(strand0[t]), max_mm,
                              0 if not strand0[t] else 1))
         if not jobs:
-            return
+            return None
 
         from .quickmap_device import _B2C
         Lm = L2   # L1 == L2 on this path
@@ -1546,7 +1617,7 @@ class BBMapAligner:
                 dev_jobs.append(j)
             else:
                 host_jobs.append(j)
-        results = {}   # (which, row) -> (job, start_flat, mm)
+        pending_dev = None
         if dev_jobs:
             R = _bucket_pad(len(dev_jobs))
             rescue = self._rescue_programs(Lm, R)
@@ -1564,8 +1635,24 @@ class BBMapAligner:
                 ik_a[t] = ik
                 rt_a[t] = right
                 mm_a[t] = max_mm
-            best_k, min_mm = rescue(reads_c, lo_a, n_a, ik_a, rt_a,
-                                    mm_a)
+            pending_dev = (rescue.dispatch(reads_c, lo_a, n_a, ik_a,
+                                           rt_a, mm_a), lo_a)
+        return (mb1, mb2, Lm, dev_jobs, host_jobs, pending_dev)
+
+    def _rescue_apply(self, pend) -> None:
+        """Fetch the in-flight rescue scan, run slowRescue (vectorized
+        gapless re-score + batched DP escalation of imperfect rescues,
+        reference: AbstractMapThread.java:1247-1303), and write the
+        rescued mates."""
+        from . import gapless
+        if pend is None:
+            return
+        mb1, mb2, Lm, dev_jobs, host_jobs, pending_dev = pend
+        results = {}   # (which, row) -> (job, start_flat, mm)
+        if pending_dev is not None:
+            out, lo_a = pending_dev
+            best_k = np.asarray(out[0])
+            min_mm = np.asarray(out[1])
             for t, job in enumerate(dev_jobs):
                 which, row = job[0], job[1]
                 bk = int(best_k[t])
@@ -1692,22 +1779,45 @@ class BBMapAligner:
                 self._inner_sum * 2.0 / self._num_mated)
 
     def map_pairs_columnar_stream(self, pairs):
-        """Streaming columnar paired mapping: batch N+1's fused pair
-        dispatch reaches the device before batch N finalizes. Yields
-        (mb1, mb2); pairs that can't take the device path yield via the
-        object path converted to columns."""
-        pending = None
+        """Streaming columnar paired mapping, pipelined TWO deep: batch
+        N+1's fused pair dispatch reaches the device before batch N's
+        host assembly, and batch N's rescue program (dispatched during
+        assembly) executes right behind batch N+1's fused program — so
+        the device never idles and the host never blocks on a fetch
+        queued behind a full fused program. Yields (mb1, mb2) in order;
+        pairs that can't take the device path yield via the object path
+        converted to columns."""
+        p_disp = None      # newest: fused dispatched, not yet assembled
+        p_mid = None       # older: assembled, rescue in flight
         for b1, b2 in pairs:
             L = self._can_pair_columnar(b1, b2)
             if L is not None:
                 item = (b1, b2, L, self._fused_pair_dispatch(b1, b2, L))
             else:
                 item = (b1, b2)
-            if pending is not None:
-                yield self._finish_pair_columnar(pending)
-            pending = item
-        if pending is not None:
-            yield self._finish_pair_columnar(pending)
+            if p_mid is not None:
+                yield self._pair_phase2(p_mid)
+                p_mid = None
+            if p_disp is not None:
+                p_mid = self._pair_mid(p_disp)
+            p_disp = item
+        if p_disp is not None:
+            if p_mid is not None:
+                yield self._pair_phase2(p_mid)
+                p_mid = None
+            p_mid = self._pair_mid(p_disp)
+        if p_mid is not None:
+            yield self._pair_phase2(p_mid)
+
+    def _pair_mid(self, item):
+        """Run phase 1 (host assembly + rescue dispatch) of a stream
+        item; host-path items complete entirely here."""
+        if len(item) == 4:
+            b1, b2, L, f = item
+            return self._pair_phase1(b1, b2, L, f.host())
+        b1, b2 = item
+        mbs = self._finish_pair_columnar(item)
+        return ("done", mbs)
 
     def _finish_pair_columnar(self, item):
         if len(item) == 4:

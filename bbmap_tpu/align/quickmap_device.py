@@ -34,6 +34,7 @@ modal diagonal = the longest equal-diag run (ties -> lowest diagonal).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Dict, NamedTuple, Optional
 
 import jax
@@ -421,6 +422,15 @@ class QmConfig(NamedTuple):
     profile: object = None  # ScoringProfile (None = SHORT)
     has_n: bool = True     # genome contains N bases (False skips the
     #                        nmask gathers in every window extraction)
+    # reference-faithful retention (BBIndex.find staged re-admission +
+    # Solver-weighted greedy trim; align/search_oracle.py is the host
+    # truth). Enabled when the index carries canonical counts.
+    ref_admit: bool = False
+    max_usable_length: int = 1 << 30
+    limit_avg: int = 20
+    limit_avg2: int = 20
+    limit_shortest: int = 20
+    points_per_site: int = -50
 
 
 def make_config(index: KmerIndex, L: int, chain_dist: int = 400,
@@ -443,11 +453,176 @@ def make_config(index: KmerIndex, L: int, chain_dist: int = 400,
     if has_n is None:
         has_n = bool(np.any(index.genome_codes > 3))
         index._has_n = has_n
+    ref_admit = (index.counts_canonical is not None
+                 and os.environ.get("BBMAP_REF_ADMIT", "1")
+                 not in ("0", "false", "off"))
     return QmConfig(k=k, L=L, S=S, chain_dist=chain_dist,
                     min_score=int(max_sw * min_ratio),
                     offsets_list=tuple(int(o) for o in offsets_np),
                     G=len(index.genome_codes), profile=profile,
-                    has_n=has_n)
+                    has_n=has_n, ref_admit=ref_admit,
+                    max_usable_length=int(index.max_usable_length),
+                    limit_avg=int(index.limit_avg),
+                    limit_avg2=int(index.limit_avg2),
+                    limit_shortest=int(index.limit_shortest),
+                    points_per_site=int(index.points_per_site))
+
+
+def ccnt_array(index: KmerIndex):
+    """Device-resident canonical COUNTS table (int32 [4^k]) — the
+    reference's AbstractIndex.COUNTS (key + rc summed, analyzeIndex
+    :147-151); shard-stable by construction (every shard holds the same
+    global table)."""
+    if index.counts_canonical is None:
+        return None
+    ent = getattr(index, "_ccnt_array", None)
+    if ent is None:
+        ent = jax.device_put(index.counts_canonical.astype(np.int32))
+        index._ccnt_array = ent
+    return ent
+
+
+EARLY_TERMINATION_SCORE = -100000   # Solver.java:232 (frozen, see
+#                                     align/search_oracle.py)
+
+
+def _ref_retention(cfg: QmConfig, kp, off_p, ccnt, weights=None):
+    """Reference-faithful key retention, vectorized per read on the
+    PLUS-strand layout (the minus strand mirrors the retained set —
+    find() trims keysP before deriving keysM, BBIndex.java:457-524):
+
+    1. staged re-admission on CANONICAL counts with strict ``< maxLen``
+       and the exact (maxLen*3)/2 .. maxLen*5 ladder (find:421-440)
+    2. Solver-weighted greedy hit-list trimming
+       (trimExcessHitListsByGreedy:266 + Solver.findWorstGreedy:47
+       + valueOfElement:74), including the ascending-scan
+       EARLY_TERMINATION quirk and the float32 valuep*weight truncation
+
+    Bit-parity with align/search_oracle.retain_keys is asserted by
+    tests/test_search_oracle.py. kp: (B, nk) plus keys (-1 invalid);
+    off_p: (B, nk) int32 offsets (ascending); ccnt: (B, nk) canonical
+    counts for kp. weights: None (all 1.0 — the no-quality case) or
+    (B, nk) float32 in LIST-position order (the reference indexes
+    weights by list position, a preserved quirk). Returns alive (B, nk)
+    bool."""
+    B, nk = kp.shape
+    valid = kp >= 0
+    maxLen = cfg.max_usable_length
+    slot = jnp.arange(nk, dtype=I32)[None, :]
+    pos = ccnt > 0
+
+    # int32-safe tier caps (maxLen is 1<<30 when no exclusion applies;
+    # counts are clipped below 2^31-1 so the capped compare is exact)
+    tiers = tuple(min(t, 2 ** 31 - 1)
+                  for t in (maxLen, (maxLen * 3) // 2, maxLen * 2,
+                            maxLen * 3, maxLen * 5))
+    hit = [valid & pos & (ccnt < t) for t in tiers]
+    n = [jnp.sum(h.astype(I32), axis=1) for h in hit]
+    trig = (3 * nk) // 4
+    gate = n[0] > 0
+    sel = jnp.zeros_like(n[0])
+    num = n[0]
+    for t, need in ((1, 4), (2, 3), (3, 3), (4, 2)):
+        esc = gate & (num < need) & (num < trig)
+        sel = jnp.where(esc, t, sel)
+        num = jnp.where(esc, n[t], num)
+    adm = hit[0]
+    for t in range(1, 5):
+        adm = jnp.where((sel == t)[:, None], hit[t], adm)
+
+    lengths0 = jnp.where(adm, ccnt, 0)
+    initial = jnp.sum((lengths0 > 0).astype(I32), axis=1)      # (B,)
+    total0 = jnp.sum(lengths0, axis=1)
+    shortest = jnp.min(jnp.where(lengths0 > 0, lengths0, BIG), axis=1)
+    limit3 = max(20, cfg.limit_shortest)
+    kill = (initial >= 1) & (shortest > limit3)   # SLOW=false rule
+    alive = adm & ~kill[:, None]
+    # per-read limits (arrays are the SHRUNK views: length = initial)
+    limit = max(20, cfg.limit_avg) * initial
+    limit2 = max(20, cfg.limit_avg2)
+    max_lists = jnp.maximum(
+        (jnp.float32(0.85) * initial.astype(jnp.float32)).astype(I32),
+        6)
+    # first/last ADMITTED slot = shrunk array ends (END bonus + the
+    # offsets[length-1] sentinel are FIXED during the loop)
+    first_adm = jnp.argmax(adm, axis=1).astype(I32)
+    last_adm = (nk - 1) - jnp.argmax(adm[:, ::-1], axis=1).astype(I32)
+    off_last = jnp.take_along_axis(off_p, last_adm[:, None],
+                                   axis=1)[:, 0]
+    pps = cfg.points_per_site
+    # canonical counts can be genome-scale; clamp so pps*len stays in
+    # int32 (engages only on pathological indexes — the oracle uses
+    # int64; documented edge)
+    vm_cap = (2 ** 30) // max(1, -pps)
+    chunk = cfg.k
+    hits = jnp.where(kill, 0, initial)
+    total = jnp.where(kill, 0, total0)
+    active = ~kill & (initial >= 1)
+
+    for _ in range(nk - 1):
+        l = jnp.where(alive, ccnt, 0)
+        numl = jnp.maximum(hits, 1)[:, None]
+        prevoff = jax.lax.cummax(jnp.where(alive, off_p, -1), axis=1)
+        offL = jnp.concatenate(
+            [jnp.full((B, 1), -1, I32), prevoff[:, :-1]], axis=1)
+        nxt = jnp.flip(jax.lax.cummin(
+            jnp.flip(jnp.where(alive, off_p, BIG), 1), axis=1), 1)
+        offR_next = jnp.concatenate(
+            [nxt[:, 1:], jnp.full((B, 1), BIG, I32)], axis=1)
+        is_first = alive & (offL == -1)
+        is_last = alive & (offR_next == BIG)
+        offR = jnp.where(is_last, off_last[:, None] + 1, offR_next)
+        lsafe = jnp.maximum(l, 1)
+        vp = (30000 + 60000 // numl + 300000 // lsafe)
+        vp = vp + jnp.where((slot == first_adm[:, None])
+                            | (slot == last_adm[:, None]), 40000, 0)
+        oldL = off_p - offL
+        oldR = offR - off_p
+        newS = offR - offL
+        space = ((oldL * oldL + oldR * oldR) - newS * newS) * (-30)
+        uc = jnp.where(
+            is_first, offR - off_p,
+            jnp.where(is_last, off_p - offL,
+                      jnp.maximum(offR - (offL + chunk), 0)))
+        tail = jnp.where(is_first | is_last, 11500 * uc, 6000 * uc)
+        vp_final = jnp.where(numl == 1, vp + 11500 * chunk,
+                             vp + space + tail)
+        if weights is None:
+            # weight 1.0f: float32(valuep) is exact below 2^24
+            vpw = vp_final.astype(I32)
+        else:
+            # weight by LIST position (alive-rank) — reference quirk
+            rank = jnp.cumsum(alive.astype(I32), axis=1) - 1
+            w = take_along_flat(weights, jnp.clip(rank, 0, nk - 1))
+            vpw = (vp_final.astype(jnp.float32) * w).astype(I32)
+        value = vpw + pps * jnp.minimum(l, vm_cap)
+        vals = jnp.where(alive, value, BIG)
+        runmin = jax.lax.cummin(vals, axis=1)
+        runmin_before = jnp.concatenate(
+            [jnp.full((B, 1), BIG, I32), runmin[:, :-1]], axis=1)
+        is_new = alive & (vals < runmin_before)
+        first_alive = jnp.argmax(alive, axis=1).astype(I32)
+        trigm = is_new & (runmin_before < EARLY_TERMINATION_SCORE) \
+            & (slot != first_alive[:, None])
+        trig_any = trigm.any(axis=1)
+        first_trig = jnp.argmax(trigm, axis=1).astype(I32)
+        gmin = jnp.argmin(vals, axis=1).astype(I32)
+        worst = jnp.where(trig_any, first_trig, gmin)
+        g1 = lambda a: jnp.take_along_axis(a, worst[:, None],
+                                           axis=1)[:, 0]
+        worst_value = g1(vals)
+        worst_len = g1(l)
+        cond = active & (hits >= 1) & (
+            (total > limit)
+            | (total // jnp.maximum(initial, 1) > limit2)
+            | (hits > max_lists))
+        stop_now = (worst_value > 0) | (worst_len < 20)
+        do_remove = cond & ~stop_now
+        total = jnp.where(cond, total - worst_len, total)
+        alive = alive & ~(do_remove[:, None] & (slot == worst[:, None]))
+        hits = jnp.where(do_remove, hits - 1, hits)
+        active = do_remove
+    return alive
 
 
 def quality_offsets_stage(cfg: QmConfig, qual, density: float,
@@ -536,7 +711,7 @@ def quality_offsets_stage(cfg: QmConfig, qual, density: float,
 
 def candidate_stage(cfg: QmConfig, bases, starts_d, sites_d,
                     gcnt_d=None, offsets_dyn=None, rcodes=None,
-                    scnt_d=None, _stop=None):
+                    scnt_d=None, _stop=None, ccnt_d=None):
     """Steps 1-5 (seed -> chain -> vote -> top-K candidates) against ONE
     CSR index shard. Returns (rcodes (B, L), cand dict of (B, K) arrays:
     votes, mode, strand, start, spread).
@@ -600,23 +775,37 @@ def candidate_stage(cfg: QmConfig, bases, starts_d, sites_d,
         # progressively longer lists (1.5x/2x/3x/5x) are re-admitted
         if _stop == "gather0":
             return rcodes, {"a": cnt_local, "b": s0}
-        nz = valid & (gcnt > 0)
-        tiers = (S, (3 * S) // 2, 2 * S, 3 * S, 5 * S)
-        nh = [jnp.sum((nz & (gcnt <= t)).astype(I32), axis=-1)
-              for t in tiers]                       # each (B, 2)
-        trig = (3 * nk) // 4
-        sel = jnp.zeros_like(nh[0])
-        esc = (nh[0] > 0) & (nh[0] < 4) & (nh[0] < trig)
-        sel = jnp.where(esc, 1, sel)
-        cur = jnp.where(esc, nh[1], nh[0])
-        for t, need in ((2, 3), (3, 3), (4, 2)):
-            esc = esc & (cur < need) & (cur < trig)
-            sel = jnp.where(esc, t, sel)
-            cur = jnp.where(esc, nh[t], cur)
-        tier_arr = jnp.asarray(np.asarray(tiers, np.int32))
-        Tsel = tier_arr[sel][..., None]              # (B, 2, 1)
-        admit = gcnt <= Tsel
-        gadm = jnp.where(valid & admit, gcnt, 0)
+        if cfg.ref_admit and ccnt_d is not None:
+            # reference-faithful retention: staged re-admission on
+            # CANONICAL counts + Solver-weighted greedy trim, decided
+            # once per read on the plus-strand layout and mirrored to
+            # the minus strand (oracle: align/search_oracle.py)
+            ccnt_p = take_flat(ccnt_d, jnp.where(kp < 0, 0, kp))
+            ccnt_p = jnp.where(kp < 0, 0, ccnt_p)       # (B, nk)
+            alive = _ref_retention(cfg, kp, off_p.astype(I32), ccnt_p)
+            admit = jnp.broadcast_to(alive[:, None, :],
+                                     (B, 2, nk))
+            # budget packing ranks by the canonical (global) length —
+            # shard-stable by construction
+            gadm = jnp.where(admit, ccnt_p[:, None, :], 0)
+        else:
+            nz = valid & (gcnt > 0)
+            tiers = (S, (3 * S) // 2, 2 * S, 3 * S, 5 * S)
+            nh = [jnp.sum((nz & (gcnt <= t)).astype(I32), axis=-1)
+                  for t in tiers]                   # each (B, 2)
+            trig = (3 * nk) // 4
+            sel = jnp.zeros_like(nh[0])
+            esc = (nh[0] > 0) & (nh[0] < 4) & (nh[0] < trig)
+            sel = jnp.where(esc, 1, sel)
+            cur = jnp.where(esc, nh[1], nh[0])
+            for t, need in ((2, 3), (3, 3), (4, 2)):
+                esc = esc & (cur < need) & (cur < trig)
+                sel = jnp.where(esc, t, sel)
+                cur = jnp.where(esc, nh[t], cur)
+            tier_arr = jnp.asarray(np.asarray(tiers, np.int32))
+            Tsel = tier_arr[sel][..., None]          # (B, 2, 1)
+            admit = gcnt <= Tsel
+            gadm = jnp.where(valid & admit, gcnt, 0)
         # greedy hit-list trimming, APPROXIMATING the reference's
         # weighted greedy trim by list length only (reference: BBIndex
         # trimExcessHitListsByGreedy:266 removes the worst list by
@@ -916,20 +1105,23 @@ def build_quickmap(index: KmerIndex, L: int, chain_dist: int = 400,
                       profile)
     starts_d, sites_d, gpack_d, nmask_d, _G = device_arrays(index)
     scnt_d = scnt_array(index)
+    ccnt_d = ccnt_array(index) if cfg.ref_admit else None
     den2, den3 = seed_host.key_density_ladder(L, index.k)
 
-    def quickmap(bases, starts_d, sites_d, gpack_d, nmask_d, scnt_d):
+    def quickmap(bases, starts_d, sites_d, gpack_d, nmask_d, scnt_d,
+                 ccnt_d):
         rcodes, cand = candidate_stage(cfg, bases, starts_d, sites_d,
-                                       scnt_d=scnt_d)
+                                       scnt_d=scnt_d, ccnt_d=ccnt_d)
         return finalize_stage(cfg, rcodes, cand, gpack_d, nmask_d)
 
     def quickmap_q(bases, qual, starts_d, sites_d, gpack_d, nmask_d,
-                   scnt_d):
+                   scnt_d, ccnt_d):
         # quality-probability key offsets, same semantics as the host
         # seeding path (VERDICT r1 #9; reference: KeyRing.makeOffsets3)
         offs = quality_offsets_stage(cfg, qual, den2, den3)
         rcodes, cand = candidate_stage(cfg, bases, starts_d, sites_d,
-                                       offsets_dyn=offs, scnt_d=scnt_d)
+                                       offsets_dyn=offs, scnt_d=scnt_d,
+                                       ccnt_d=ccnt_d)
         return finalize_stage(cfg, rcodes, cand, gpack_d, nmask_d)
 
     jitted = jax.jit(quickmap)
@@ -938,11 +1130,12 @@ def build_quickmap(index: KmerIndex, L: int, chain_dist: int = 400,
     def run(bases, quality=None) -> QuickmapRun:
         if quality is None:
             out_i32, out_match = jitted(bases, starts_d, sites_d,
-                                        gpack_d, nmask_d, scnt_d)
+                                        gpack_d, nmask_d, scnt_d,
+                                        ccnt_d)
         else:
             out_i32, out_match = jitted_q(bases, quality, starts_d,
                                           sites_d, gpack_d, nmask_d,
-                                          scnt_d)
+                                          scnt_d, ccnt_d)
         return QuickmapRun(out_i32, out_match, L)
 
     return run

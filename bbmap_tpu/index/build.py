@@ -34,6 +34,12 @@ class KmerIndex:
     max_usable_length: int = 1 << 30  # list-length exclusion threshold
     max_usable_length2: int = 1 << 30  # staged re-admission threshold
     # (reference: BBIndex.MAX_USABLE_LENGTH2, find:421-440)
+    # greedy-trim limits (reference: BBIndex.java:276-281 + Solver):
+    length_histogram: Optional[np.ndarray] = None  # int64 [1001]
+    limit_avg: int = 20
+    limit_avg2: int = 20
+    limit_shortest: int = 20
+    points_per_site: int = -50
 
     @property
     def n_keys(self) -> int:
@@ -191,10 +197,6 @@ def analyze_index(index: KmerIndex,
             rc_nzk = reverse_complement_key(nzk, index.k)
             canon_nzk = (lengths[nzk] + lengths[rc_nzk]).astype(np.int64)
 
-    if fraction_to_exclude <= 0:
-        index.max_usable_length = 1 << 30
-        return
-
     # canonical values live on every key of each (key, rc) pair in the
     # reference's COUNTS array; reproduce the same multiset over the
     # union of present keys and their rcs (zero-length keys whose rc is
@@ -213,11 +215,41 @@ def analyze_index(index: KmerIndex,
     hist = np.searchsorted(cum, limits, side="left")
     hist = np.append(hist, len(nkeys_by_len) - 1)
 
-    i1 = int((1 - fraction_to_exclude) * HIST_BUCKETS)
-    i2 = int((1 - fraction_to_exclude * DOUBLE_SEARCH_THRESH_MULT)
-             * HIST_BUCKETS)
-    index.max_usable_length = max(2 * SMALL_GENOME_LIST, int(hist[i1]))
-    index.max_usable_length2 = max(6 * SMALL_GENOME_LIST, int(hist[i2]))
+    if fraction_to_exclude > 0:
+        i1 = int((1 - fraction_to_exclude) * HIST_BUCKETS)
+        i2 = int((1 - fraction_to_exclude * DOUBLE_SEARCH_THRESH_MULT)
+                 * HIST_BUCKETS)
+        index.max_usable_length = max(2 * SMALL_GENOME_LIST,
+                                      int(hist[i1]))
+        index.max_usable_length2 = max(6 * SMALL_GENOME_LIST,
+                                       int(hist[i2]))
+    else:
+        # no frequency exclusion on small genomes, but the reference
+        # still builds COUNTS + the greedy-trim limits below
+        index.max_usable_length = 1 << 30
+        index.max_usable_length2 = 1 << 30
+
+    # full canonical COUNTS table + Solver/greedy-trim limits
+    # (reference: AbstractIndex.COUNTS, BBIndex.java:176-191 +
+    # setFractionToExclude:3214-3221) — consumed by the reference-
+    # faithful key-retention path (align/search_oracle.py and the
+    # device admission)
+    counts = np.zeros(index.n_keys, np.int32)
+    counts[all_keys] = np.minimum(canon, 2 ** 31 - 1)
+    counts[rc_all] = counts[all_keys]
+    index.counts_canonical = counts
+    index.length_histogram = hist.astype(np.int64)
+    f = fraction_to_exclude
+    idx_avg = int(1000 * (1 - 2.3 * f))
+    idx_avg2 = int(1000 * (1 - 1.4 * f))
+    idx_short = int(1000 * (1 - 2.8 * f))
+    index.limit_avg = max(SMALL_GENOME_LIST, int(hist[idx_avg]))
+    index.limit_avg2 = max(SMALL_GENOME_LIST, int(hist[idx_avg2]))
+    index.limit_shortest = max(SMALL_GENOME_LIST, int(hist[idx_short]))
+    # Solver.POINTS_PER_SITE (reference: BBIndex.java:187)
+    index.points_per_site = int(np.floor(
+        (-50 * 4000.0) / max(2 * SMALL_GENOME_LIST,
+                             float(hist[idx_avg]))))
 
 
 def set_fraction_to_exclude(genome_bases: int) -> float:
@@ -243,14 +275,29 @@ def save_index(index: KmerIndex, path: str) -> None:
         counts_canonical=(index.counts_canonical
                           if index.counts_canonical is not None
                           else np.zeros(0, np.int32)),
-        max_usable_length=index.max_usable_length)
+        max_usable_length=index.max_usable_length,
+        max_usable_length2=index.max_usable_length2,
+        length_histogram=(index.length_histogram
+                          if index.length_histogram is not None
+                          else np.zeros(0, np.int64)),
+        limits=np.array([index.limit_avg, index.limit_avg2,
+                         index.limit_shortest, index.points_per_site],
+                        np.int64))
 
 
 def load_index(path: str) -> KmerIndex:
     z = np.load(path)
     cc = z["counts_canonical"]
-    return KmerIndex(
+    out = KmerIndex(
         k=int(z["k"]), starts=z["starts"], sites=z["sites"],
         genome_codes=z["genome_codes"], chrom_offsets=z["chrom_offsets"],
         counts_canonical=cc if len(cc) else None,
         max_usable_length=int(z["max_usable_length"]))
+    if "max_usable_length2" in z:
+        out.max_usable_length2 = int(z["max_usable_length2"])
+    if "length_histogram" in z and len(z["length_histogram"]):
+        out.length_histogram = z["length_histogram"]
+    if "limits" in z:
+        (out.limit_avg, out.limit_avg2, out.limit_shortest,
+         out.points_per_site) = [int(v) for v in z["limits"]]
+    return out

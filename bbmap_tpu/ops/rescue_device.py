@@ -129,9 +129,11 @@ def build_rescue(index, Lm: int, R: int, N_OFF: int = 1536):
 
     jitted = jax.jit(prog)
 
-    def run(reads_codes: np.ndarray, lo: np.ndarray, n: np.ndarray,
-            ideal_k: np.ndarray, right: np.ndarray,
-            max_mm: np.ndarray):
+    def dispatch(reads_codes: np.ndarray, lo: np.ndarray, n: np.ndarray,
+                 ideal_k: np.ndarray, right: np.ndarray,
+                 max_mm: np.ndarray):
+        """Launch and return the in-flight device outputs (host copies
+        started); fetch with np.asarray when needed."""
         rn = reads_codes > 3
         out = jitted(jnp.asarray(reads_codes), jnp.asarray(rn),
                      jnp.asarray(lo.astype(np.int32)),
@@ -140,8 +142,18 @@ def build_rescue(index, Lm: int, R: int, N_OFF: int = 1536):
                      jnp.asarray(right),
                      jnp.asarray(max_mm.astype(np.int32)),
                      gpack_d, nmask_d)
+        for o in out:
+            try:
+                o.copy_to_host_async()
+            except Exception:
+                pass
+        return out
+
+    def run(reads_codes, lo, n, ideal_k, right, max_mm):
+        out = dispatch(reads_codes, lo, n, ideal_k, right, max_mm)
         return np.asarray(out[0]), np.asarray(out[1])
 
+    run.dispatch = dispatch
     run.N_OFF = N_OFF
     run.R = R
     return run

@@ -207,6 +207,14 @@ def build_sharded_quickmap(mesh: Mesh, index: KmerIndex,
 
     repl = NamedSharding(mesh, P())
     gcnt_d = jax.device_put(gcnt, repl)
+    # reference retention consults the CANONICAL counts table, which is
+    # global by construction — replicate it; shard parity is automatic
+    ccnt_np = index.counts_canonical if cfg.ref_admit else None
+    if ccnt_np is None:
+        # dummy (unused when ref_admit is off) — keeps the shard_map
+        # arity/spec static
+        ccnt_np = np.zeros(1, np.int32)
+    ccnt_d = jax.device_put(ccnt_np.astype(np.int32), repl)
     gpack_d = jax.device_put(gpack_np, repl)
     nmask_d = jax.device_put(nmask_np, repl)
     starts_d = jax.device_put(sindex.starts_s,
@@ -214,10 +222,10 @@ def build_sharded_quickmap(mesh: Mesh, index: KmerIndex,
     sites_d = jax.device_put(sindex.sites_s,
                              NamedSharding(mesh, P("index", None)))
 
-    def worker(bases, starts_s, sites_s, gcnt, gpack, nmask):
+    def worker(bases, starts_s, sites_s, gcnt, gpack, nmask, ccnt):
         # local shapes: starts_s (1, 4^k+1), sites_s (1, width)
         rcodes, cand = qd.candidate_stage(
-            cfg, bases, starts_s[0], sites_s[0], gcnt)
+            cfg, bases, starts_s[0], sites_s[0], gcnt, ccnt_d=ccnt)
         # all-gather candidate tables over the index axis -> (B, n*K)
         gathered = {
             k: jax.lax.all_gather(v, "index", axis=1, tiled=True)
@@ -228,7 +236,7 @@ def build_sharded_quickmap(mesh: Mesh, index: KmerIndex,
     sm = shard_map(
         worker, mesh=mesh,
         in_specs=(P("data", None), P("index", None), P("index", None),
-                  P(), P(), P()),
+                  P(), P(), P(), P()),
         out_specs=(P("data", None), P("data", None)),
         check_rep=False)
     jitted = jax.jit(sm)
@@ -238,7 +246,7 @@ def build_sharded_quickmap(mesh: Mesh, index: KmerIndex,
             np.ascontiguousarray(bases),
             NamedSharding(mesh, P("data", None)))
         out_i32, out_match = jitted(bases_d, starts_d, sites_d,
-                                    gcnt_d, gpack_d, nmask_d)
+                                    gcnt_d, gpack_d, nmask_d, ccnt_d)
         return qd.QuickmapRun(out_i32, out_match, L)
 
     return run
