@@ -224,6 +224,7 @@ def _bucket_pad(n: int) -> int:
     return p
 
 
+RESCUE_CHUNK = 1024   # fixed rescue-kernel job budget (one program)
 DP_CHUNK = 8192       # device batch for fill+traceback DP jobs
 DP_SCORE_CHUNK = 32768  # device batch for score-only DP — sized so a
 # whole batch's escalation jobs usually fit one dispatch (the tunnel's
@@ -1460,10 +1461,22 @@ class BBMapAligner:
         return (b1, b2, L, mb1, mb2, pend)
 
     def _pair_phase2(self, mid):
+        return self._pair_phase2b(self._pair_phase2a(mid))
+
+    def _pair_phase2a(self, mid):
+        """Fetch the rescue scan + dispatch the slowRescue DP (the DP
+        fetch is deferred one more stream slot)."""
         if mid[0] == "done":       # host-path stream item
-            return mid[1]
+            return mid
         b1, b2, L, mb1, mb2, pend = mid
-        self._rescue_apply(pend)
+        st2 = self._rescue_apply_score(pend)
+        return ("2a", b1, b2, L, mb1, mb2, st2)
+
+    def _pair_phase2b(self, mid2):
+        if mid2[0] == "done":
+            return mid2[1]
+        _tag, b1, b2, L, mb1, mb2, st2 = mid2
+        self._rescue_finish(st2)
         self._set_pair_flags_columnar(mb1, mb2, L, L)
         return mb1, mb2
 
@@ -1493,7 +1506,7 @@ class BBMapAligner:
         """Re-map fallback pairs through the host paired path (unfused
         quickmap + host escalation + host rescue) and merge."""
         n = len(pair_ids)
-        P = _bucket_pad(n)
+        P = max(256, _bucket_pad(n))   # few shapes ever compile
 
         def sub(b):
             bases = np.full((P, b.bases.shape[1]), ord("N"), np.uint8)
@@ -1619,40 +1632,53 @@ class BBMapAligner:
                 host_jobs.append(j)
         pending_dev = None
         if dev_jobs:
-            R = _bucket_pad(len(dev_jobs))
+            # ONE fixed program size (chunked when jobs overflow it) so
+            # steady state never meets a fresh compile
+            R = RESCUE_CHUNK
             rescue = self._rescue_programs(Lm, R)
-            reads_c = np.full((R, Lm), 4, np.uint8)
-            lo_a = np.zeros(R, np.int32)
-            n_a = np.zeros(R, np.int32)
-            ik_a = np.zeros(R, np.int32)
-            rt_a = np.zeros(R, bool)
-            mm_a = np.full(R, -1, np.int32)
-            for t, (which, row, mate_read, lo_t, n_t, ik, right,
-                    max_mm, mstrand) in enumerate(dev_jobs):
-                reads_c[t] = _B2C[mate_read]
-                lo_a[t] = lo_t
-                n_a[t] = n_t
-                ik_a[t] = ik
-                rt_a[t] = right
-                mm_a[t] = max_mm
-            pending_dev = (rescue.dispatch(reads_c, lo_a, n_a, ik_a,
-                                           rt_a, mm_a), lo_a)
+            nchunks = (len(dev_jobs) + R - 1) // R
+            outs = []
+            lo_all = np.zeros(nchunks * R, np.int32)
+            for c0 in range(nchunks):
+                sub = dev_jobs[c0 * R:(c0 + 1) * R]
+                reads_c = np.full((R, Lm), 4, np.uint8)
+                lo_a = np.zeros(R, np.int32)
+                n_a = np.zeros(R, np.int32)
+                ik_a = np.zeros(R, np.int32)
+                rt_a = np.zeros(R, bool)
+                mm_a = np.full(R, -1, np.int32)
+                for t, (which, row, mate_read, lo_t, n_t, ik, right,
+                        max_mm, mstrand) in enumerate(sub):
+                    reads_c[t] = _B2C[mate_read]
+                    lo_a[t] = lo_t
+                    n_a[t] = n_t
+                    ik_a[t] = ik
+                    rt_a[t] = right
+                    mm_a[t] = max_mm
+                outs.append(rescue.dispatch(reads_c, lo_a, n_a, ik_a,
+                                            rt_a, mm_a))
+                lo_all[c0 * R:(c0 + 1) * R] = lo_a
+            pending_dev = (outs, lo_all)
         return (mb1, mb2, Lm, dev_jobs, host_jobs, pending_dev)
 
     def _rescue_apply(self, pend) -> None:
-        """Fetch the in-flight rescue scan, run slowRescue (vectorized
-        gapless re-score + batched DP escalation of imperfect rescues,
-        reference: AbstractMapThread.java:1247-1303), and write the
-        rescued mates."""
+        """Synchronous rescue tail: scan fetch + slowRescue + writes."""
+        self._rescue_finish(self._rescue_apply_score(pend))
+
+    def _rescue_apply_score(self, pend):
+        """Fetch the in-flight rescue scan, merge host-path jobs, run
+        the vectorized gapless re-score, and DISPATCH the slowRescue DP
+        (reference: AbstractMapThread.java:1247-1303). Returns the
+        state for :meth:`_rescue_finish` (or None)."""
         from . import gapless
         if pend is None:
-            return
+            return None
         mb1, mb2, Lm, dev_jobs, host_jobs, pending_dev = pend
         results = {}   # (which, row) -> (job, start_flat, mm)
         if pending_dev is not None:
-            out, lo_a = pending_dev
-            best_k = np.asarray(out[0])
-            min_mm = np.asarray(out[1])
+            outs, lo_a = pending_dev
+            best_k = np.concatenate([np.asarray(o[0]) for o in outs])
+            min_mm = np.concatenate([np.asarray(o[1]) for o in outs])
             for t, job in enumerate(dev_jobs):
                 which, row = job[0], job[1]
                 bk = int(best_k[t])
@@ -1675,8 +1701,15 @@ class BBMapAligner:
                                          int(found[1]))
 
         if not results:
-            return
-        # slowRescue: vectorized gapless re-score of every found site
+            return None
+        return self._rescue_score(results, Lm, mb1, mb2)
+
+    def _rescue_score(self, results, Lm, mb1, mb2):
+        """slowRescue part 1: vectorized gapless re-score of every found
+        site + DISPATCH of the batched DP for imperfect rescues (the
+        fetch is deferred to :meth:`_rescue_finish` so a streaming
+        caller can slot the next fused dispatch in between)."""
+        from . import gapless
         recs = list(results.values())
         g = self.codes_ascii
         max_mm_v = np.array([r[0][7] for r in recs])
@@ -1686,23 +1719,20 @@ class BBMapAligner:
         diag_v = np.array([r[1] for r in recs], np.int64)
         scores = gapless.score_no_indels_flat(
             reads_m, np.full(len(recs), Lm), g, diag_v, self.profile)
-        max_sw = self.profile.max_quality(Lm)
         max_imp = self.profile.max_imperfect_score(Lm)
-        retain = int(0.4 * max_sw)
-        retain2 = int(0.55 * max_sw)
-
         start_flat = diag_v.copy()
         stop_flat = diag_v + Lm - 1
         match_v: list = [None] * len(recs)
         score_v = scores.astype(np.int64)
         dp_rows = np.nonzero(ok0 & (score_v < max_imp))[0] \
             if self.maxindel > 0 else np.zeros(0, np.int64)
+        launch = None
+        pad = SLOW_ALIGN_PADDING + 6
         if len(dp_rows):
             # slowRescue DP, batched (host _rescue runs the numpy oracle
             # per job — same DP family, parity-tested in tests/test_msa)
-            pad = SLOW_ALIGN_PADDING + 6
             C = Lm + 2 * pad
-            chunk = _bucket_pad(len(dp_rows))
+            chunk = max(256, _bucket_pad(len(dp_rows)))
             reads_b = np.full((chunk, Lm), ord("N"), np.uint8)
             refs_b = np.full((chunk, C), ord("N"), np.uint8)
             for s_i, t in enumerate(dp_rows):
@@ -1710,7 +1740,30 @@ class BBMapAligner:
                 refs_b[s_i] = self._window(int(diag_v[t]) - pad, C)
             sym, ln, gaps, sc, col, st = msa_jax.msa_align_batch(
                 reads_b, refs_b, Lm, C, self.profile)
-            sym, ln, gaps, sc, col = _fetch([sym, ln, gaps, sc, col])
+            for a in (sym, ln, gaps, sc, col):
+                try:
+                    a.copy_to_host_async()
+                except Exception:
+                    pass
+            launch = (sym, ln, gaps, sc, col)
+        return (recs, reads_m, ok0, score_v, start_flat, stop_flat,
+                match_v, dp_rows, diag_v, launch, Lm, mb1, mb2, pad)
+
+    def _rescue_finish(self, st2) -> None:
+        """slowRescue part 2: fetch the DP, apply improvements, retain
+        rules, and write the rescued mates (reference:
+        AbstractMapThread.java:1247-1303 retain 0.4/0.55)."""
+        from . import gapless
+        if st2 is None:
+            return
+        (recs, reads_m, ok0, score_v, start_flat, stop_flat, match_v,
+         dp_rows, diag_v, launch, Lm, mb1, mb2, pad) = st2
+        g = self.codes_ascii
+        max_sw = self.profile.max_quality(Lm)
+        retain = int(0.4 * max_sw)
+        retain2 = int(0.55 * max_sw)
+        if launch is not None:
+            sym, ln, gaps, sc, col = _fetch(list(launch))
             for s_i, t in enumerate(dp_rows):
                 if int(sc[s_i]) > score_v[t]:
                     mmatch = msa_jax.finish_match(
@@ -1788,26 +1841,34 @@ class BBMapAligner:
         pairs that can't take the device path yield via the object path
         converted to columns."""
         p_disp = None      # newest: fused dispatched, not yet assembled
-        p_mid = None       # older: assembled, rescue in flight
+        p_mid = None       # assembled, rescue scan in flight
+        p_sc = None        # oldest: slowRescue DP in flight
         for b1, b2 in pairs:
             L = self._can_pair_columnar(b1, b2)
             if L is not None:
                 item = (b1, b2, L, self._fused_pair_dispatch(b1, b2, L))
             else:
                 item = (b1, b2)
+            if p_sc is not None:
+                yield self._pair_phase2b(p_sc)
+                p_sc = None
             if p_mid is not None:
-                yield self._pair_phase2(p_mid)
+                p_sc = self._pair_phase2a(p_mid)
                 p_mid = None
             if p_disp is not None:
                 p_mid = self._pair_mid(p_disp)
             p_disp = item
-        if p_disp is not None:
+        # drain
+        for flush in range(3):
+            if p_sc is not None:
+                yield self._pair_phase2b(p_sc)
+                p_sc = None
             if p_mid is not None:
-                yield self._pair_phase2(p_mid)
+                p_sc = self._pair_phase2a(p_mid)
                 p_mid = None
-            p_mid = self._pair_mid(p_disp)
-        if p_mid is not None:
-            yield self._pair_phase2(p_mid)
+            if p_disp is not None:
+                p_mid = self._pair_mid(p_disp)
+                p_disp = None
 
     def _pair_mid(self, item):
         """Run phase 1 (host assembly + rescue dispatch) of a stream

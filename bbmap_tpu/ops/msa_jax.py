@@ -510,8 +510,10 @@ def _walk_device(prevs, read, ref, col0, st0, R: int, C: int,
 
     carry0 = (jnp.int32(R), col0.astype(I32), st0.astype(I32),
               jnp.int32(0))
+    # unroll: the body is a handful of tiny-vector ops, so the per-step
+    # launch/loop overhead dominates — unrolling amortizes it 8x
     (row, col, st, gaps), syms = jax.lax.scan(
-        step, carry0, None, length=steps if steps else R + C)
+        step, carry0, None, length=steps if steps else R + C, unroll=8)
     outpos = jnp.sum((syms != 0).astype(I32))
     return syms, outpos, gaps, row
 
