@@ -74,8 +74,9 @@ for _b in range(256):
 
 def pack_reads_host(bases: np.ndarray):
     """(B, L) ASCII -> (codes2 (B, W16) uint32 [16 bases/word],
-    nmask (B, W32) uint32 [32 N-bits/word]). ~4x smaller upload than raw
-    ASCII over the tunnel link."""
+    nmask (B, W32) uint32 or None when the batch has no N/undefined
+    bases — the common case skips a third of the upload). ~4x smaller
+    than raw ASCII over the tunnel link."""
     B, L = bases.shape
     codes = _B2C[bases]
     W16 = (L + 15) // 16
@@ -85,8 +86,10 @@ def pack_reads_host(bases: np.ndarray):
     shifts = (2 * np.arange(16, dtype=np.uint32))
     codes2 = (cpad.reshape(B, W16, 16) << shifts[None, None, :]).sum(
         axis=2, dtype=np.uint32)
+    nb = codes > 3
+    if not nb.any():
+        return codes2, None
     W32 = (L + 31) // 32
-    nb = (codes > 3).astype(np.uint32)
     npad = np.zeros((B, W32 * 32), np.uint32)
     npad[:, :L] = nb
     bshift = np.arange(32, dtype=np.uint32)
@@ -96,11 +99,14 @@ def pack_reads_host(bases: np.ndarray):
 
 
 def unpack_reads_device(codes2, nmask, L: int):
-    """Device inverse of pack_reads_host -> (B, L) codes 0..4."""
+    """Device inverse of pack_reads_host -> (B, L) codes 0..4.
+    ``nmask=None``: the batch is N-free (static program variant)."""
     B, W16 = codes2.shape
     slots = jnp.arange(16, dtype=U32) * 2
     c = ((codes2[:, :, None] >> slots) & 3).astype(jnp.uint8)
     c = c.reshape(B, W16 * 16)[:, :L]
+    if nmask is None:
+        return c
     W32 = nmask.shape[1]
     bslots = jnp.arange(32, dtype=U32)
     nb = ((nmask[:, :, None] >> bslots) & 1).astype(bool)
@@ -574,10 +580,14 @@ def fused_stage(fcfg: FusedConfig, rcodes, starts_d, sites_d, gpack_d,
     sym_packed = pack_syms(sym)                        # (T, ceil((L+Cn)/2))
     sym_w_packed = pack_syms(sym_w)                    # (RT, ceil((L+Cw)/2))
 
+    raweff = jnp.maximum(g_w, dp_w).astype(I32)
+    dp_beat = (dp_w > g_w).astype(I32)
+    packed = ((jnp.clip(n_sites, 0, 2 ** 22) << 8)
+              | (wstrand.astype(I32) << 2) | (dp_beat << 1)
+              | row_fallback.astype(I32))
     esc_i32 = jnp.stack([
-        esc_idx, best_e.astype(I32), second_full.astype(I32), n_sites,
-        wdiag, wstrand, wws, g_w.astype(I32), dp_w.astype(I32),
-        row_fallback.astype(I32)], axis=1)             # (E, 10)
+        esc_idx, best_e.astype(I32), second_full.astype(I32),
+        wdiag, raweff, packed], axis=1)                # (E, 6)
     trace_i32 = jnp.stack([
         tloc, ln, gaps, sc2, col, tws_final,
         retried.astype(I32)], axis=1)                  # (T, 7)
@@ -586,8 +596,7 @@ def fused_stage(fcfg: FusedConfig, rcodes, starts_d, sites_d, gpack_d,
             sym_w_packed)
 
 
-ESC_COLS = ("idx", "best", "second", "n_sites", "wdiag", "wstrand",
-            "wws", "g_w", "dp_w", "fb")
+ESC_COLS = ("idx", "best", "second", "wdiag", "raweff", "packed")
 TRACE_COLS = ("tloc", "ln", "gaps", "sc2", "col", "tws", "retried")
 
 
@@ -627,6 +636,11 @@ class FusedRun:
         else:
             d["li_plaus"] = meta[:, 5].astype(bool)
         esc = {k: esc_i32[:, i] for i, k in enumerate(ESC_COLS)}
+        pk = esc.pop("packed")
+        esc["n_sites"] = pk >> 8
+        esc["wstrand"] = (pk >> 2) & 1
+        esc["dp_beat"] = ((pk >> 1) & 1).astype(bool)
+        esc["fb"] = (pk & 1).astype(bool)
         tr = {k: trace_i32[:, i] for i, k in enumerate(TRACE_COLS)}
         T = trace_i32.shape[0]
         sym = np.zeros((T, L + self._Cw), np.uint8)

@@ -631,7 +631,7 @@ class BBMapAligner:
         max_sw = self.profile.max_quality(L)
         min_score = int(max_sw * self.min_ratio)
         if paired:
-            raweff = np.maximum(esc["g_w"], esc["dp_w"]).astype(np.int64)
+            raweff = esc["raweff"].astype(np.int64)
             ratio_paired = max(self.min_ratio * 0.80,
                                1 - (1 - self.min_ratio) * 1.4)
             min_paired = int(max_sw * ratio_paired)
@@ -655,8 +655,7 @@ class BBMapAligner:
         mb.ambiguous[rows_m] = ambiguous[mapped]
         mb.n_sites[rows_m] = esc["n_sites"][mapped]
 
-        dp_beat = esc["dp_w"].astype(np.int64) > esc["g_w"].astype(
-            np.int64)
+        dp_beat = esc["dp_beat"]
         needs = mapped & dp_beat                     # device trace gate
         tloc = tr["tloc"].astype(np.int64)
         t_valid = tloc < 2 ** 30

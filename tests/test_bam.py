@@ -56,6 +56,7 @@ def test_bam_large_block_spill(tmp_path):
     assert got == lines
 
 
+@pytest.mark.slow
 def test_bbmap_bam_output_parity(tmp_path):
     from bbmap_tpu.io import bam
     from bbmap_tpu.tools import bbmap as bb

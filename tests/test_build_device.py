@@ -9,6 +9,8 @@ from bbmap_tpu.index.build import analyze_index, build_index
 from bbmap_tpu.index.build_device import build_index_device
 
 
+pytestmark = pytest.mark.slow  # multi-minute battery (--runslow)
+
 def _genome(rng, sizes, n_frac=0.001):
     bases = np.frombuffer(b"ACGT", np.uint8)
     chroms = []

@@ -14,6 +14,7 @@ S2 = "/root/reference/resources/sample2.fq.gz"
 TRUSEQ = "/root/reference/resources/truseq.fa.gz"
 
 
+@pytest.mark.slow
 def test_bbmap_paired_phix(tmp_path):
     from bbmap_tpu.tools import bbmap
     out = tmp_path / "mapped.sam"
@@ -71,6 +72,7 @@ def test_bbmerge_samples(tmp_path):
     assert ihist.exists()
 
 
+@pytest.mark.slow
 def test_pileup_after_mapping(tmp_path):
     from bbmap_tpu.tools import bbmap, pileup
     sam = tmp_path / "m.sam"

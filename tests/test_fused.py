@@ -119,6 +119,7 @@ def test_fused_budget_overflow_fallback(setup, monkeypatch):
     assert_mb_equal(mf, mu)
 
 
+@pytest.mark.slow
 def test_fused_map_stream(setup):
     fused, unfused = _pair(setup)
     batches = [make_reads(setup, 64, seed=s) for s in (21, 22, 23)]

@@ -146,6 +146,7 @@ def test_rescue_device_matches_host_oracle(setup):
             assert (int(start), int(min_mm[t])) == expected[t], t
 
 
+@pytest.mark.slow
 def test_map_pairs_columnar_end_to_end(setup):
     g, genome, index = setup
     al = BBMapAligner(genome, index)

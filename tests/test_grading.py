@@ -26,6 +26,7 @@ def test_cigar_spans():
     assert cigar_spans("40=2I58=") == (0, 98, 0, 100)
 
 
+@pytest.mark.slow
 def test_roundtrip_accuracy(tmp_path):
     g = build_genome(PHIX)
     idx = build_index(g, 13)

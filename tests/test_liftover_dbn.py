@@ -1,3 +1,4 @@
+import pytest
 """liftover (reference: fileIO/ChainBlock.java, driver/Translator.java)
 and decontaminate (reference: jgi/DecontaminateByNormalization.java) +
 the ehist/bqhist/timehist battery additions (VERDICT r1 #10/#26)."""
@@ -49,6 +50,7 @@ def test_liftover_positions(tmp_path):
     assert lines[1].startswith("chrC\t45\t-")
 
 
+@pytest.mark.slow
 def test_decontaminate_pipeline(tmp_path):
     """Plumbing: merged->normalized->demuxed->mapped->filtered; the
     uncovered junk contig lands in dirty."""
@@ -100,6 +102,7 @@ def test_new_histograms(tmp_path):
     assert len(t.read_text().splitlines()) == 2
 
 
+@pytest.mark.slow
 def test_bbmap_emits_new_hists(tmp_path):
     from bbmap_tpu.tools import bbmap as bb
     rng = np.random.default_rng(1)

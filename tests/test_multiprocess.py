@@ -19,6 +19,8 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+pytestmark = pytest.mark.slow  # multi-minute battery (--runslow)
+
 def _free_port() -> int:
     s = socket.socket()
     s.bind(("localhost", 0))

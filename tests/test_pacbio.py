@@ -64,6 +64,7 @@ def test_pacbio_oracle_vs_xla():
         assert msc != msc_short or t > 3
 
 
+@pytest.mark.slow
 def test_pacbio_mapping_15pct_error(tmp_path):
     """The reference envelope claim (BASELINE.md): reads at 15% error
     map correctly with the PacBio stack. >=90% strict-correct."""

@@ -229,6 +229,7 @@ def test_100kbp_deletion_gap_compressed(tmp_path):
     assert r.match.count(ord("D")) == DEL
 
 
+@pytest.mark.slow
 def test_pacbio_error_model_reads_map(tmp_path):
     """randomreads pacbio=t produces indel-dominated long reads
     (reference: RandomReads3 PacBio profile); most map back correctly

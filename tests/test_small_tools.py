@@ -113,6 +113,7 @@ def test_readstats():
     assert rs.idhist[98] == 1
 
 
+@pytest.mark.slow
 def test_bbsplit(tmp_path):
     from bbmap_tpu.tools import bbsplit
     rng = np.random.default_rng(10)
