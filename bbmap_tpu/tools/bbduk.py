@@ -312,6 +312,20 @@ def main(argv: List[str]) -> int:
               file=sys.stderr)
         return 1
 
+    # multi-host striping (VERDICT r3 #6 — hosts= beyond bbmap; bbduk
+    # is a pure map over reads so the rank-ownership rule
+    # batch_id %% hosts == hostid stripes trivially; host 0 merges
+    # output shards in input order and tree-reduces the counters)
+    import os as _os
+    num_hosts = args.get_int("hosts", default=1)
+    host_id = 0
+    if num_hosts > 1:
+        # bbduk needs no device collectives — the stripe + shared-FS
+        # barrier suffice, so jax.distributed (and its shutdown
+        # coordination) is deliberately NOT initialized here
+        host_id = args.get_int("hostid", default=int(
+            _os.environ.get("BBMAP_TPU_HOST_ID", "0")))
+
     seqs: List[bytes] = []
     names: List[str] = []
     if ref:
@@ -330,10 +344,19 @@ def main(argv: List[str]) -> int:
                 trimq=trimq, minlength=minlength, forcetrimleft=ftl,
                 forcetrimright=ftr, entropy=entropy, kbig=kbig)
 
-    out_fh = fastx.xopen(out, "wb") if out else None
-    out2_fh = fastx.xopen(out2, "wb") if out2 else None
-    outm_fh = fastx.xopen(outm, "wb") if outm else None
-    outm2_fh = fastx.xopen(outm2, "wb") if outm2 else None
+    shards = {}
+    if num_hosts > 1:
+        from ..parallel import multihost
+        for name, path in (("out", out), ("out2", out2),
+                           ("outm", outm), ("outm2", outm2)):
+            shards[name] = multihost.ShardWriter(path, host_id) \
+                if path else None
+        out_fh = out2_fh = outm_fh = outm2_fh = None
+    else:
+        out_fh = fastx.xopen(out, "wb") if out else None
+        out2_fh = fastx.xopen(out2, "wb") if out2 else None
+        outm_fh = fastx.xopen(outm, "wb") if outm else None
+        outm2_fh = fastx.xopen(outm2, "wb") if outm2 else None
 
     def write(fh, rec):
         if fh is None:
@@ -346,7 +369,21 @@ def main(argv: List[str]) -> int:
     paired = in2 is not None or interleaved
     reader = fastx.PairedReader(in1, in2, interleaved)
     kept = removed = 0
-    for chunk in batched(iter(reader), 8192):
+    src = batched(iter(reader), 8192)
+    if num_hosts > 1:
+        from ..parallel import multihost
+        src = multihost.stripe_batches(src, host_id, num_hosts)
+    else:
+        src = enumerate(src)
+    import io as _io
+    for batch_id, chunk in src:
+        if num_hosts > 1:
+            bufs = {name: _io.BytesIO() if sh is not None else None
+                    for name, sh in shards.items()}
+            out_fh = bufs["out"]
+            out2_fh = bufs["out2"]
+            outm_fh = bufs["outm"]
+            outm2_fh = bufs["outm2"]
         recs1 = [p[0] for p in chunk]
         b1 = ReadBatch.from_records(recs1)
         keep1, out1_recs, m1 = duk.process_batch(b1)
@@ -423,8 +460,50 @@ def main(argv: List[str]) -> int:
                 else:
                     write(outm_fh, out1_recs[i])
                     removed += 1
+        if num_hosts > 1:
+            for name, sh in shards.items():
+                if sh is not None:
+                    sh.write_batch(batch_id, bufs[name].getvalue())
+            out_fh = out2_fh = outm_fh = outm2_fh = None
+    if num_hosts > 1:
+        import json as _json
+        from ..parallel import multihost
+        for sh in shards.values():
+            if sh is not None:
+                sh.close()
+        base = out or outm
+        side = multihost.shard_path(base, host_id) + ".dukstats.json"
+        with open(side, "w") as fh:
+            _json.dump({"reads_in": duk.reads_in,
+                        "bases_in": duk.bases_in,
+                        "reads_matched": duk.reads_matched,
+                        "kept": kept, "removed": removed,
+                        "ref_counts": duk.ref_counts.tolist()}, fh)
+        multihost.barrier("bbduk-shards-done", host_id, num_hosts, base)
+        if host_id == 0:
+            for path in (out, out2, outm, outm2):
+                if path:
+                    multihost.merge_shards(path, num_hosts)
+            import numpy as _np
+            for p in range(1, num_hosts):
+                sp = multihost.shard_path(base, p) + ".dukstats.json"
+                with open(sp) as fh:
+                    o = _json.load(fh)
+                duk.reads_in += o["reads_in"]
+                duk.bases_in += o["bases_in"]
+                duk.reads_matched += o["reads_matched"]
+                kept += o["kept"]
+                removed += o["removed"]
+                duk.ref_counts += _np.asarray(o["ref_counts"],
+                                              _np.int64)
+                _os.remove(sp)
+            _os.remove(side)
+            multihost.barrier_cleanup("bbduk-shards-done", num_hosts,
+                                      base)
+        else:
+            stats = None
     for fh in (out_fh, out2_fh, outm_fh, outm2_fh):
-        if fh is not None:
+        if fh is not None and not isinstance(fh, _io.BytesIO):
             fh.close()
     dt = time.time() - t0
     sys.stderr.write(

@@ -379,11 +379,47 @@ def main(argv: List[str]) -> int:
             pass
     if shard is not None:
         shard.close()
+        # stats/scafstats/read-count stripes ride npz sidecars so host
+        # 0 can tree-reduce the FULL battery to single-process-identical
+        # artifacts (VERDICT r3 #6; reference: align2/ReadStats
+        # mergeRaw:208-256 merges every histogram at end of run)
+        import json as _json
+        side = multihost.shard_path(out, host_id) + ".stats"
+        if stats is not None:
+            stats.save_npz(side + ".npz")
+        with open(side + ".json", "w") as fh:
+            _json.dump({"n_reads": n_reads, "n_mapped": n_mapped,
+                        "scaf_counts": scaf_counts}, fh)
         multihost.barrier("bbmap-shards-done", host_id, num_hosts, out)
         if host_id == 0:
             multihost.merge_shards(out, num_hosts)
+            for p in range(1, num_hosts):
+                sp = multihost.shard_path(out, p) + ".stats"
+                if stats is not None and os.path.exists(sp + ".npz"):
+                    stats.merge_npz(sp + ".npz")
+                if os.path.exists(sp + ".json"):
+                    with open(sp + ".json") as fh:
+                        other = _json.load(fh)
+                    n_reads += other["n_reads"]
+                    n_mapped += other["n_mapped"]
+                    if scaf_counts is not None and other["scaf_counts"]:
+                        for k_, v_ in other["scaf_counts"].items():
+                            scaf_counts[k_] = scaf_counts.get(k_, 0) + v_
+                    os.remove(sp + ".json")
+                if os.path.exists(sp + ".npz"):
+                    os.remove(sp + ".npz")
+            for suffix in (".npz", ".json"):
+                own = multihost.shard_path(out, 0) + ".stats" + suffix
+                if os.path.exists(own):
+                    os.remove(own)
             multihost.barrier_cleanup("bbmap-shards-done", num_hosts,
                                       out)
+        else:
+            # non-zero hosts do not emit stats artifacts (host 0 owns
+            # the merged files)
+            hist_flags = {k: None for k in hist_flags}
+            scafstats_path = None
+            scaf_counts = None
     if out_fh is not None and out_fh not in (sys.stdout,):
         out_fh.close()
     dt = time.time() - t2
@@ -398,7 +434,7 @@ def main(argv: List[str]) -> int:
         for flag, path in hist_flags.items():
             if path:
                 writers[flag](path)
-    if scaf_counts is not None:
+    if scaf_counts is not None and scafstats_path:
         with open(scafstats_path, "w") as fh:
             fh.write("#name\tassignedReads\tassignedPct\n")
             for name, cnt in sorted(scaf_counts.items(),

@@ -53,51 +53,110 @@ def rejoin_sam(in_path: str, out_path: str,
                 groups[base] = []
                 order.append(base)
             groups[base].append((idx, f))
+    def _try_merge_run(recs, i, j):
+        """Merge the contiguous chunk run recs[i..j] (all mapped, same
+        rname+strand) into (pos0, cigar, seq, qual) or None when the
+        chunks are not collinear within tolerance."""
+        run = recs[i:j + 1]
+        minus = bool(int(run[0][1]) & 0x10)
+        ordered = run if not minus else run[::-1]
+        cigar_parts: List[str] = []
+        seq_parts: List[str] = []
+        qual_parts: List[str] = []
+        pos0 = int(ordered[0][3])
+        cur_end = pos0 - 1
+        for t, f in enumerate(ordered):
+            p = int(f[3])
+            if t > 0:
+                gap = p - cur_end - 1
+                if gap < 0 or gap > tolerance:
+                    return None
+                if gap > 0:
+                    cigar_parts.append(f"{gap}D")
+            cigar_parts.append(f[5])
+            seq_parts.append(f[9])
+            qual_parts.append(f[10])
+            cur_end = p + _refspan(f[5]) - 1
+        return (pos0, "".join(cigar_parts), "".join(seq_parts),
+                "".join(qual_parts), minus)
+
+    def _runs(recs):
+        """Maximal contiguous runs of mapped chunks sharing
+        rname+strand: (i, j, weight=total seq length)."""
+        out_runs = []
+        i = 0
+        n = len(recs)
+        while i < n:
+            f = recs[i]
+            if int(f[1]) & 0x4:
+                i += 1
+                continue
+            j = i
+            while (j + 1 < n and not int(recs[j + 1][1]) & 0x4
+                   and recs[j + 1][2] == f[2]
+                   and (int(recs[j + 1][1]) & 0x10)
+                   == (int(f[1]) & 0x10)):
+                j += 1
+            out_runs.append((i, j, sum(len(r[9]) for r in recs[i:j + 1])))
+            i = j + 1
+        return out_runs
+
+    def _rc(seq: str) -> str:
+        comp = {"A": "T", "C": "G", "G": "C", "T": "A", "N": "N"}
+        return "".join(comp.get(c, "N") for c in reversed(seq))
+
     with fastx.xopen(out_path, "wt") as out:
         out.writelines(header)
         out.writelines(passthrough)
         for base in order:
             chunks = sorted(groups[base])
             recs = [f for _, f in chunks]
-            mapped = [f for f in recs if not int(f[1]) & 0x4]
-            mergeable = (
-                len(mapped) == len(recs) and len(recs) > 1
-                and len({f[2] for f in recs}) == 1
-                and len({int(f[1]) & 0x10 for f in recs}) == 1)
-            if mergeable:
-                minus = bool(int(recs[0][1]) & 0x10)
-                ordered = recs if not minus else recs[::-1]
-                ok = True
-                cigar_parts = []
-                seq_parts = []
-                qual_parts = []
-                pos0 = int(ordered[0][3])
-                cur_end = pos0 - 1
-                for t, f in enumerate(ordered):
-                    p = int(f[3])
-                    if t > 0:
-                        gap = p - cur_end - 1
-                        if gap < 0 or gap > tolerance:
-                            ok = False
-                            break
-                        if gap > 0:
-                            cigar_parts.append(f"{gap}D")
-                    cigar_parts.append(f[5])
-                    seq_parts.append(f[9])
-                    qual_parts.append(f[10])
-                    cur_end = p + _refspan(f[5]) - 1
-                if ok:
-                    merged = recs[0][:]
-                    merged[0] = base
-                    merged[3] = str(pos0)
-                    merged[5] = "".join(cigar_parts)
-                    merged[9] = "".join(seq_parts)
-                    merged[10] = "".join(qual_parts)
-                    merged = merged[:11]  # tags would be stale
-                    out.write("\t".join(merged) + "\n")
-                    continue
-            for f in recs:
-                out.write("\t".join(f) + "\n")
+            merged_rec = None
+            # pick the heaviest collinear run as the majority alignment
+            # (reference: AbstractMapThread.processReadSplit:2787
+            # tolerates chunks on different strands/scaffolds; the
+            # minority chunks become soft-clips of the majority record)
+            best = None
+            for (i, j, w) in sorted(_runs(recs), key=lambda r: -r[2]):
+                m = _try_merge_run(recs, i, j)
+                if m is not None and (j > i or len(recs) == 1
+                                      or best is None):
+                    best = (i, j, m)
+                    if j > i:
+                        break
+            if best is not None and len(recs) > 1:
+                i, j, (pos0, cig, seq, qual, minus) = best
+                # minority chunks, oriented to the majority strand
+                def chunk_seq(f):
+                    s, q = f[9], f[10]
+                    cminus = bool(int(f[1]) & 0x10)
+                    if cminus != minus:
+                        return _rc(s), q[::-1]
+                    return s, q
+                lead = [chunk_seq(f) for f in recs[:i]]
+                trail = [chunk_seq(f) for f in recs[j + 1:]]
+                if minus:
+                    # reference orientation reverses read-chunk order
+                    lead, trail = ([(s, q) for s, q in trail[::-1]],
+                                   [(s, q) for s, q in lead[::-1]])
+                lseq = "".join(s for s, _ in lead)
+                lqual = "".join(q for _, q in lead)
+                tseq = "".join(s for s, _ in trail)
+                tqual = "".join(q for _, q in trail)
+                cigar = ((f"{len(lseq)}S" if lseq else "") + cig
+                         + (f"{len(tseq)}S" if tseq else ""))
+                merged = recs[i][:]
+                merged[0] = base
+                merged[3] = str(pos0)
+                merged[5] = cigar
+                merged[9] = lseq + seq + tseq
+                merged[10] = lqual + qual + tqual
+                merged_rec = merged[:11]  # tags would be stale
+            if merged_rec is not None:
+                out.write("\t".join(merged_rec) + "\n")
+            else:
+                for f in recs:
+                    out.write("\t".join(f) + "\n")
 
 
 def split_long_reads(path: str, out_path: str,

@@ -34,6 +34,32 @@ class ReadStats:
         # per-read processing time, microsecond log2 buckets (timehist)
         self.timehist = np.zeros(64, np.int64)
 
+    _ARRAYS = ("qhist_sum", "qhist_cnt", "lhist", "gchist", "ihist",
+               "idhist", "indelhist", "mhist_m", "mhist_s", "mhist_io",
+               "ehist", "bq", "timehist")
+
+    def save_npz(self, path: str) -> None:
+        """Persist the accumulator state (multi-host stripe sidecar)."""
+        np.savez_compressed(path,
+                            **{k: getattr(self, k)
+                               for k in self._ARRAYS})
+
+    def merge_npz(self, path: str) -> None:
+        """Tree-reduce another host's accumulators into this one
+        (reference: align2/ReadStats.mergeRaw:208-256 — per-thread
+        accumulators summed at end of run; here per-HOST)."""
+        z = np.load(path)
+        for k in self._ARRAYS:
+            if k in z:
+                a = getattr(self, k)
+                b = z[k]
+                n = min(a.shape[0], b.shape[0])
+                if a.ndim == 1:
+                    a[:n] += b[:n]
+                else:
+                    m = min(a.shape[1], b.shape[1])
+                    a[:n, :m] += b[:n, :m]
+
     def add_batch(self, bases: np.ndarray, quality: Optional[np.ndarray],
                   lengths: np.ndarray) -> None:
         B, Lmax = bases.shape

@@ -128,3 +128,69 @@ print("INIT_OK", pid)
         assert p.returncode == 0, outs
     for out, err in outs:
         assert "INIT_OK" in out, (out, err)
+
+
+def test_two_process_stats_reduction_and_bbduk(tmp_path):
+    """VERDICT r3 #6: (a) the hist/scafstats battery in hosts=2 mode is
+    tree-reduced to host 0 and byte-equal to a single-process run;
+    (b) hosts= works for bbduk with merged outputs + stats."""
+    ref, fq = _write_inputs(tmp_path)
+    port = _free_port()
+
+    # (a) bbmap with histograms + scafstats
+    def hist_args(tag):
+        d = tmp_path / tag
+        d.mkdir(exist_ok=True)
+        return [f"qhist={d}/qhist.txt", f"lhist={d}/lhist.txt",
+                f"mhist={d}/mhist.txt", f"scafstats={d}/scaf.txt"], d
+
+    hs, dsingle = hist_args("single")
+    p = _run_cli(["bbmap", f"ref={ref}", f"in={fq}",
+                  f"out={tmp_path}/s.sam", "nodisk", "batchsize=64"]
+                 + hs, {})
+    out, err = p.communicate(timeout=600)
+    assert p.returncode == 0, err.decode()[-2000:]
+
+    hm, dmulti = hist_args("multi")
+    procs = []
+    for pid in range(2):
+        procs.append(_run_cli(
+            ["bbmap", f"ref={ref}", f"in={fq}",
+             f"out={tmp_path}/m.sam", "nodisk", "batchsize=64",
+             "hosts=2", f"hostid={pid}",
+             f"coordinator=localhost:{port}"] + hm, {}))
+    errs = []
+    for p in procs:
+        out, err = p.communicate(timeout=600)
+        errs.append(err.decode()[-2000:])
+        assert p.returncode == 0, errs
+    for name in ("qhist.txt", "lhist.txt", "mhist.txt", "scaf.txt"):
+        got = (dmulti / name).read_bytes()
+        want = (dsingle / name).read_bytes()
+        assert got == want, (name, errs)
+
+    # (b) bbduk hosts=2: filtered output + stats equal single-process
+    ad = tmp_path / "ad.fa"
+    ad.write_text(">a1\nACGTACGTACGTACGTACGTACGTACGTACG\n")
+    port2 = _free_port()
+    p = _run_cli(["bbduk", f"in={fq}", f"out={tmp_path}/ds.fq",
+                  f"ref={ad}", "k=23", "hdist=1",
+                  f"stats={tmp_path}/ds.stats"], {})
+    out, err = p.communicate(timeout=600)
+    assert p.returncode == 0, err.decode()[-2000:]
+    procs = []
+    for pid in range(2):
+        procs.append(_run_cli(
+            ["bbduk", f"in={fq}", f"out={tmp_path}/dm.fq",
+             f"ref={ad}", "k=23", "hdist=1",
+             f"stats={tmp_path}/dm.stats", "hosts=2", f"hostid={pid}",
+             f"coordinator=localhost:{port2}"], {}))
+    errs = []
+    for p in procs:
+        out, err = p.communicate(timeout=600)
+        errs.append(err.decode()[-2000:])
+        assert p.returncode == 0, errs
+    assert (tmp_path / "dm.fq").read_bytes() == \
+        (tmp_path / "ds.fq").read_bytes(), errs
+    assert (tmp_path / "dm.stats").read_bytes() == \
+        (tmp_path / "ds.stats").read_bytes(), errs

@@ -99,3 +99,59 @@ def test_pacbio_mapping_15pct_error(tmp_path):
         if abs(loc - rel) <= 50:
             correct += 1
     assert correct >= 18, correct
+
+
+def test_rejoin_noncollinear_inversion(tmp_path):
+    """VERDICT r3 #7: a 6 kbp read whose middle chunk spans an inverted
+    segment — the majority (collinear) chunks merge into one record and
+    the minority chunk's bases become soft-clips (reference:
+    AbstractMapThread.processReadSplit:2787 tolerates chunks landing on
+    different strands/scaffolds)."""
+    from bbmap_tpu.tools.mappacbio import rejoin_sam
+    sam = tmp_path / "in.sam"
+    out = tmp_path / "out.sam"
+    S = lambda n, ch: ch * n
+    hdr = "@HD\tVN:1.4\n@SQ\tSN:chr1\tLN:100000\n"
+    # chunks 0,1 collinear on + at 1001/3001 (2000 ref span each);
+    # chunk 2 maps minus on a far locus (the inverted segment)
+    recs = [
+        ["r1_chunk0", "0", "chr1", "1001", "40", "2000M",
+         "*", "0", "0", S(2000, "A"), S(2000, "I")],
+        ["r1_chunk1", "0", "chr1", "3001", "40", "2000M",
+         "*", "0", "0", S(2000, "C"), S(2000, "I")],
+        ["r1_chunk2", "16", "chr1", "50001", "40", "2000M",
+         "*", "0", "0", S(2000, "G"), S(2000, "I")],
+    ]
+    sam.write_text(hdr + "".join("\t".join(f) + "\n" for f in recs))
+    rejoin_sam(str(sam), str(out))
+    lines = [ln for ln in out.read_text().splitlines()
+             if not ln.startswith("@")]
+    assert len(lines) == 1, lines
+    f = lines[0].split("\t")
+    assert f[0] == "r1"
+    assert f[3] == "1001"                      # majority run start
+    assert f[5] == "2000M2000M2000S", f[5]     # minority soft-clipped
+    # chunk2 mapped minus; majority plus -> its bases are rc'd (G -> C)
+    assert f[9] == S(2000, "A") + S(2000, "C") + S(2000, "C")
+    assert len(f[9]) == 6000 and len(f[10]) == 6000
+
+
+def test_rejoin_collinear_still_merges(tmp_path):
+    from bbmap_tpu.tools.mappacbio import rejoin_sam
+    sam = tmp_path / "in2.sam"
+    out = tmp_path / "out2.sam"
+    hdr = "@HD\tVN:1.4\n@SQ\tSN:chr1\tLN:100000\n"
+    recs = [
+        ["r2_chunk0", "0", "chr1", "101", "40", "1000M",
+         "*", "0", "0", "A" * 1000, "I" * 1000],
+        ["r2_chunk1", "0", "chr1", "1101", "40", "1000M",
+         "*", "0", "0", "C" * 1000, "I" * 1000],
+    ]
+    sam.write_text(hdr + "".join("\t".join(f) + "\n" for f in recs))
+    rejoin_sam(str(sam), str(out))
+    lines = [ln for ln in out.read_text().splitlines()
+             if not ln.startswith("@")]
+    assert len(lines) == 1
+    f = lines[0].split("\t")
+    assert f[0] == "r2" and f[3] == "101" and f[5] == "1000M1000M"
+    assert f[9] == "A" * 1000 + "C" * 1000
