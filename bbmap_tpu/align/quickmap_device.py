@@ -559,7 +559,8 @@ def _ref_retention(cfg: QmConfig, kp, off_p, ccnt, weights=None):
     total = jnp.where(kill, 0, total0)
     active = ~kill & (initial >= 1)
 
-    for _ in range(nk - 1):
+    def _greedy_body(carry):
+        alive, total, hits, active = carry
         l = jnp.where(alive, ccnt, 0)
         numl = jnp.maximum(hits, 1)[:, None]
         prevoff = jax.lax.cummax(jnp.where(alive, off_p, -1), axis=1)
@@ -621,7 +622,16 @@ def _ref_retention(cfg: QmConfig, kp, off_p, ccnt, weights=None):
         total = jnp.where(cond, total - worst_len, total)
         alive = alive & ~(do_remove[:, None] & (slot == worst[:, None]))
         hits = jnp.where(do_remove, hits - 1, hits)
-        active = do_remove
+        return (alive, total, hits, do_remove)
+
+    # dynamic trip count: the reference loop almost always stops after
+    # 0-3 removals; a while_loop runs exactly that many iterations
+    # instead of a full nk-1 static unroll (compile size AND runtime)
+    def _greedy_cond(carry):
+        return carry[3].any()
+
+    alive, _t, _h, _a = jax.lax.while_loop(
+        _greedy_cond, _greedy_body, (alive, total, hits, active))
     return alive
 
 

@@ -283,7 +283,7 @@ def main():
     note("setup done")
 
     L = 150
-    big = int(os.environ.get("BENCH_PAIRS", 16384))
+    big = int(os.environ.get("BENCH_PAIRS", 32768))
     small = int(os.environ.get("BENCH_PAIRS_SMALL", 2048))
     n_steady = int(os.environ.get("BENCH_STEADY_BATCHES", 3))
 
