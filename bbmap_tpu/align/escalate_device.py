@@ -32,7 +32,7 @@ from .quickmap_device import extract_ref_codes
 
 I32 = jnp.int32
 SLOW_ALIGN_PADDING = 4
-NARROW_SPREAD = 64
+NARROW_SPREAD = 16
 WIDE_SPREAD = 448
 SCORE_CHUNKS = (8192, 4096, 2048, 1024)  # greedy chunk ladder (narrow)
 # — a job count decomposes into descending power-of-two dispatches, so

@@ -52,7 +52,7 @@ from .quickmap_device import (I32, U32, MAX_CANDIDATES, N_META, QmConfig,
                               make_config, quality_offsets_stage)
 
 SLOW_ALIGN_PADDING = 4
-NARROW_SPREAD = 64          # must match escalate_device.NARROW_SPREAD
+NARROW_SPREAD = 16          # must match escalate_device.NARROW_SPREAD
 WIDE_SPREAD = 448           # must match escalate_device.WIDE_SPREAD
 RETRY_EXTRA = 80 + SLOW_ALIGN_PADDING   # maxindel>0 re-pad (pipeline
 # _apply_traces; fused runs only when maxindel > 0)
@@ -314,8 +314,12 @@ def fused_stage(fcfg: FusedConfig, rcodes, starts_d, sites_d, gpack_d,
     rcodes, cand = qd.candidate_stage(cfg, None, starts_d, sites_d,
                                       offsets_dyn=offsets_dyn,
                                       rcodes=rcodes, scnt_d=scnt_d,
-                                      ccnt_d=ccnt_d)
+                                      ccnt_d=ccnt_d, two_tier=True)
+    hi_over = cand.pop("hi_over")
     B = rcodes.shape[0]
+    if _stop_after == "cand":
+        return (cand["votes"] + cand["mode"] + cand["strand"]
+                + cand["start"] + cand["spread"])
     if pair is None:
         out_i32, _om, gl_scores = qd.finalize_stage(
             cfg, rcodes, cand, gpack_d, nmask_d, return_scores=True)
@@ -358,8 +362,12 @@ def fused_stage(fcfg: FusedConfig, rcodes, starts_d, sites_d, gpack_d,
                  out_i32[:, 5], out_i32[:, 6]]
     if pair is not None:
         meta_cols.append(out_i32[:, N_META])       # eff
-    meta_cols.append(li.astype(I32))
+    # flags column: bit0 = long-indel plausible, bit1 = two-tier slot
+    # budget overflow (whole-row exact host refit)
+    meta_cols.append(li.astype(I32) | (hi_over.astype(I32) << 1))
     meta = jnp.stack(meta_cols, axis=1)
+    if _stop_after == "boost":
+        return meta
 
     # --- escalation compaction (reference: AbstractMapThread.java:1252)
     # Per-ROW also in pair mode: a mate whose raw gapless best is at or
@@ -631,11 +639,11 @@ class FusedRun:
             "second_score": meta[:, 3],
             "n_good": meta[:, 4],
         }
+        flags = meta[:, 6] if self._pair else meta[:, 5]
         if self._pair:
             d["eff"] = meta[:, 5]            # boosted winner score
-            d["li_plaus"] = meta[:, 6].astype(bool)
-        else:
-            d["li_plaus"] = meta[:, 5].astype(bool)
+        d["li_plaus"] = (flags & 1).astype(bool)
+        d["hi_over"] = ((flags >> 1) & 1).astype(bool)
         esc = {k: esc_i32[:, i] for i, k in enumerate(ESC_COLS)}
         pk = esc.pop("packed")
         esc["n_sites"] = pk >> 8

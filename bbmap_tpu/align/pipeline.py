@@ -586,6 +586,14 @@ class BBMapAligner:
         E = len(d["_esc"]["idx"])
         over = np.nonzero(escalate)[0][E:]           # esc budget overflow
         fallback, applied = self._apply_fused_esc(batch, L, d, mb, over)
+        # two-tier slot-budget overflow rows: candidates were truncated
+        # in-device — whole-row exact refit (quickmap_device
+        # candidate_stage two_tier contract)
+        hi = np.nonzero(d["hi_over"])[0] if "hi_over" in d else \
+            np.zeros(0, np.int64)
+        if len(hi):
+            fallback = np.union1d(fallback, hi).astype(np.int64)
+            applied = applied[~d["hi_over"][applied]]
         if len(fallback):
             self._refit_rows(batch, L, fallback, mb)
         # long-indel tail only on rows the device flagged plausible
@@ -1453,6 +1461,13 @@ class BBMapAligner:
                 mb.absorb_objects(proxy.store)
         mb1 = self._mb_slice(mb, 0, B, L)
         mb2 = self._mb_slice(mb, B, 2 * B, L)
+        hi = np.nonzero(d["hi_over"])[0] if "hi_over" in d else \
+            np.zeros(0, np.int64)
+        if len(hi):
+            # two-tier slot-budget overflow: candidates truncated
+            # in-device — the PAIR is refit exactly (the mate's boost
+            # consulted the truncated table too)
+            fallback = np.union1d(fallback, hi).astype(np.int64)
         if len(fallback):
             pair_ids = np.unique(fallback % B)
             self._refit_pairs(b1, b2, L, pair_ids, mb1, mb2)
