@@ -290,7 +290,8 @@ def pair_boost_device(gl, cand, Bp: int, L1: int, L2: int, apd,
 
 def fused_stage(fcfg: FusedConfig, rcodes, starts_d, sites_d, gpack_d,
                 nmask_d, offsets_dyn=None, profile=None,
-                scnt_d=None, _stop_after=None, pair=None, ccnt_d=None):
+                scnt_d=None, _stop_after=None, pair=None, ccnt_d=None,
+                weights_dyn=None, reject=None):
     """The full fused program body. rcodes: (B, L) 2-bit read codes
     (0..3, 4=N). Returns a dict of device arrays (see FusedRun.host).
 
@@ -314,7 +315,9 @@ def fused_stage(fcfg: FusedConfig, rcodes, starts_d, sites_d, gpack_d,
     rcodes, cand = qd.candidate_stage(cfg, None, starts_d, sites_d,
                                       offsets_dyn=offsets_dyn,
                                       rcodes=rcodes, scnt_d=scnt_d,
-                                      ccnt_d=ccnt_d, two_tier=True)
+                                      ccnt_d=ccnt_d, two_tier=True,
+                                      weights_dyn=weights_dyn,
+                                      reject=reject)
     hi_over = cand.pop("hi_over")
     B = rcodes.shape[0]
     if _stop_after == "cand":
@@ -691,22 +694,72 @@ def build_fused(index: KmerIndex, L: int, B: int, chain_dist: int = 400,
     def prog_q(codes2, nmask, qual, starts_d, sites_d, gpack_d, nmask_d,
                scnt_d, ccnt_d):
         rcodes = unpack_reads_device(codes2, nmask, L)
-        offs = quality_offsets_stage(cfg, qual, den2, den3)
+        offs, wts, rej = quality_offsets_stage(cfg, qual, den2, den3,
+                                               return_weights=True)
         return fused_stage(fcfg, rcodes, starts_d, sites_d, gpack_d,
                            nmask_d, offsets_dyn=offs, scnt_d=scnt_d,
-                           ccnt_d=ccnt_d)
+                           ccnt_d=ccnt_d, weights_dyn=wts, reject=rej)
+
+    def prog_q4(codes2, nmask, qpack, pal, pcpal, starts_d, sites_d,
+                gpack_d, nmask_d, scnt_d, ccnt_d):
+        from .quickmap_device import quality_offsets_stage_packed
+        rcodes = unpack_reads_device(codes2, nmask, L)
+        offs, wts, rej = quality_offsets_stage_packed(
+            cfg, qpack, pal, pcpal, den2, den3, return_weights=True)
+        return fused_stage(fcfg, rcodes, starts_d, sites_d, gpack_d,
+                           nmask_d, offsets_dyn=offs, scnt_d=scnt_d,
+                           ccnt_d=ccnt_d, weights_dyn=wts, reject=rej)
+
+    inv_a = jnp.float32(1.0) / jnp.float32(100 * index.k)
+
+    def prog_qh(codes2, nmask, offs16, sc16, rej8, starts_d, sites_d,
+                gpack_d, nmask_d, scnt_d, ccnt_d):
+        # host-computed quality offsets + Solver key scores
+        # (csrc quality_offsets_scores, bit-identical to the device
+        # stage) — skips the whole on-device quality stage and ships
+        # 4 B/key instead of the quality rows
+        rcodes = unpack_reads_device(codes2, nmask, L)
+        offs = offs16.astype(jnp.int32)
+        wts = sc16.astype(jnp.float32) * inv_a
+        return fused_stage(fcfg, rcodes, starts_d, sites_d, gpack_d,
+                           nmask_d, offsets_dyn=offs, scnt_d=scnt_d,
+                           ccnt_d=ccnt_d, weights_dyn=wts,
+                           reject=rej8.astype(bool))
 
     jitted = jax.jit(prog)
     jitted_q = jax.jit(prog_q)
+    jitted_q4 = jax.jit(prog_q4)
+    jitted_qh = jax.jit(prog_qh)
+    ladder_np = np.asarray(cfg.offsets_list, np.int32)
 
     def run(bases, quality=None) -> FusedRun:
+        from ..io import native
+        from .quickmap_device import pack_quality_host
+        from .seed import PROB_CORRECT
         codes2, nm = pack_reads_host(np.ascontiguousarray(bases[:, :L]))
         if quality is None:
             outs = jitted(codes2, nm, starts_d, sites_d, gpack_d,
                           nmask_d, scnt_d, ccnt_d)
         else:
-            outs = jitted_q(codes2, nm, quality[:, :L], starts_d,
-                            sites_d, gpack_d, nmask_d, scnt_d, ccnt_d)
+            host_os = native.quality_offsets_scores(
+                quality, L, index.k, PROB_CORRECT, ladder_np, den3,
+                100 * index.k)
+            if host_os is not None:
+                o16, s16, rej = host_os
+                outs = jitted_qh(codes2, nm, o16, s16,
+                                 rej.astype(np.uint8), starts_d,
+                                 sites_d, gpack_d, nmask_d, scnt_d,
+                                 ccnt_d)
+            else:
+                qpack, pal, pcp = pack_quality_host(quality, L)
+                if qpack is not None:
+                    outs = jitted_q4(codes2, nm, qpack, pal, pcp,
+                                     starts_d, sites_d, gpack_d,
+                                     nmask_d, scnt_d, ccnt_d)
+                else:
+                    outs = jitted_q(codes2, nm, quality[:, :L],
+                                    starts_d, sites_d, gpack_d,
+                                    nmask_d, scnt_d, ccnt_d)
         # narrow-walk sym width must match the trace branch taken in
         # fused_stage (bounded Pallas walk vs full XLA walk)
         bb_t = _pick_bb(fcfg.T, vmem_cap=128) if _pallas_enabled() \
@@ -773,18 +826,57 @@ def build_fused_pair(index: KmerIndex, L: int, Bp: int,
         r2 = unpack_reads_device(c2b, nmb, L)
         rcodes = jnp.concatenate([r1, r2], axis=0)
         qual = jnp.concatenate([q1, q2], axis=0)
-        offs = quality_offsets_stage(cfg, qual, den2, den3)
+        offs, wts, rej = quality_offsets_stage(cfg, qual, den2, den3,
+                                               return_weights=True)
         return fused_stage(fcfg, rcodes, starts_d, sites_d, gpack_d,
                            nmask_d, offsets_dyn=offs, scnt_d=scnt_d,
-                           ccnt_d=ccnt_d,
+                           ccnt_d=ccnt_d, weights_dyn=wts, reject=rej,
+                           pair={"apd": apd, "chrom_offsets": choff_d,
+                                 "min_gate": min_gate})
+
+    def prog_q4(c2a, nma, c2b, nmb, qpack, pal, pcpal, apd, starts_d,
+                sites_d, gpack_d, nmask_d, scnt_d, ccnt_d, choff_d):
+        from .quickmap_device import quality_offsets_stage_packed
+        r1 = unpack_reads_device(c2a, nma, L)
+        r2 = unpack_reads_device(c2b, nmb, L)
+        rcodes = jnp.concatenate([r1, r2], axis=0)
+        offs, wts, rej = quality_offsets_stage_packed(
+            cfg, qpack, pal, pcpal, den2, den3, return_weights=True)
+        return fused_stage(fcfg, rcodes, starts_d, sites_d, gpack_d,
+                           nmask_d, offsets_dyn=offs, scnt_d=scnt_d,
+                           ccnt_d=ccnt_d, weights_dyn=wts, reject=rej,
+                           pair={"apd": apd, "chrom_offsets": choff_d,
+                                 "min_gate": min_gate})
+
+    inv_a = jnp.float32(1.0) / jnp.float32(100 * index.k)
+
+    def prog_qh(c2a, nma, c2b, nmb, offs16, sc16, rej8, apd, starts_d,
+                sites_d, gpack_d, nmask_d, scnt_d, ccnt_d, choff_d):
+        # host-computed quality offsets + key scores (csrc
+        # quality_offsets_scores; concatenated over both mates)
+        r1 = unpack_reads_device(c2a, nma, L)
+        r2 = unpack_reads_device(c2b, nmb, L)
+        rcodes = jnp.concatenate([r1, r2], axis=0)
+        offs = offs16.astype(jnp.int32)
+        wts = sc16.astype(jnp.float32) * inv_a
+        return fused_stage(fcfg, rcodes, starts_d, sites_d, gpack_d,
+                           nmask_d, offsets_dyn=offs, scnt_d=scnt_d,
+                           ccnt_d=ccnt_d, weights_dyn=wts,
+                           reject=rej8.astype(bool),
                            pair={"apd": apd, "chrom_offsets": choff_d,
                                  "min_gate": min_gate})
 
     jitted = jax.jit(prog)
     jitted_q = jax.jit(prog_q)
+    jitted_q4 = jax.jit(prog_q4)
+    jitted_qh = jax.jit(prog_qh)
+    ladder_np = np.asarray(cfg.offsets_list, np.int32)
 
     def run(bases1, bases2, apd: int, quality1=None, quality2=None
             ) -> FusedRun:
+        from ..io import native
+        from .quickmap_device import pack_quality_host
+        from .seed import PROB_CORRECT
         c2a, nma = pack_reads_host(np.ascontiguousarray(bases1[:, :L]))
         c2b, nmb = pack_reads_host(np.ascontiguousarray(bases2[:, :L]))
         apd32 = np.int32(apd)
@@ -792,9 +884,30 @@ def build_fused_pair(index: KmerIndex, L: int, Bp: int,
             outs = jitted(c2a, nma, c2b, nmb, apd32, starts_d, sites_d,
                           gpack_d, nmask_d, scnt_d, ccnt_d, choff_d)
         else:
-            outs = jitted_q(c2a, nma, quality1[:, :L], c2b, nmb,
-                            quality2[:, :L], apd32, starts_d, sites_d,
-                            gpack_d, nmask_d, scnt_d, ccnt_d, choff_d)
+            qcat = np.vstack([quality1[:, :L], quality2[:, :L]])
+            host_os = native.quality_offsets_scores(
+                qcat, L, index.k, PROB_CORRECT, ladder_np, den3,
+                100 * index.k)
+            if host_os is not None:
+                o16, s16, rej = host_os
+                outs = jitted_qh(c2a, nma, c2b, nmb, o16, s16,
+                                 rej.astype(np.uint8), apd32, starts_d,
+                                 sites_d, gpack_d, nmask_d, scnt_d,
+                                 ccnt_d, choff_d)
+            else:
+                # one palette across both mates; the program consumes
+                # the concatenated (2*Bp, W8) pack
+                qpack, pal, pcp = pack_quality_host(qcat, L)
+                if qpack is not None:
+                    outs = jitted_q4(c2a, nma, c2b, nmb, qpack, pal,
+                                     pcp, apd32, starts_d, sites_d,
+                                     gpack_d, nmask_d, scnt_d, ccnt_d,
+                                     choff_d)
+                else:
+                    outs = jitted_q(c2a, nma, quality1[:, :L], c2b,
+                                    nmb, quality2[:, :L], apd32,
+                                    starts_d, sites_d, gpack_d,
+                                    nmask_d, scnt_d, ccnt_d, choff_d)
         bb_t = _pick_bb(fcfg.T, vmem_cap=128) if _pallas_enabled() \
             else 0
         wn = (fcfg.Cn + 16) if bb_t else (L + fcfg.Cn)

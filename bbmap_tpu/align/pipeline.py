@@ -757,16 +757,16 @@ class BBMapAligner:
         d = self._qm_run(sub, L)
         smb = self._columnar_from_qm(sub, L, d)
         for f in ("mapped", "strand", "chrom", "start", "stop", "score",
-                  "perfect", "ambiguous", "n_sites", "match_is_row"):
+                  "perfect", "ambiguous", "n_sites"):
             getattr(mb, f)[rows] = getattr(smb, f)[:n]
-        if smb.match_rows is not None:
-            if mb.match_rows is None:
-                mb.match_rows = np.zeros((mb.size, L), np.uint8)
-            mb.match_rows[rows] = smb.match_rows[:n, :L]
+        # matches merge via UNCONDITIONAL override (same contract as
+        # _refit_pairs): deferred match_fill lambdas appended before the
+        # refit captured these rows and would overwrite
+        # mb.match_rows[row] with a stale gapless row at materialize
+        # time (ADVICE r4 high) — an override always wins in match().
+        mb.match_is_row[rows] = False
         for i, r in enumerate(rows):
-            ov = smb.match_override.get(i)
-            if ov is not None:
-                mb.match_override[int(r)] = ov
+            mb.match_override[int(r)] = smb.match(i)
 
     def _esc_programs(self, L: int):
         if L not in self._esc_cache:

@@ -206,6 +206,30 @@ def trim_greedy(offsets: np.ndarray, key_scores: np.ndarray,
     return hits_count, keys
 
 
+def key_scores_from_quality(quality: np.ndarray, offsets: np.ndarray,
+                            k: int) -> Tuple[np.ndarray, float]:
+    """keyProbs-derived Solver key scores + the probAllErrors product
+    for one read (reference: AbstractMapThread.java:704-727 —
+    keyScoresAll[i] = baseKeyScore + (int)Math.round(range*(1-probs[i]))
+    with a = BASE_KEY_HIT_SCORE = 100*k, baseKeyScore = a/8,
+    range = a - baseKeyScore; probAllErrors = prod(keyProbs[offsets]),
+    read rejected when > 0.5). All float32 like the Java. Returns
+    (key_scores int32 aligned with ``offsets``, prob_all_errors)."""
+    from . import seed as seed_host
+    probs = seed_host.make_key_probs(quality, k)          # float32
+    a = BASE_KEY_HIT_SCORE_PER_K * k
+    base = a // 8
+    rng = a - base
+    p = probs[np.asarray(offsets, np.int64)].astype(np.float32)
+    scores = base + np.floor(
+        np.float32(rng) * (np.float32(1.0) - p)
+        + np.float32(0.5)).astype(np.int64)
+    pae = np.float32(1.0)
+    for v in p:
+        pae = np.float32(pae * v)
+    return scores.astype(np.int32), float(pae)
+
+
 def retain_keys(keys_original: np.ndarray, offsets: np.ndarray,
                 key_scores: np.ndarray, index, min_hits: int = 1
                 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:

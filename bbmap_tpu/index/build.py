@@ -126,9 +126,75 @@ DOUBLE_SEARCH_THRESH_MULT = 0.25
 HIST_BUCKETS = 1000
 
 
+def shard_bounds(G: int, chrom_offsets: np.ndarray,
+                 n_shards: int) -> np.ndarray:
+    """Genome-block boundaries for index sharding: equal flat splits
+    snapped to scaffold starts when one lies within 25% of the block
+    size (the reference packs whole chromosomes per block,
+    align2/IndexMaker4.java CHROMS_PER_BLOCK; chains never straddle
+    blocks there — snapping preserves that for multi-scaffold
+    genomes). Deterministic: every host computes the same bounds."""
+    raw = np.linspace(0, G, n_shards + 1).astype(np.int64)
+    snapped = raw.copy()
+    offs = np.asarray(chrom_offsets, np.int64)
+    blk = G / max(n_shards, 1)
+    for i in range(1, n_shards):
+        j = np.argmin(np.abs(offs - raw[i]))
+        if abs(int(offs[j]) - int(raw[i])) <= 0.25 * blk:
+            snapped[i] = offs[j]
+    return snapped
+
+
+def build_index_shard(genome: Genome, k: int, shard_id: int,
+                      n_shards: int, usemodulo: bool = False,
+                      bounds: Optional[np.ndarray] = None):
+    """Build ONLY this host's genome-block shard of the CSR index
+    (cross-host index sharding, BASELINE config 4; reference P4:
+    align2/BBIndex.java:616-642 per-block sub-indexes +
+    stream/ConcurrentReadInputStreamD.java:157 rank ownership —
+    SURVEY §5.8). The k-mer scan covers the whole genome (cheap, one
+    pass) so the GLOBAL per-key counts — which drive frequency
+    exclusion, staged re-admission, and greedy trimming — are exact
+    without any cross-host communication; only the sites array (the
+    dominant ~4-5 bytes/base tenant) is restricted to
+    [bounds[shard_id], bounds[shard_id+1]).
+
+    Returns (local KmerIndex, counts_global int64 [4^k], bounds).
+    Pass counts_global to analyze_index(lengths_global=...) so the
+    analysis decisions are bit-identical to a full-index build
+    (tests/test_crosshost_shard.py)."""
+    codes, offsets = genome.packed_codes()
+    keys, valid = rolling_keys(codes, k)
+    if usemodulo:
+        rc = reverse_complement_key(keys.astype(np.int64), k)
+        valid = valid & ((keys % MODULO == 0) | (rc % MODULO == 0))
+    pos = np.nonzero(valid)[0]
+    vkeys = keys[valid]
+    n_keys = 4 ** k
+    counts_global = np.bincount(vkeys, minlength=n_keys)
+    if bounds is None:
+        bounds = shard_bounds(len(codes), offsets, n_shards)
+    lo, hi = int(bounds[shard_id]), int(bounds[shard_id + 1])
+    sel = (pos >= lo) & (pos < hi)
+    lk = vkeys[sel]
+    lpos = pos[sel]
+    counts_l = np.bincount(lk, minlength=n_keys)
+    starts = np.zeros(n_keys + 1, np.int64)
+    np.cumsum(counts_l, out=starts[1:])
+    order = np.argsort(lk, kind="stable")
+    sites = lpos[order].astype(np.int32)
+    idx = KmerIndex(k=k, starts=starts, sites=sites,
+                    genome_codes=codes, chrom_offsets=offsets)
+    # clumpy analysis needs the GLOBAL site list of its few candidate
+    # keys; recover them from the whole-genome scan (exact, no comm)
+    idx._global_sites_fn = lambda kk: pos[vkeys == kk]
+    return idx, counts_global.astype(np.int64), bounds
+
+
 def analyze_index(index: KmerIndex,
                   fraction_to_exclude: float = 0.03,
-                  remove_clumpy: bool = True) -> None:
+                  remove_clumpy: bool = True,
+                  lengths_global: Optional[np.ndarray] = None) -> None:
     """Frequency analysis (reference: align2/BBIndex.analyzeIndex:101-191):
 
     1. canonical (key + rc summed) per-key site counts
@@ -142,8 +208,23 @@ def analyze_index(index: KmerIndex,
        MAX_USABLE_LENGTH = max(2*SMALL_GENOME_LIST, hist[(1-f)*1000])
        (reference: :176-184) with the re-admission threshold
        MAX_USABLE_LENGTH2 likewise.
+
+    ``lengths_global``: cross-host sharded mode (build_index_shard) —
+    the index holds only its genome-block sites, but every analysis
+    decision (exclusion quantiles, canonical COUNTS, clumpy removal,
+    Solver limits) must follow the GLOBAL per-key counts so all hosts
+    agree bit-for-bit with a full-index build; clumpy site inspection
+    then reads the global lists via the shard's ``_global_sites_fn``.
     """
-    lengths = np.diff(index.starts)
+    sharded_mode = lengths_global is not None
+    lengths = lengths_global if sharded_mode else np.diff(index.starts)
+    if sharded_mode:
+        gs_fn = getattr(index, "_global_sites_fn", None)
+        assert gs_fn is not None, \
+            "lengths_global requires a build_index_shard index"
+    else:
+        gs_fn = lambda kk: index.sites[
+            index.starts[kk]:index.starts[kk + 1]]
     nzk = np.nonzero(lengths)[0]
     if len(nzk) == 0:
         index.max_usable_length = 1 << 30
@@ -164,7 +245,7 @@ def analyze_index(index: KmerIndex,
             clumps = 0
             ln = 0
             for kk in {key, rk}:
-                s = index.sites[index.starts[kk]:index.starts[kk + 1]]
+                s = gs_fn(kk)
                 if len(s) > 1:
                     d = np.diff(s.astype(np.int64))
                     clumps += int(((d > 0) & (d <= CLUMPY_MAX_DIST)).sum())
@@ -189,7 +270,12 @@ def analyze_index(index: KmerIndex,
             for attr in ("_device_arrays", "_scnt_array"):
                 if hasattr(index, attr):
                     delattr(index, attr)
-            lengths = np.diff(index.starts)
+            if sharded_mode:
+                lengths = lengths_global.copy()
+                for key in drop:
+                    lengths[key] = 0
+            else:
+                lengths = np.diff(index.starts)
             nzk = np.nonzero(lengths)[0]
             if len(nzk) == 0:
                 index.max_usable_length = 1 << 30

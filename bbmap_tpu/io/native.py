@@ -62,3 +62,37 @@ def fastq_scan(buf: bytes, max_recs: int):
     if n < 0:
         raise ValueError(f"malformed FASTQ near byte {-n - 1}")
     return out[:n], consumed.value
+
+
+def quality_offsets_scores(quality: np.ndarray, L: int, k: int,
+                           prob_correct: np.ndarray,
+                           ladder: np.ndarray, max_density: float,
+                           a: int):
+    """Host twin of the device quality-offsets stage (C, threaded):
+    returns (offsets (B, nk) int16 [-1 unused], scores (B, nk) int16,
+    reject (B,) bool) or None when the native library is unavailable.
+    Bit-identical to quickmap_device._quality_offsets_core
+    (tests/test_quality_seeding.py)."""
+    lib = get_lib()
+    if lib is None or L > 1024:
+        return None
+    if not hasattr(lib, "quality_offsets_scores"):
+        return None
+    q = np.ascontiguousarray(quality[:, :L], np.int8)
+    B = q.shape[0]
+    nk = len(ladder)
+    pc = np.ascontiguousarray(prob_correct, np.float32)
+    lad = np.ascontiguousarray(ladder, np.int32)
+    out_off = np.empty((B, nk), np.int16)
+    out_sc = np.empty((B, nk), np.int16)
+    out_rej = np.empty(B, np.uint8)
+    lib.quality_offsets_scores(
+        q.ctypes.data_as(ctypes.c_void_p), ctypes.c_long(B),
+        ctypes.c_long(q.shape[1]), ctypes.c_int(L), ctypes.c_int(k),
+        pc.ctypes.data_as(ctypes.c_void_p),
+        lad.ctypes.data_as(ctypes.c_void_p), ctypes.c_int(nk),
+        ctypes.c_double(max_density), ctypes.c_int(a),
+        out_off.ctypes.data_as(ctypes.c_void_p),
+        out_sc.ctypes.data_as(ctypes.c_void_p),
+        out_rej.ctypes.data_as(ctypes.c_void_p))
+    return out_off, out_sc, out_rej.astype(bool)

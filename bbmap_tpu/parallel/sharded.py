@@ -116,15 +116,8 @@ def shard_index(index: KmerIndex, n_shards: int,
     that property for multi-scaffold genomes)."""
     G = len(index.genome_codes)
     if bounds is None:
-        raw = np.linspace(0, G, n_shards + 1).astype(np.int64)
-        snapped = raw.copy()
-        offs = np.asarray(index.chrom_offsets, np.int64)
-        blk = G / max(n_shards, 1)
-        for i in range(1, n_shards):
-            j = np.argmin(np.abs(offs - raw[i]))
-            if abs(int(offs[j]) - int(raw[i])) <= 0.25 * blk:
-                snapped[i] = offs[j]
-        bounds = snapped
+        from ..index.build import shard_bounds
+        bounds = shard_bounds(G, index.chrom_offsets, n_shards)
     bounds = np.asarray(bounds, np.int64)
     assert len(bounds) == n_shards + 1
     n_keys = index.n_keys

@@ -10,23 +10,32 @@ Java BBMap on 2x150bp vs E. coli with 32 threads, a mid-range estimate
 of the poster-era "similar in speed to bwa" claim (BASELINE.md rows
 1-2). vs_baseline = value / 30000.
 
-Workload honesty (VERDICT r3 #2 — the round-3 bench mapped single-ended
-reads under a paired metric name): the timed loop now maps PAIRS through
+Workload honesty (VERDICT r3 #2): the timed loop maps PAIRS through
 ``map_pairs_columnar_stream`` — pair boost, DP escalation, device mate
 rescue, proper-pair flags, and the dynamic insert model all run inside
 the measurement. The genome carries implanted repeat families (7x 5 kbp,
 20x 1.2 kbp, 30x 700 bp at 1% divergence); reads carry substitutions AND
 1-10 bp indels; inserts ~N(250, 45). ``value`` is the MEDIAN of timed
-rounds (VERDICT r3 weak #2 — best-of is kept as ``value_best``);
-``sensitivity`` is the strict-correct fraction over BOTH mates (mapped
-within +-20 bp of the sampled origin, gradesam-strict style, reference:
-align2/GradeSamFile.java:17).
+rounds; ``sensitivity`` is the strict-correct fraction over BOTH mates
+(mapped within +-20 bp of the sampled origin, gradesam-strict style,
+reference: align2/GradeSamFile.java:17).
 
-Robustness: phased with a hard deadline (BENCH_DEADLINE, default 250 s)
-— the remote XLA compile service has 10-20x latency variance, so phase A
-banks an honest small-batch number while the full-size programs compile
-concurrently in a warm thread; a watchdog emits the best banked result
-and exits 0 at the deadline.
+Robustness (VERDICT r4 #1 — round 4's driver run banked phase A's
+2.7k number because phase B never completed before the deadline):
+
+- the warm thread runs the FULL ``map_pairs_columnar`` pipeline on a
+  big batch (fused pair + rescue + escalate + trace + refit programs),
+  not just the fused dispatch, so phase B's warmup meets zero fresh
+  compiles;
+- results are banked after EVERY timed round (median-so-far), not only
+  at phase completion;
+- the Pallas selftest runs concurrently with phase A's timing (its
+  verdict is joined before phase B);
+- phase A times enough batches (8) for the 3-deep pipeline to reach
+  steady state, so even its fallback number is representative;
+- the persistent compile cache (/root/.cache/jax_comp) was verified to
+  hit across fresh processes (same key for the same program; a fully
+  warm cache turns the 2048-pair warmup from ~73 s into ~26 s).
 """
 
 import json
@@ -76,7 +85,7 @@ def _watchdog(deadline_s: float):
     # nothing banked yet (a compile-service stall swallowed phase A):
     # emit the FIRST result that lands instead of running unbounded
     note("deadline passed with no banked result — will emit the first "
-         "phase that completes")
+         "round that completes")
     while not _printed.is_set():
         time.sleep(1.0)
         _emit_and_exit()
@@ -137,11 +146,31 @@ def _mutate(reads, windows, rng, L):
     return reads
 
 
-def make_pairs(genome, n_pairs, L=150, seed=11):
+def make_quality(rng, n_reads, L):
+    """Illumina-like phred profile: high plateau with a sagging tail and
+    sporadic low-quality positions, BINNED to the 8 RTA quality levels
+    like every modern Illumina instrument (NovaSeq bins to 4) —
+    exercises the quality-probability seeding offsets and the keyProbs
+    greedy-trim weights (reference: AbstractMapThread.java:679) inside
+    the timed loop, and keeps the batch palette-packable (<= 16 levels,
+    quickmap_device.pack_quality_host)."""
+    pos = np.arange(L)
+    base = 37.0 - 8.0 * (pos / L) ** 2                     # 37 -> 29
+    q = base[None, :] + rng.normal(0, 2.0, (n_reads, L))
+    dips = rng.random((n_reads, L)) < 0.01                  # 1% bad spots
+    q = np.where(dips, rng.uniform(2, 12, (n_reads, L)), q)
+    q = np.clip(q, 2, 41)
+    levels = np.array([2, 9, 12, 16, 22, 27, 32, 37], np.int8)
+    edges = (levels[1:] + levels[:-1]) / 2.0
+    return levels[np.digitize(q, edges)]
+
+
+def make_pairs(genome, n_pairs, L=150, seed=11, with_quality=True):
     """FR innie pairs, insert ~N(250, 45) clipped to [2L+10, 420]; both
     mates carry the single-end error model. Returns (reads1, reads2,
-    truth1, truth2) — truth = genome-forward alignment start of each
-    mate; mate 2 is reverse-complemented in its read row."""
+    qual1, qual2, truth1, truth2) — truth = genome-forward alignment
+    start of each mate; mate 2 is reverse-complemented in its read
+    row."""
     from bbmap_tpu.core.bases import COMP_ASCII
     rng = np.random.default_rng(seed)
     W = L + 12
@@ -156,109 +185,204 @@ def make_pairs(genome, n_pairs, L=150, seed=11):
     r1 = _mutate(r1[:, :L].copy(), genome[idx1], rng, L)
     r2f = _mutate(win2[:, :L].copy(), win2, rng, L)
     r2 = COMP_ASCII[r2f][:, ::-1]
+    if with_quality:
+        q1 = make_quality(rng, n_pairs, L)
+        q2 = make_quality(rng, n_pairs, L)
+    else:
+        q1 = q2 = None
     return (np.ascontiguousarray(r1), np.ascontiguousarray(r2),
-            starts.astype(np.int64), s2.astype(np.int64))
+            q1, q2, starts.astype(np.int64), s2.astype(np.int64))
+
+
+# v5e single-chip peaks for the roofline fields (public spec: 197
+# TFLOP/s bf16, 819 GB/s HBM). The models below are byte/FLOP estimates
+# of each stage's dominant traffic so BENCH_r*.json makes "stage X is
+# gather-bound at N% of HBM BW" auditable (VERDICT r4 weak #5).
+HBM_PEAK_GBPS = 819.0
+MXU_PEAK_TFLOPS = 197.0
+
+
+def _roofline(n_pairs: int, L: int, stages: dict) -> dict:
+    """Bytes-moved / FLOP model per 32k-pair fused batch vs chip peaks.
+
+    candidate: dominant cost is random HBM gathers — per (read, strand):
+    nk scnt lookups (1 uint32 each, but a random gather touches a 32 B
+    sector), 64 site slots (4 B each, sector 32 B), plus the top-K genome
+    windows (K=8 candidates x L bases at 2 bits = L/4 bytes contiguous).
+    DP: the Pallas kernel scores ~15% escalated rows x 2 orientations
+    over a (L+1) x W band (W=48 narrow window), 3 planes, ~8 ops/cell.
+    """
+    B = 2 * n_pairs               # reads per batch
+    nk = 17                       # seed keys per read (L=150, k=13)
+    sector = 32.0                 # HBM minimum random-access grain
+    cand_bytes = B * 2 * (nk * sector          # scnt/ccnt lookups
+                          + 64 * sector)        # site-slot gather
+    win_bytes = B * 8 * (L / 4.0 + 2 * 4)       # 8 cand windows, packed
+    dp_rows = 0.15 * B * 2                      # escalated x orientations
+    dp_flops = dp_rows * (L + 1) * 48 * 3 * 8
+    out = {"model": "bytes=random-gather sectors (32B) + packed windows;"
+                    " flops=DP band cells x 3 planes x 8 ops",
+           "hbm_peak_gbps": HBM_PEAK_GBPS,
+           "mxu_peak_tflops": MXU_PEAK_TFLOPS,
+           "candidate_gather_mb": round((cand_bytes + win_bytes) / 1e6,
+                                        1),
+           "dp_gflops": round(dp_flops / 1e9, 2)}
+    dev_ms = stages.get("fused_device_and_link_ms")
+    if dev_ms:
+        out["fused_eff_hbm_gbps"] = round(
+            (cand_bytes + win_bytes) / (dev_ms / 1e3) / 1e9, 1)
+        out["fused_hbm_util_pct"] = round(
+            100.0 * out["fused_eff_hbm_gbps"] / HBM_PEAK_GBPS, 1)
+    return out
 
 
 def _phase(aligner, gbases, n_pairs: int, n_steady: int, L: int,
-           label: str, rounds: int = 1):
+           label: str, rounds: int = 1, with_quality: bool = True):
     """Map 1 warmup + ``rounds`` x n_steady timed PAIR batches.
     value = median round reads/s (reads = 2 x pairs), best kept as
-    value_best."""
+    value_best. The running result is BANKED AFTER EVERY ROUND
+    (VERDICT r4 #1b) so a deadline mid-phase still lands the newest
+    median."""
     from bbmap_tpu.core.batch import ReadBatch
     n_batches = 1 + n_steady
-    r1, r2, t1, t2 = make_pairs(gbases, n_pairs * n_batches, L=L)
+    r1, r2, q1, q2, t1, t2 = make_pairs(
+        gbases, n_pairs * n_batches, L=L, with_quality=with_quality)
 
-    def mk(rows, b):
+    def mk(rows, quals, b):
         lo = b * n_pairs
         return ReadBatch(
-            bases=rows[lo:lo + n_pairs], quality=None,
+            bases=rows[lo:lo + n_pairs],
+            quality=None if quals is None else quals[lo:lo + n_pairs],
             lengths=np.full(n_pairs, L, np.int32),
             ids=[str(i) for i in range(lo, lo + n_pairs)],
             numeric_ids=np.arange(lo, lo + n_pairs, dtype=np.int64))
 
     note(f"{label}: warmup batch ({n_pairs} pairs) — compiles here")
     t_w = time.time()
-    out0 = aligner.map_pairs_columnar(mk(r1, 0), mk(r2, 0))
-    if rounds > 1:
-        # one untimed steady round: the tunnel link itself warms over
-        # the first dozen transfers (observed ascending round rates)
-        list(aligner.map_pairs_columnar_stream(
-            (mk(r1, b), mk(r2, b)) for b in range(1, n_batches)))
+    out0 = aligner.map_pairs_columnar(mk(r1, q1, 0), mk(r2, q2, 0))
     warmup_s = time.time() - t_w
     note(f"{label}: warmup done ({warmup_s:.1f}s), "
          f"timing {rounds}x{n_steady} pair batches")
-    stats = [out0]
+
+    # grade the warmup batch once so every banked round carries
+    # sensitivity numbers
+    def grade(stats_list):
+        n_mapped = n_correct = n_paired = n_rescued = 0
+        nb = 0
+        for b, (mb1, mb2) in stats_list:
+            nb += 1
+            lo = b * n_pairs
+            for mb, truth in ((mb1, t1), (mb2, t2)):
+                tr = truth[lo:lo + n_pairs]
+                flat = aligner.chrom_offsets[
+                    np.maximum(mb.chrom, 1) - 1] + mb.start
+                n_mapped += int(mb.mapped.sum())
+                ok = mb.mapped & (np.abs(flat - tr) <= 20)
+                n_correct += int(ok.sum())
+                n_rescued += int(mb.rescued.sum())
+            n_paired += int(mb1.paired.sum())
+        n_total = 2 * nb * n_pairs
+        return {"mapped_fraction": round(n_mapped / n_total, 4),
+                "sensitivity": round(n_correct / n_total, 4),
+                "pair_rate": round(n_paired / (nb * n_pairs), 4),
+                "rescued": n_rescued}
+
+    graded = [(0, out0)]
     rates = []
+    stages = {}
+    quality_stats = None
+
+    def bank_now():
+        if not rates:
+            return
+        rps = statistics.median(rates)
+        res = {
+            "metric": "reads_per_sec_per_chip_2x150_ecoli",
+            "value": round(rps, 1),
+            "unit": "reads/s",
+            "vs_baseline": round(rps / BASELINE_READS_PER_SEC, 3),
+            "value_best": round(max(rates), 1),
+            "rounds_timed": len(rates),
+            "stages": dict(stages),
+            "roofline": _roofline(n_pairs, L, stages),
+            "paired_workload": True,
+            "quality_in_loop": with_quality,
+            "batch_pairs": n_pairs,
+            "setup_seconds": round(t_w - T_START, 1),
+            "warmup_seconds": round(warmup_s, 1),
+            "steady_ms_per_batch": round(
+                1000.0 * 2 * n_pairs / rps, 1),
+        }
+        res.update(quality_stats or {})
+        _bank(res)
+        return res
+
+    res = None
     for rnd in range(rounds):
         t0 = time.time()
         out = list(aligner.map_pairs_columnar_stream(
-            (mk(r1, b), mk(r2, b)) for b in range(1, n_batches)))
+            (mk(r1, q1, b), mk(r2, q2, b))
+            for b in range(1, n_batches)))
         dt_r = time.time() - t0
         rates.append(2 * n_steady * n_pairs / dt_r)
         if rnd == 0:
-            stats.extend(out)
-        if rounds > 1:
-            note(f"{label}: round {rnd + 1}: {rates[-1]:.0f} reads/s")
-    rps = statistics.median(rates)
-
-    n_mapped = n_correct = n_paired = n_rescued = 0
-    for b, (mb1, mb2) in enumerate(stats):
-        lo = b * n_pairs
-        for mb, truth in ((mb1, t1), (mb2, t2)):
-            tr = truth[lo:lo + n_pairs]
-            flat = aligner.chrom_offsets[
-                np.maximum(mb.chrom, 1) - 1] + mb.start
-            n_mapped += int(mb.mapped.sum())
-            ok = mb.mapped & (np.abs(flat - tr) <= 20)
-            n_correct += int(ok.sum())
-            n_rescued += int(mb.rescued.sum())
-        n_paired += int(mb1.paired.sum())
-    n_total = 2 * n_batches * n_pairs
-    # per-stage decomposition (VERDICT r3 weak #8): one serial batch,
-    # timed stage by stage (no compiles — same shapes as the rounds)
-    stages = {}
-    try:
-        b1x, b2x = mk(r1, 1), mk(r2, 1)
-        t0 = time.time()
-        f = aligner._fused_pair_dispatch(b1x, b2x, L)
-        stages["dispatch_ms"] = round(1000 * (time.time() - t0), 1)
-        t0 = time.time()
-        dd = f.host()
-        stages["fused_device_and_link_ms"] = round(
-            1000 * (time.time() - t0), 1)
-        t0 = time.time()
-        mid = aligner._pair_phase1(b1x, b2x, L, dd)
-        stages["host_assemble_ms"] = round(1000 * (time.time() - t0), 1)
-        t0 = time.time()
-        aligner._pair_phase2(mid)
-        stages["rescue_ms"] = round(1000 * (time.time() - t0), 1)
-    except Exception:
-        pass
-
-    res = {
-        "metric": "reads_per_sec_per_chip_2x150_ecoli",
-        "value": round(rps, 1),
-        "unit": "reads/s",
-        "vs_baseline": round(rps / BASELINE_READS_PER_SEC, 3),
-        "value_best": round(max(rates), 1),
-        "stages": stages,
-        "mapped_fraction": round(n_mapped / n_total, 4),
-        "sensitivity": round(n_correct / n_total, 4),
-        "pair_rate": round(n_paired / (n_batches * n_pairs), 4),
-        "rescued": n_rescued,
-        "paired_workload": True,
-        "batch_pairs": n_pairs,
-        "setup_seconds": round(time.time() - T_START, 1),
-        "warmup_seconds": round(warmup_s, 1),
-        "steady_ms_per_batch": round(
-            1000.0 * 2 * n_steady * n_pairs / rps / n_steady, 1),
-    }
-    note(f"{label}: {rps:.0f} reads/s median (best {max(rates):.0f}; "
-         f"sens {res['sensitivity']}, mapped {res['mapped_fraction']}, "
-         f"paired {res['pair_rate']}, rescued {n_rescued})")
-    _bank(res)
+            graded.extend((b + 1, o) for b, o in enumerate(out))
+            quality_stats = grade(graded)
+            # per-stage decomposition (one serial batch, stage by
+            # stage — no compiles: same shapes as the rounds)
+            try:
+                b1x, b2x = mk(r1, q1, 1), mk(r2, q2, 1)
+                ts = time.time()
+                f = aligner._fused_pair_dispatch(b1x, b2x, L)
+                stages["dispatch_ms"] = round(
+                    1000 * (time.time() - ts), 1)
+                ts = time.time()
+                dd = f.host()
+                stages["fused_device_and_link_ms"] = round(
+                    1000 * (time.time() - ts), 1)
+                ts = time.time()
+                mid = aligner._pair_phase1(b1x, b2x, L, dd)
+                stages["host_assemble_ms"] = round(
+                    1000 * (time.time() - ts), 1)
+                ts = time.time()
+                aligner._pair_phase2(mid)
+                stages["rescue_ms"] = round(1000 * (time.time() - ts), 1)
+            except Exception:
+                pass
+        note(f"{label}: round {rnd + 1}: {rates[-1]:.0f} reads/s")
+        res = bank_now()
+    if res is not None:
+        note(f"{label}: {res['value']:.0f} reads/s median "
+             f"(best {res['value_best']:.0f}; "
+             f"sens {res.get('sensitivity')}, "
+             f"mapped {res.get('mapped_fraction')}, "
+             f"paired {res.get('pair_rate')}, "
+             f"rescued {res.get('rescued')})")
     return res
+
+
+def _run_selftest(aligner, done_evt, verdict):
+    """On-hardware Pallas==oracle parity check (VERDICT r2 #7), run
+    CONCURRENTLY with phase A's timing (r4 weak: 25 s of selftest sat
+    between phase A and phase B's bank). Sets verdict['ok']=False to
+    engage the XLA DP fallback before phase B."""
+    try:
+        import jax
+        if jax.default_backend() == "cpu" or \
+                os.environ.get("BENCH_SELFTEST", "1") == "0":
+            return
+        from bbmap_tpu.ops.msa_selftest import pallas_selftest
+        if pallas_selftest(verbose=note):
+            note("pallas selftest: ok (short + pacbio profiles)")
+        else:
+            verdict["ok"] = False
+            note("PALLAS SELFTEST FAILED — XLA DP fallback engaged")
+    except Exception as e:
+        verdict["ok"] = False
+        note(f"pallas selftest error ({type(e).__name__}: {e}) — "
+             f"XLA DP fallback engaged")
+    finally:
+        done_evt.set()
 
 
 def main():
@@ -270,6 +394,7 @@ def main():
     enable_compilation_cache()
     note("setup: building genome + index")
     from bbmap_tpu.align.pipeline import BBMapAligner
+    from bbmap_tpu.core.batch import ReadBatch
     from bbmap_tpu.core.genome import Genome, Scaffold
     from bbmap_tpu.index.build import analyze_index, build_index
 
@@ -286,50 +411,61 @@ def main():
     big = int(os.environ.get("BENCH_PAIRS", 32768))
     small = int(os.environ.get("BENCH_PAIRS_SMALL", 2048))
     n_steady = int(os.environ.get("BENCH_STEADY_BATCHES", 3))
+    with_q = os.environ.get("BENCH_QUALITY", "1") != "0"
 
-    # submit the big-shape compile CONCURRENTLY with phase A: the remote
-    # compile service is the wall-clock bottleneck
+    # Warm the ENTIRE steady-state program set at the big shape
+    # CONCURRENTLY with phase A (VERDICT r4 #1a: round 4 warmed only the
+    # fused dispatch; the rescue/escalate/trace/refit programs then
+    # compiled serially inside phase B's warmup and the deadline landed
+    # first). A full map_pairs_columnar run compiles every pinned-shape
+    # program the stream will use.
+    warm_done = threading.Event()
+
     def warm_big():
         try:
-            from bbmap_tpu.core.batch import ReadBatch
-            r1, r2, _t1, _t2 = make_pairs(gbases, big, L=L, seed=99)
+            r1, r2, q1, q2, _t1, _t2 = make_pairs(
+                gbases, big, L=L, seed=99, with_quality=with_q)
 
-            def mb(rows):
+            def mb(rows, quals):
                 return ReadBatch(
-                    bases=rows, quality=None,
+                    bases=rows, quality=quals,
                     lengths=np.full(big, L, np.int32),
                     ids=[str(i) for i in range(big)],
                     numeric_ids=np.arange(big, dtype=np.int64))
 
-            f = aligner._fused_pair_dispatch(mb(r1), mb(r2), L)
-            f.host()
-            note("big-shape pair program warm")
+            aligner.map_pairs_columnar(mb(r1, q1), mb(r2, q2))
+            note("big-shape pipeline fully warm")
         except Exception as e:
             note(f"big-shape warm failed: {type(e).__name__}: {e}")
+        finally:
+            warm_done.set()
 
     threading.Thread(target=warm_big, daemon=True).start()
 
+    selftest_done = threading.Event()
+    verdict = {"ok": True}
+    threading.Thread(target=_run_selftest,
+                     args=(aligner, selftest_done, verdict),
+                     daemon=True).start()
+
     if small and small < big:
-        _phase(aligner, gbases, small, 2, L, "phase A")
-    # On-hardware Pallas==oracle parity check (VERDICT r2 #7)
-    import jax
-    if jax.default_backend() != "cpu" and \
-            os.environ.get("BENCH_SELFTEST", "1") != "0":
-        try:
-            from bbmap_tpu.ops.msa_selftest import pallas_selftest
-            if pallas_selftest(verbose=note):
-                note("pallas selftest: ok (short + pacbio profiles)")
-            else:
-                os.environ["BBMAP_FUSED_PALLAS"] = "0"
-                aligner._fused_cache.clear()
-                note("PALLAS SELFTEST FAILED — XLA DP fallback engaged")
-        except Exception as e:
-            os.environ["BBMAP_FUSED_PALLAS"] = "0"
-            aligner._fused_cache.clear()
-            note(f"pallas selftest error ({type(e).__name__}: {e}) — "
-                 f"XLA DP fallback engaged")
+        # 8 steady batches: the 3-deep pipeline needs >2 batches to
+        # reach steady state (r4 weak #3 — n_steady=2 published a 30x
+        # under-representative fallback number)
+        _phase(aligner, gbases, small,
+               int(os.environ.get("BENCH_STEADY_SMALL", "8")),
+               L, "phase A", rounds=2, with_quality=with_q)
+
+    selftest_done.wait(timeout=max(5.0,
+                                   T_START + deadline - time.time() - 60))
+    if not verdict["ok"]:
+        os.environ["BBMAP_FUSED_PALLAS"] = "0"
+        aligner._fused_cache.clear()
+    warm_done.wait(timeout=max(5.0,
+                               T_START + deadline - time.time() - 45))
     _phase(aligner, gbases, big, n_steady, L, "phase B",
-           rounds=int(os.environ.get("BENCH_ROUNDS", "3")))
+           rounds=int(os.environ.get("BENCH_ROUNDS", "3")),
+           with_quality=with_q)
     _emit_and_exit()
     return 0
 

@@ -13,6 +13,7 @@
 // ctypes with a pure-Python fallback (bbmap_tpu/io/native.py).
 
 #include <cstring>
+#include <cmath>
 #include <cstdint>
 #include <cstdio>
 
@@ -164,6 +165,141 @@ long sam_format_batch(
     #undef PUTS
     #undef PUTC
     return w;
+}
+
+// Quality-probability key selection + Solver key scores, host twin of
+// the device quality stage (bbmap_tpu/align/quickmap_device.py
+// _quality_offsets_core; reference: QualityTools.makeKeyProbs:188-218,
+// KeyRing.makeOffsets3:396-506, AbstractMapThread.java:704-727). All
+// float arithmetic is float32 in Java source order (the Makefile sets
+// -ffp-contract=off so no fused multiply-adds sneak in) — results are
+// bit-identical to the device/XLA implementation, asserted by
+// tests/test_quality_seeding.py.
+//
+// q: (B, qstride) int8 phred. prob_correct: 128-entry float table
+// (seed.PROB_CORRECT). ladder: (nk,) default offsets (the fallback for
+// reads whose offset selection fails). Outputs: out_off (B, nk) int16
+// (-1 unused), out_scores (B, nk) int16, out_reject (B,) uint8.
+void quality_offsets_scores(const signed char* q, long B, long qstride,
+                            int L, int k, const float* prob_correct,
+                            const int* ladder, int nk,
+                            double max_density, int a,
+                            short* out_off, short* out_scores,
+                            unsigned char* out_reject) {
+    const int m = L - k + 1;
+    const float l1 = 0.94f, l2 = 0.9999f;
+    const int base_ks = a / 8;
+    const int range_ks = a - base_ks;
+    #ifdef _OPENMP
+    #pragma omp parallel for schedule(static)
+    #endif
+    for (long b = 0; b < B; b++) {
+        const signed char* qr = q + b * qstride;
+        float pc[1024];
+        float probs[1024];
+        for (int i = 0; i < L; i++) {
+            int qi = qr[i];
+            if (qi < 0) qi = 0;
+            if (qi > 127) qi = 127;
+            pc[i] = prob_correct[qi];
+        }
+        // window products as k-1 vectorizable array passes — same
+        // multiply order as the sequential form (pass t multiplies
+        // pc[j+t] onto the running product, ascending t)
+        unsigned char hz[1024];
+        for (int j = 0; j < m; j++) { probs[j] = pc[j]; hz[j] = qr[j] == 0; }
+        for (int t = 1; t < k; t++) {
+            const float* pt = pc + t;
+            const signed char* qt = qr + t;
+            for (int j = 0; j < m; j++) {
+                probs[j] = probs[j] * pt[j];
+                hz[j] |= (qt[j] == 0);
+            }
+        }
+        for (int j = 0; j < m; j++)
+            probs[j] = hz[j] ? 1.0f : (1.0f - probs[j]);
+        // window trim + desired-key count (device _quality_offsets_core)
+        int left = -1, right = -1, potential = 0;
+        for (int j = 0; j < m; j++)
+            if (probs[j] < l1) { left = j; break; }
+        for (int j = m - 1; j >= 0; j--)
+            if (probs[j] < l1) { right = j; break; }
+        if (left >= 0 && right >= left)
+            for (int j = left; j <= right; j++)
+                if (probs[j] < l2) potential++;
+        int valid = (left >= 0) && (potential > 0) && (right >= left);
+        short* off_row = out_off + b * nk;
+        short* sc_row = out_scores + b * nk;
+        if (!valid) {
+            // ladder fallback (documented deviation: the reference
+            // drops these reads; we map them with the static ladder)
+            for (int i = 0; i < nk; i++) {
+                int o = ladder[i];
+                off_row[i] = (short)o;
+                float p = probs[o < m ? o : m - 1];
+                sc_row[i] = (short)(base_ks + (int)floorf(
+                    (float)range_ks * (1.0f - p) + 0.5f));
+            }
+            out_reject[b] = 0;
+            continue;
+        }
+        int usable = right - left + k;
+        int slots_u = usable - k + 1;
+        // double precision like the host seed.desired_keys_from_density
+        // (the framework's established semantics; the Java computes this
+        // in float32 — rare ulp-edge deviation shared with the device)
+        int d2 = (int)ceil((double)usable * max_density / (double)k);
+        if (d2 < 2) d2 = 2;
+        if (d2 > slots_u) d2 = slots_u;
+        int desired = (usable < L) ? (d2 < nk ? d2 : nk) : nk;
+        if (desired > potential) desired = potential;
+        if (desired < 1) desired = 1;
+        float interval = (float)(right - left)
+            / (float)(desired - 1 > 1 ? desired - 1 : 1);
+        int interval_int = (int)interval + 1;
+        float f = (float)left;
+        int prev = -1, j = left;
+        float pae = 1.0f;
+        for (int i = 0; i < nk; i++) {
+            int active = (i < desired);
+            int x = -1;
+            if (active && prev < j) {
+                int jc = j < m - 1 ? j : m - 1;
+                if (jc < 0) jc = 0;
+                if (probs[jc] < l2) {
+                    x = j;
+                } else {
+                    for (int kk = j - 1; kk > prev + 2; kk--)
+                        if (probs[kk] < l2) { x = kk; break; }
+                    if (x < 0) {
+                        int lim = j + interval_int;
+                        if (lim > right) lim = right;
+                        for (int kk = j + 1; kk < lim; kk++)
+                            if (probs[kk] < l2) { x = kk; break; }
+                    }
+                }
+            }
+            off_row[i] = (short)x;
+            float p = 1.0f;
+            if (x > -1) {
+                int xc = x < m - 1 ? x : m - 1;
+                p = probs[xc];
+                pae = pae * p;
+            }
+            sc_row[i] = (short)(base_ks + (int)floorf(
+                (float)range_ks * (1.0f - p) + 0.5f));
+            if (active) {
+                if (x > -1) prev = x;
+                else if (j - 2 > prev) prev = j - 2;
+                f = f + interval;
+                int jn = (int)floorf(f + 0.5f);
+                if (jn < j + 1) jn = j + 1;
+                if (jn > m - 1) jn = m - 1;
+                j = jn;
+            }
+        }
+        out_reject[b] = pae > 0.5f ? 1 : 0;
+    }
 }
 
 }  // extern "C"

@@ -119,6 +119,91 @@ def test_fused_budget_overflow_fallback(setup, monkeypatch):
     assert_mb_equal(mf, mu)
 
 
+def _repeat_reads(setup, n, L=100, seed=19):
+    """Reads drawn from inside the implanted repeat unit so every key
+    has ~4 sites (admitted totals > the LO slot tier) — forces the
+    two-tier hi gather."""
+    g, index = setup
+    gc = index.genome_codes
+    A = np.frombuffer(b"ACGT", np.uint8)
+    rng = np.random.default_rng(seed)
+    copies = (5_000, 22_000, 47_000, 63_000)  # raw positions (pre-built
+    #                                           chroms get no start pad)
+    starts = np.array([copies[rng.integers(0, 4)]
+                       + rng.integers(0, 600 - L) for _ in range(n)])
+    reads = np.stack([A[np.minimum(gc[s:s + L], 3)] for s in starts])
+    flip = rng.random(n) < 0.5
+    reads[flip] = COMP_ASCII[reads[flip]][:, ::-1]
+    return ReadBatch(bases=reads, quality=None,
+                     lengths=np.full(n, L, np.int32),
+                     ids=[str(i) for i in range(n)],
+                     numeric_ids=np.arange(n, dtype=np.int64))
+
+
+def test_fused_hi_budget_overflow_single(setup, monkeypatch):
+    """Two-tier slot-gather overflow (ADVICE r4 medium: the HB budget
+    was untestable inline): with hi_budget forced tiny, repeat-heavy
+    rows are truncated in-device, flagged hi_over, and exactly refit on
+    the host — parity with the unfused path must hold, including the
+    match strings (ADVICE r4 high: stale deferred match_fill lambdas
+    must not overwrite the refit rows). Tier admission
+    (BBMAP_REF_ADMIT=0): the canonical-count budget packing of the
+    ref-admit path caps local slot sums at LO, so the hi tier is live
+    on the per-strand tier-admission config."""
+    from bbmap_tpu.align import quickmap_device as qd
+    monkeypatch.setenv("BBMAP_REF_ADMIT", "0")
+    monkeypatch.setattr(qd, "hi_budget", lambda R2: 8)
+    fused, unfused = _pair(setup)
+    batch = _repeat_reads(setup, 96)
+    f = fused._fused_dispatch(batch, 100)
+    d = f.host()
+    assert d["hi_over"].sum() > 20, "overflow path never engaged"
+    mf = fused._columnar_from_fused(batch, 100, d)
+    mu = unfused.map_batch_columnar(batch)
+    assert mf.mapped.sum() > 80
+    assert_mb_equal(mf, mu)
+
+
+def test_fused_hi_budget_overflow_paired(setup, monkeypatch):
+    """Paired two-tier overflow: truncated rows re-fit exactly by PAIR
+    (the mate's boost saw the truncated table) — tiny-budget output must
+    equal the default-budget output field for field."""
+    from bbmap_tpu.align import quickmap_device as qd
+    g, index = setup
+    gc = index.genome_codes
+    A = np.frombuffer(b"ACGT", np.uint8)
+    rng = np.random.default_rng(29)
+    L, B, insert = 100, 64, 180
+    copies = (5_000, 22_000, 47_000, 63_000)
+    starts = np.array([copies[rng.integers(0, 4)]
+                       + rng.integers(0, 600 - insert)
+                       for _ in range(B)])
+    r1 = np.stack([A[np.minimum(gc[s:s + L], 3)] for s in starts])
+    r2f = np.stack([A[np.minimum(gc[s + insert - L:s + insert], 3)]
+                    for s in starts])
+    r2 = COMP_ASCII[r2f][:, ::-1].copy()
+
+    def mk(rows):
+        return ReadBatch(bases=rows.copy(), quality=None,
+                         lengths=np.full(B, L, np.int32),
+                         ids=[str(i) for i in range(B)],
+                         numeric_ids=np.arange(B, dtype=np.int64))
+
+    monkeypatch.setenv("BBMAP_REF_ADMIT", "0")
+    al_def = BBMapAligner(*setup)
+    out_def = al_def.map_pairs_columnar(mk(r1), mk(r2))
+    monkeypatch.setattr(qd, "hi_budget", lambda R2: 8)
+    al_tiny = BBMapAligner(*setup)
+    f = al_tiny._fused_pair_dispatch(mk(r1), mk(r2), L)
+    d = f.host()
+    assert d["hi_over"].sum() > 20, "overflow path never engaged"
+    out_tiny = al_tiny._columnar_pair_from_fused(mk(r1), mk(r2), L, d)
+    assert out_def is not None and out_tiny is not None
+    for a, b in zip(out_tiny, out_def):
+        assert_mb_equal(a, b)
+    assert out_def[0].mapped.sum() > 50
+
+
 @pytest.mark.slow
 def test_fused_map_stream(setup):
     fused, unfused = _pair(setup)

@@ -173,6 +173,113 @@ def test_oracle_readmission_and_device_parity_on_crafted_keys(setup):
     assert readmitted > 0, "fixture never fired the re-admission ladder"
 
 
+def test_device_retention_matches_oracle_with_quality(setup):
+    """keyProbs-derived greedy weights (VERDICT r4 missing #1): with
+    quality-bearing reads the device must reproduce the oracle's
+    weighted greedy trim key-for-key, including the float32
+    valuep*weight truncation and the probAllErrors read rejection
+    (reference: AbstractMapThread.java:679,704-727 +
+    BBIndex.java:268-270,337,459)."""
+    g, genome, index = setup
+    L = 150
+    B = 512
+    rng = np.random.default_rng(17)
+    reads = _reads(g, B, L, seed=6)
+    # quality: plateau + sagging tail + frequent deep dips so weights
+    # differ across keys and some reads trip probAllErrors
+    pos = np.arange(L)
+    q = 38.0 - 10.0 * (pos / L) ** 2 + rng.normal(0, 3, (B, L))
+    dips = rng.random((B, L)) < 0.06
+    q = np.where(dips, rng.uniform(0, 12, (B, L)), q)
+    # a handful of nearly-hopeless reads for the rejection path: q2
+    # everywhere except one short q8 window, so offset selection
+    # SUCCEEDS (key probs ~0.89 < errorLimit1 inside the window) but
+    # the probAllErrors product stays > 0.5 (reference drops these,
+    # AbstractMapThread.java:723; fully-hopeless reads instead fail
+    # offset selection and take the documented ladder fallback)
+    bad = rng.choice(B, size=12, replace=False)
+    q[bad] = 2.0
+    for r in bad:
+        at = int(rng.integers(0, L - 16))
+        q[r, at:at + 16] = 8.0
+    q = np.clip(q, 0, 41).astype(np.int8)
+
+    cfg = qd.make_config(index, L)
+    assert cfg.ref_admit
+    den2, den3 = seed_host.key_density_ladder(L, index.k)
+    ccnt_d = qd.ccnt_array(index)
+
+    def prog(bases, qual, ccnt):
+        rcodes = qd.ascii_to_codes(bases)
+        offs, wts, rej = qd.quality_offsets_stage(
+            cfg, qual, den2, den3, return_weights=True)
+        keys_all = qd._keys_all_positions(rcodes, cfg.k, L)
+        od = offs.astype(jnp.int32)
+        kp = qd.take_along_flat(keys_all, jnp.clip(od, 0, L - cfg.k))
+        kp = jnp.where(od < 0, -1, kp)
+        kp = jnp.where(rej[:, None], -1, kp)
+        ccnt_p = qd.take_flat(ccnt, jnp.where(kp < 0, 0, kp))
+        ccnt_p = jnp.where(kp < 0, 0, ccnt_p)
+        off_p = jnp.maximum(od, 0)
+        alive = qd._ref_retention(cfg, kp, off_p, ccnt_p, weights=wts)
+        return offs, rej, kp, alive
+
+    offs, rej, kp, alive = jax.jit(prog)(
+        jnp.asarray(reads), jnp.asarray(q), ccnt_d)
+    offs = np.asarray(offs)
+    rej = np.asarray(rej)
+    kp = np.asarray(kp)
+    alive = np.asarray(alive)
+
+    n_rejected = int(rej.sum())
+    n_weight_differs = 0
+    n_trimmed = 0
+    for r in range(B):
+        act = offs[r] >= 0
+        off_r = offs[r][act].astype(np.int64)
+        scores, pae = so.key_scores_from_quality(q[r], off_r, index.k)
+        if len(np.unique(scores)) > 1:
+            n_weight_differs += 1
+        # device rejection must equal the oracle's probAllErrors rule
+        # (fallback-ladder reads are never rejected — both sides use
+        # the real probs at the chosen offsets, so pae matches)
+        if rej[r]:
+            assert pae > 0.5, f"read {r}: device rejected, pae={pae}"
+            assert not alive[r].any()
+            continue
+        keys_r = kp[r][act].astype(np.int64)
+        keys_o, _offs_o, _sc = so.retain_keys(keys_r, off_r, scores,
+                                              index)
+        dev_keys = kp[r][alive[r]]
+        np.testing.assert_array_equal(
+            np.sort(dev_keys), np.sort(keys_o),
+            err_msg=f"read {r}: device {dev_keys} oracle {keys_o}")
+        if len(keys_o) < np.count_nonzero(keys_r >= 0):
+            n_trimmed += 1
+    assert n_rejected >= 1, "fixture never tripped probAllErrors"
+    assert n_weight_differs > B // 2, n_weight_differs
+    assert n_trimmed > B // 20, n_trimmed
+
+
+def test_key_scores_reference_formula():
+    """Spot-check the keyScores arithmetic against hand-computed
+    reference values (a=1300 for k=13: baseKeyScore=162, range=1138)."""
+    q = np.full(30, 40, np.int8)
+    offs = np.array([0, 5, 17], np.int64)
+    scores, pae = so.key_scores_from_quality(q, offs, 13)
+    # q40 over 13 bases: perr=1e-4 each; keyProb = 1-(1-1e-4)^13
+    p = np.float32(1.0 - (1.0 - 1e-4) ** 13)
+    expect = 162 + int(np.floor(np.float32(1138) * (np.float32(1.0) - p)
+                                + np.float32(0.5)))
+    assert list(scores) == [expect] * 3
+    assert pae == pytest.approx(float(p) ** 3, rel=1e-5)
+    # q0 bases force keyProb 1.0 -> baseKeyScore and pae 1.0
+    q2 = np.zeros(30, np.int8)
+    scores2, pae2 = so.key_scores_from_quality(q2, offs, 13)
+    assert list(scores2) == [162] * 3
+    assert pae2 == 1.0
+
+
 def test_bench_genome_retention_stats():
     """On the bench-style genome the reference retention keeps most
     unique-region keys and the admitted totals fit the device slot
