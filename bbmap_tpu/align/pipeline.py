@@ -271,6 +271,16 @@ class BBMapAligner:
         self.mesh = mesh
         self.n_index_shards = n_index_shards
         self._sharded_index = None
+        # cross-host index sharding (parallel/sharded.py
+        # build_crosshost_quickmap): an injected factory supplies the
+        # quickmap runner; mesh_quality marks that it accepts quality;
+        # _xh_gather merges host-side long-indel seed lists across
+        # processes; _li_global_counts replaces local CSR lengths in
+        # host seeding filters (the local shard's lengths are partial)
+        self.quickmap_factory = None
+        self.mesh_quality = False
+        self._xh_gather = None
+        self._li_global_counts = None
         # scoring profile: SHORT (MSA11ts) or PACBIO (MSA9PacBio) with
         # its own clearzone model (reference: BBMapThreadPacBio.java)
         self.profile = profile if profile is not None else K.SHORT_PROFILE
@@ -334,6 +344,14 @@ class BBMapAligner:
                 and int(lens[0]) >= self.index.k):
             self._map_batch_device(batch, int(lens[0]), results)
             return results
+        if self.quickmap_factory is not None:
+            # cross-host sharded index: the host per-length fallback
+            # seeds against the LOCAL CSR block only — mixed-length
+            # batches must be length-bucketed upstream
+            raise RuntimeError(
+                "cross-host sharded index requires uniform-length "
+                "read batches (got lengths "
+                f"{sorted(set(int(x) for x in lens))[:5]})")
         by_len: Dict[int, List[int]] = {}
         for i in range(B):
             L = int(batch.lengths[i])
@@ -352,7 +370,9 @@ class BBMapAligner:
         stream/ConcurrentGenericReadInputStream.java:122-166)."""
         from . import quickmap_device
         if L not in self._qm_cache:
-            if self.mesh is not None:
+            if self.quickmap_factory is not None:
+                self._qm_cache[L] = self.quickmap_factory(L)
+            elif self.mesh is not None:
                 from ..parallel import sharded
                 if self._sharded_index is None:
                     self._sharded_index = sharded.shard_index(
@@ -365,7 +385,8 @@ class BBMapAligner:
                 self._qm_cache[L] = quickmap_device.build_quickmap(
                     self.index, L, chain_dist=self.chain_dist,
                     min_ratio=self.min_ratio, profile=self.profile)
-        if batch.quality is not None and self.mesh is None:
+        if batch.quality is not None and (self.mesh is None
+                                          or self.mesh_quality):
             return self._qm_cache[L](batch.bases[:, :L],
                                      batch.quality[:, :L])
         return self._qm_cache[L](batch.bases[:, :L])
@@ -2139,12 +2160,18 @@ class BBMapAligner:
             return
         max_sw = self.profile.max_quality(L)
         min_score = int(max_sw * self.min_ratio)
-        jobs = []   # (read_idx, strand, read_row, gref_padded, c2r, C)
-        for i in idxs:
+
+        from ..index.build import reverse_complement_key
+        gcounts = self._li_global_counts
+
+        def local_diags(i):
+            """Both strands' seed diagonals from the (possibly
+            block-local) CSR; per-key list-length filters consult the
+            GLOBAL counts in cross-host mode (the local shard's
+            lengths are partial)."""
             row = batch.bases[i, :L]
             keys_p = seed.keys_at_offsets(row, offsets, k)
-            best = None
-            from ..index.build import reverse_complement_key
+            out = []
             for strand in (0, 1):
                 if strand == 0:
                     kk = keys_p
@@ -2161,13 +2188,49 @@ class BBMapAligner:
                         continue
                     s0, s1 = self.index.starts[key], \
                         self.index.starts[key + 1]
-                    if s1 - s0 == 0 or s1 - s0 > 64:
+                    gl = int(gcounts[key]) if gcounts is not None \
+                        else s1 - s0
+                    if gl == 0 or gl > 64:
                         continue
-                    diags.append(self.index.sites[s0:s1].astype(np.int64)
-                                 - off_adj[t])
-                if not diags:
+                    diags.append(
+                        self.index.sites[s0:s1].astype(np.int64)
+                        - off_adj[t])
+                out.append(np.concatenate(diags) if diags
+                           else np.zeros(0, np.int64))
+            return out
+
+        per_read = [local_diags(i) for i in idxs]
+        if self._xh_gather is not None and len(idxs):
+            # merge seed lists across processes: each shard saw only
+            # its genome block's sites. ONE fixed-shape collective per
+            # pass (every process reaches here with identical idxs —
+            # upstream results are replicated)
+            flat = np.concatenate(
+                [d for pair in per_read for d in pair]) \
+                if per_read else np.zeros(0, np.int64)
+            lens = np.array([len(d) for pair in per_read
+                             for d in pair], np.int64)
+            flats, lens_all = self._xh_gather(flat, lens)
+            n_ent = len(lens)
+            offs_p = [np.concatenate([[0], np.cumsum(lens_all[p])])
+                      for p in range(len(flats))]
+            merged = []
+            for t in range(n_ent):
+                merged.append(np.concatenate(
+                    [flats[p][offs_p[p][t]:offs_p[p][t + 1]]
+                     for p in range(len(flats))]))
+            per_read = [(merged[2 * t], merged[2 * t + 1])
+                        for t in range(len(idxs))]
+
+        jobs = []   # (read_idx, strand, read_row, gref_padded, c2r, C)
+        for pos_i, i in enumerate(idxs):
+            row = batch.bases[i, :L]
+            best = None
+            for strand in (0, 1):
+                draw = per_read[pos_i][strand]
+                if len(draw) == 0:
                     continue
-                dall = np.sort(np.concatenate(diags))
+                dall = np.sort(draw)
                 # largest chain within maxindel
                 breaks = np.nonzero(np.diff(dall) > self.maxindel)[0]
                 seg_a = np.concatenate([[0], breaks + 1])

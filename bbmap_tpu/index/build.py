@@ -129,19 +129,40 @@ HIST_BUCKETS = 1000
 def shard_bounds(G: int, chrom_offsets: np.ndarray,
                  n_shards: int) -> np.ndarray:
     """Genome-block boundaries for index sharding: equal flat splits
-    snapped to scaffold starts when one lies within 25% of the block
-    size (the reference packs whole chromosomes per block,
-    align2/IndexMaker4.java CHROMS_PER_BLOCK; chains never straddle
-    blocks there — snapping preserves that for multi-scaffold
-    genomes). Deterministic: every host computes the same bounds."""
+    snapped STRICTLY to chrom boundaries — the reference packs whole
+    chromosomes per block (align2/IndexMaker4.java CHROMS_PER_BLOCK),
+    and that invariant is what guarantees no candidate chain ever
+    straddles a block (chroms are separated by >= 8000 N pad, far wider
+    than the chain window, so seed sites cannot chain across; a
+    mid-chrom split was observed to split a straddling chain into two
+    half-vote candidates and flip a read to ambiguous). Genomes that
+    need sharding are the >HBM ones, which naturally span many chroms
+    (the genome packer caps chroms at ~536 Mbp). Raises ValueError when
+    the genome has fewer chroms than shards. Deterministic: every host
+    computes the same bounds."""
+    offs = np.asarray(chrom_offsets, np.int64)
+    interior = offs[1:-1]
+    if len(interior) < n_shards - 1:
+        raise ValueError(
+            f"cannot shard the index {n_shards} ways: the genome has "
+            f"{len(interior) + 1} chrom block(s); shard boundaries "
+            f"must align to chrom boundaries (reference "
+            f"CHROMS_PER_BLOCK semantics). Re-pack with a smaller "
+            f"maxchromlen or use fewer shards.")
     raw = np.linspace(0, G, n_shards + 1).astype(np.int64)
     snapped = raw.copy()
-    offs = np.asarray(chrom_offsets, np.int64)
-    blk = G / max(n_shards, 1)
+    used = set()
     for i in range(1, n_shards):
-        j = np.argmin(np.abs(offs - raw[i]))
-        if abs(int(offs[j]) - int(raw[i])) <= 0.25 * blk:
-            snapped[i] = offs[j]
+        order = np.argsort(np.abs(interior - raw[i]))
+        for j in order:
+            if j not in used:
+                used.add(int(j))
+                snapped[i] = interior[j]
+                break
+    snapped[1:n_shards] = np.sort(snapped[1:n_shards])
+    if len(np.unique(snapped)) != n_shards + 1:
+        raise ValueError("cannot shard: degenerate chrom-aligned "
+                         f"bounds {snapped}")
     return snapped
 
 

@@ -124,6 +124,14 @@ def main(argv: List[str]) -> int:
     from ..parallel import multihost
     num_hosts = args.get_int("hosts", default=int(
         os.environ.get("BBMAP_TPU_NUM_HOSTS", "1")))
+    # shardindex=t: cross-host INDEX sharding (BASELINE config 4) —
+    # each process holds only its genome-block CSR shard; every host
+    # maps every batch and candidates all-gather across hosts inside
+    # the jitted program (parallel/sharded.build_crosshost_quickmap).
+    # Default (f) replicates the index and stripes read batches —
+    # the right choice while the index fits one chip's HBM.
+    shardindex = args.get_bool("shardindex", "indexshard",
+                               default=False)
     host_id = 0
     if num_hosts > 1:
         if not out:
@@ -134,30 +142,48 @@ def main(argv: List[str]) -> int:
             args.get_int("hostid", default=None))
 
     t0 = time.time()
-    genome = build_genome(ref)
+    maxchromlen = args.get_int("maxchromlen", default=0)
+    if maxchromlen > 0:
+        genome = build_genome(ref, max_length=maxchromlen)
+    else:
+        genome = build_genome(ref)
     sys.stderr.write(f"Loaded Reference:\t{time.time()-t0:.3f} seconds.\n")
 
     t1 = time.time()
     index = None
-    if not nodisk:
-        cache_dir = os.path.join(os.path.dirname(os.path.abspath(ref)),
-                                 "ref_tpu")
-        os.makedirs(cache_dir, exist_ok=True)
-        mod_tag = "_mod9" if usemodulo else ""
-        if excl_frac >= 0:
-            mod_tag += f"_x{excl_frac:g}"
-        cache = os.path.join(cache_dir,
-                             f"index_{genome_hash(ref, k)}{mod_tag}.npz")
-        if os.path.exists(cache):
-            index = load_index(cache)
-    if index is None:
-        index = build_index(genome, k, usemodulo=usemodulo)
+    counts_global = None
+    if num_hosts > 1 and shardindex:
+        from ..index.build import build_index_shard
+        index, counts_global, _bounds = build_index_shard(
+            genome, k, host_id, num_hosts, usemodulo=usemodulo)
         frac = excl_frac if excl_frac >= 0 else \
             set_fraction_to_exclude(genome.total_bases())
-        analyze_index(index, frac)
+        analyze_index(index, frac, lengths_global=counts_global)
+        sys.stderr.write(
+            f"Generated Index Shard {host_id}/{num_hosts} "
+            f"({len(index.sites)} of {int(counts_global.sum())} "
+            f"sites):\t{time.time()-t1:.3f} seconds.\n")
+    else:
         if not nodisk:
-            save_index(index, cache)
-    sys.stderr.write(f"Generated Index:\t{time.time()-t1:.3f} seconds.\n")
+            cache_dir = os.path.join(
+                os.path.dirname(os.path.abspath(ref)), "ref_tpu")
+            os.makedirs(cache_dir, exist_ok=True)
+            mod_tag = "_mod9" if usemodulo else ""
+            if excl_frac >= 0:
+                mod_tag += f"_x{excl_frac:g}"
+            cache = os.path.join(
+                cache_dir, f"index_{genome_hash(ref, k)}{mod_tag}.npz")
+            if os.path.exists(cache):
+                index = load_index(cache)
+        if index is None:
+            index = build_index(genome, k, usemodulo=usemodulo)
+            frac = excl_frac if excl_frac >= 0 else \
+                set_fraction_to_exclude(genome.total_bases())
+            analyze_index(index, frac)
+            if not nodisk:
+                save_index(index, cache)
+        sys.stderr.write(
+            f"Generated Index:\t{time.time()-t1:.3f} seconds.\n")
 
     # scoring profile: profile=pacbio selects the MSA9PacBio stack
     # (reference: align2/BBMapPacBio.java MSA_TYPE, BBMapThreadPacBio)
@@ -171,14 +197,30 @@ def main(argv: List[str]) -> int:
                            else 0, local=local,
                            print_secondary=secondary,
                            max_sites=max_sites, profile=profile)
+    if counts_global is not None:
+        # cross-host sharded index: inject the global-mesh quickmap,
+        # the long-indel seed merge, and global-count seeding filters
+        from ..parallel import sharded as shmod
+        xmesh = shmod.crosshost_mesh()
+        aligner.mesh = xmesh
+        aligner.mesh_quality = True
+        aligner.quickmap_factory = \
+            lambda LL: shmod.build_crosshost_quickmap(
+                index, counts_global, LL,
+                chain_dist=aligner.chain_dist,
+                min_ratio=aligner.min_ratio, mesh=xmesh)
+        aligner._xh_gather = shmod.xh_allgather_varlen
+        aligner._li_global_counts = counts_global
 
     shard = None
     out_fh = None
-    if num_hosts > 1:
+    if num_hosts > 1 and not shardindex:
         shard = multihost.ShardWriter(out, host_id)
         shard.write_header(
             ("\n".join(samio.sam_header(genome)) + "\n").encode())
-    elif out:
+    elif out and (num_hosts <= 1 or host_id == 0):
+        # shardindex mode: every host maps every batch (results are
+        # replicated); host 0 alone writes the SAM
         out_fh = samio.open_sam_writer(out)
         for line in samio.sam_header(genome):
             out_fh.write(line + "\n")
@@ -296,9 +338,11 @@ def main(argv: List[str]) -> int:
 
     from ..core.batch import prefetch
     batches = batched(iter(reader), batch_size)
-    if num_hosts > 1:
+    if num_hosts > 1 and not shardindex:
         batches = multihost.stripe_batches(batches, host_id, num_hosts)
     else:
+        # single host, or cross-host sharded index (every host maps
+        # every batch — the work division is the index axis)
         batches = enumerate(batches)
 
     # producer prepares batch N+1 (decode + trim) and queues its
@@ -420,6 +464,10 @@ def main(argv: List[str]) -> int:
             hist_flags = {k: None for k in hist_flags}
             scafstats_path = None
             scaf_counts = None
+    if shardindex and num_hosts > 1 and host_id != 0:
+        # replicated-output mode: host 0 owns every artifact
+        hist_flags = {k: None for k in hist_flags}
+        scafstats_path = None
     if out_fh is not None and out_fh not in (sys.stdout,):
         out_fh.close()
     dt = time.time() - t2

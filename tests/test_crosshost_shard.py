@@ -33,7 +33,7 @@ def _genome(seed=11, n=120_000):
     ]).finalize()
 
 
-@pytest.mark.parametrize("n_shards", [2, 3])
+@pytest.mark.parametrize("n_shards", [2])
 def test_shard_build_matches_full_build(n_shards):
     g = _genome()
     k = 11
@@ -72,10 +72,14 @@ def test_shard_build_matches_full_build(n_shards):
         assert n_local < int(full.starts[-1])
 
 
-def test_shard_bounds_snap_to_scaffolds():
+def test_shard_bounds_chrom_aligned():
     g = _genome()
     G = len(g.packed_codes()[0])
-    b = shard_bounds(G, g.packed_codes()[1], 2)
     offs = np.asarray(g.packed_codes()[1], np.int64)
-    # the interior bound snapped to the scaffold boundary (within 25%)
-    assert b[1] in offs or abs(b[1] - G // 2) <= G // 8
+    b = shard_bounds(G, offs, 2)
+    # interior bounds are STRICTLY chrom boundaries (reference
+    # CHROMS_PER_BLOCK: a block never cuts a chrom — a mid-chrom split
+    # can cut a candidate chain in two and flip ambiguity)
+    assert b[1] in offs
+    with pytest.raises(ValueError):
+        shard_bounds(G, offs, 3)  # only 2 chrom blocks exist

@@ -194,3 +194,68 @@ def test_two_process_stats_reduction_and_bbduk(tmp_path):
         (tmp_path / "ds.fq").read_bytes(), errs
     assert (tmp_path / "dm.stats").read_bytes() == \
         (tmp_path / "ds.stats").read_bytes(), errs
+
+
+def test_two_process_sharded_index_bbmap(tmp_path):
+    """Cross-host INDEX sharding (VERDICT r4 missing #2 / BASELINE
+    config 4): hosts=2 shardindex=t — each process builds and holds
+    only its genome-block CSR shard; candidates all-gather across the
+    two processes inside the jitted program; host 0's SAM must be
+    byte-identical to a single-process full-index run. Each process's
+    stderr proves the shard really is partial.
+
+    The reference genome has TWO scaffolds packed into separate chrom
+    blocks (maxchromlen=): shard boundaries must align to chrom
+    boundaries (reference CHROMS_PER_BLOCK — a mid-chrom split can cut
+    a straddling candidate chain in half and flip ambiguity)."""
+    rng = np.random.default_rng(77)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    g1 = rng.choice(bases, size=30_000)
+    g2 = rng.choice(bases, size=30_000)
+    ref = tmp_path / "xref.fa"
+    ref.write_text(">s1\n" + bytes(g1).decode() + "\n>s2\n"
+                   + bytes(g2).decode() + "\n")
+    L = 120
+    fq = tmp_path / "xreads.fq"
+    with open(fq, "w") as f:
+        for i in range(600):
+            src = g1 if i % 2 == 0 else g2
+            at = int(rng.integers(0, len(src) - L))
+            row = src[at:at + L].copy()
+            errs = rng.random(L) < 0.01
+            row[errs] = bases[rng.integers(0, 4, size=int(errs.sum()))]
+            f.write(f"@r{i}\n{bytes(row).decode()}\n+\n{'I' * L}\n")
+    port = _free_port()
+    mc = "maxchromlen=40000"
+
+    single = tmp_path / "xs.sam"
+    p = _run_cli(["bbmap", f"ref={ref}", f"in={fq}", f"out={single}",
+                  "nodisk", "batchsize=64", mc], {})
+    out, err = p.communicate(timeout=600)
+    assert p.returncode == 0, err.decode()[-2000:]
+
+    merged = tmp_path / "xm.sam"
+    procs = []
+    for pid in range(2):
+        procs.append(_run_cli(
+            ["bbmap", f"ref={ref}", f"in={fq}", f"out={merged}",
+             "nodisk", "batchsize=64", "hosts=2", f"hostid={pid}", mc,
+             "shardindex=t", f"coordinator=localhost:{port}"], {}))
+    errs = []
+    for p in procs:
+        out, err = p.communicate(timeout=900)
+        errs.append(err.decode())
+        assert p.returncode == 0, [e[-3000:] for e in errs]
+    import re
+    shard_sites = []
+    for e in errs:
+        m = re.search(r"Index Shard \d/2 \((\d+) of (\d+) sites\)", e)
+        assert m, e
+        shard_sites.append((int(m.group(1)), int(m.group(2))))
+    total = shard_sites[0][1]
+    assert shard_sites[0][0] + shard_sites[1][0] == total, shard_sites
+    assert all(s < total for s, _t in shard_sites), shard_sites
+
+    assert merged.exists(), errs
+    assert merged.read_bytes() == single.read_bytes(), \
+        (errs, "SAM mismatch")
