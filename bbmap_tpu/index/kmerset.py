@@ -75,6 +75,13 @@ class KmerSet:
     ids: np.ndarray        # int32 scaffold/sequence id per value
     n_refs: int = 0
     ref_names: Optional[List[str]] = None
+    # multi-id CSR (reference: kmer/HashArrayHybrid — the default
+    # Seal/BBDuk table stores EVERY scaffold id owning a kmer, not
+    # just the first; jgi/Seal.java:1713 map.set(key, id) appends).
+    # Built when build_kmer_set(multi=True); ids[] then holds the
+    # first (lowest) id per value for single-id consumers.
+    multi_offsets: Optional[np.ndarray] = None   # int64 [n_values+1]
+    multi_ids: Optional[np.ndarray] = None       # int32
 
     def to_values(self, kmers: np.ndarray, length: int) -> np.ndarray:
         """Raw kmers -> canonical masked values
@@ -99,11 +106,40 @@ class KmerSet:
         hit = self.values[idx] == values
         return np.where(hit, self.ids[idx], -1).astype(np.int32)
 
+    def lookup_slots(self, values: np.ndarray) -> np.ndarray:
+        """-1 where absent, else the index into ``values`` (for
+        multi-id expansion via ``multi_offsets``/``multi_ids``)."""
+        if len(self.values) == 0:
+            return np.full(values.shape, -1, np.int64)
+        idx = np.minimum(np.searchsorted(self.values, values),
+                         len(self.values) - 1)
+        hit = self.values[idx] == values
+        return np.where(hit, idx, -1)
+
+    def expand_slots(self, rows: np.ndarray, slots: np.ndarray
+                     ) -> Tuple[np.ndarray, np.ndarray]:
+        """(row, kmer-slot) hit pairs -> (row, scaffold-id) pairs with
+        one entry per owning scaffold (multi-id tables), fully
+        vectorized."""
+        if self.multi_offsets is None:
+            return rows, self.ids[slots].astype(np.int64)
+        off = self.multi_offsets
+        reps = (off[slots + 1] - off[slots]).astype(np.int64)
+        total = int(reps.sum())
+        starts = off[slots]
+        # flat ranges: starts[i] .. starts[i]+reps[i] concatenated
+        cum = np.zeros(len(reps) + 1, np.int64)
+        np.cumsum(reps, out=cum[1:])
+        flat = np.repeat(starts - cum[:-1], reps) + np.arange(total)
+        return (np.repeat(rows, reps),
+                self.multi_ids[flat].astype(np.int64))
+
 
 def build_kmer_set(seqs: Sequence[bytes], k: int = 27, mink: int = 0,
                    hdist: int = 0, edist: int = 0, mask_middle: bool = True,
                    rcomp: bool = True,
-                   names: Optional[List[str]] = None) -> KmerSet:
+                   names: Optional[List[str]] = None,
+                   multi: bool = False) -> KmerSet:
     """Build the reference set from sequences (adapters/contaminants).
 
     hdist: hamming-distance expansion at build time (reference:
@@ -162,11 +198,28 @@ def build_kmer_set(seqs: Sequence[bytes], k: int = 27, mink: int = 0,
         order = np.argsort(vals, kind="stable")
         vals = vals[order]
         ids = ids[order]
-        # dedupe keeping first (lowest sid wins, deterministic)
         keep = np.ones(len(vals), bool)
         keep[1:] = vals[1:] != vals[:-1]
-        ks.values = vals[keep]
-        ks.ids = ids[keep]
+        if multi:
+            # multi-id CSR: dedupe (value, id) pairs, keep every
+            # distinct owner per value (reference HashArrayHybrid
+            # set-semantics: one entry per (kmer, scaffold))
+            pair_keep = np.ones(len(vals), bool)
+            pair_keep[1:] = (vals[1:] != vals[:-1]) | \
+                (ids[1:] != ids[:-1])
+            pv, pi = vals[pair_keep], ids[pair_keep]
+            first = np.ones(len(pv), bool)
+            first[1:] = pv[1:] != pv[:-1]
+            ks.values = pv[first]
+            ks.ids = pi[first]
+            counts = np.diff(np.append(np.nonzero(first)[0], len(pv)))
+            ks.multi_offsets = np.zeros(len(ks.values) + 1, np.int64)
+            np.cumsum(counts, out=ks.multi_offsets[1:])
+            ks.multi_ids = pi.astype(np.int32)
+        else:
+            # dedupe keeping first (lowest sid wins, deterministic)
+            ks.values = vals[keep]
+            ks.ids = ids[keep]
     return ks
 
 
@@ -190,6 +243,42 @@ def scan_batch(ks: KmerSet, bases: np.ndarray
     ids = ks.lookup_ids(vals)
     ids[~valid] = -1
     return (ids >= 0), ids
+
+
+def scan_batch_multi(ks: KmerSet, bases: np.ndarray
+                     ) -> Tuple[np.ndarray, np.ndarray]:
+    """Multi-id scan: returns flat (rows (N,), ids (N,)) int64 pairs —
+    one entry per (read k-mer hit x owning scaffold). With a multi-id
+    table a k-mer shared by several scaffolds contributes one count to
+    EACH (reference: jgi/Seal.java findBestMatch appends every stored
+    id to countVector). Device-routed via a slot-valued shadow set."""
+    slots = None
+    if ks.multi_offsets is not None:
+        shadow = getattr(ks, "_slot_shadow", None)
+        if shadow is None:
+            shadow = KmerSet(
+                k=ks.k, mink=ks.mink, mask_middle=ks.mask_middle,
+                rcomp=ks.rcomp, values=ks.values,
+                ids=np.arange(len(ks.values), dtype=np.int32),
+                n_refs=ks.n_refs)
+            ks._slot_shadow = shadow
+        from . import kmerset_device
+        dev = kmerset_device.device_scan_batch(shadow, bases)
+        if dev is not None:
+            slots = dev[1].astype(np.int64)
+    if slots is None:
+        kmers, valid = rolling_kmers_batch(bases, ks.k)
+        if kmers.shape[1] == 0:
+            z = np.zeros(0, np.int64)
+            return z, z
+        vals = ks.to_values(kmers, ks.k)
+        slots = ks.lookup_slots(vals)
+        slots[~valid] = -1
+    B, m = slots.shape
+    rows = np.repeat(np.arange(B, dtype=np.int64), m)
+    flat = slots.ravel()
+    hit = flat >= 0
+    return ks.expand_slots(rows[hit], flat[hit])
 
 
 def scan_tips(ks: KmerSet, bases: np.ndarray, lengths: np.ndarray,
