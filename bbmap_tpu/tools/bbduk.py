@@ -117,8 +117,14 @@ class BBDuk:
                  kmask: Optional[str] = None, min_kmer_hits: int = 1,
                  qtrim: str = "f", trimq: int = 6, minlength: int = 10,
                  forcetrimleft: int = 0, forcetrimright: int = -1,
-                 entropy: float = -1.0, kbig: int = 0):
+                 entropy: float = -1.0, kbig: int = 0,
+                 maq: int = 0, maxns: int = -1, ftm: int = 0):
         self.entropy = entropy
+        # read-level filters (reference: BBDukF minAvgQuality / maxNs /
+        # forceTrimModulo, jgi/BBDukF.java flag parse)
+        self.maq = maq
+        self.maxns = maxns
+        self.ftm = ftm
         # K>31 emulation: a kbig-mer match = a run of kbig-k+1
         # consecutive k-mer hits (reference: BBDukF kbig emulation,
         # jgi/BBDukF.java:604-606)
@@ -143,6 +149,7 @@ class BBDuk:
         self.reads_matched = 0
         self.reads_qtrimmed = 0
         self.reads_ktrimmed = 0
+        self.reads_qfiltered = 0
         self.bases_in = 0
         self.bases_removed = 0
 
@@ -157,11 +164,13 @@ class BBDuk:
         self.reads_in += B
         self.bases_in += int(lengths.sum())
 
-        # force trim (reference: BBDukF forceTrimLeft/Right)
+        # force trim (reference: BBDukF forceTrimLeft/Right/Modulo)
         if self.ftl > 0:
             left += self.ftl
         if self.ftr >= 0:
             lengths = np.minimum(lengths, self.ftr + 1)
+        if self.ftm > 0:
+            lengths = lengths - lengths % self.ftm
 
         hits, ids = kmerset.scan_batch(self.ks, bases)
         m = hits.shape[1]
@@ -232,6 +241,25 @@ class BBDuk:
                                                 left))
             self.reads_qtrimmed += int(((pts[:, 0] > 0) |
                                         (pts[:, 1] > 0)).sum())
+
+        # min-average-quality filter (pre-trim quality, reference:
+        # BBDukF minAvgQuality) and max-Ns filter
+        if self.maq > 0 and batch.quality is not None:
+            Lm = np.maximum(batch.lengths, 1)
+            col = np.arange(batch.quality.shape[1])[None, :]
+            qv = np.where(col < batch.lengths[:, None],
+                          batch.quality, 0)
+            avg = qv.sum(axis=1) / Lm
+            bad = avg < self.maq
+            self.reads_qfiltered += int((bad & keep).sum())
+            keep &= ~bad
+        if self.maxns >= 0:
+            col = np.arange(bases.shape[1])[None, :]
+            isn = (bases == ord("N")) & (col >= left[:, None]) & \
+                (col < lengths[:, None])
+            bad = isn.sum(axis=1) > self.maxns
+            self.reads_qfiltered += int((bad & keep).sum())
+            keep &= ~bad
 
         newlen = np.maximum(lengths - left, 0)
         keep &= newlen >= self.minlength
@@ -306,6 +334,10 @@ def main(argv: List[str]) -> int:
     tpe = args.get_bool("tpe", "trimpairsevenly", default=False)
     stats = args.get("stats")
     interleaved = args.get_bool("interleaved", "int", default=False)
+    maq = args.get_int("maq", "minavgquality", default=0)
+    maxns = args.get_int("maxns", default=-1)
+    ftm = args.get_int("forcetrimmod", "forcetrimmodulo", "ftm",
+                       default=0)
 
     if in1 is None:
         print("Usage: bbduk in=<reads> out=<file> ref=<adapters> k=27 ...",
@@ -342,7 +374,8 @@ def main(argv: List[str]) -> int:
                 mask_middle=mask_middle, rcomp=rcomp, ktrim=ktrim,
                 kmask=kmask, min_kmer_hits=minkmerhits, qtrim=qtrim,
                 trimq=trimq, minlength=minlength, forcetrimleft=ftl,
-                forcetrimright=ftr, entropy=entropy, kbig=kbig)
+                forcetrimright=ftr, entropy=entropy, kbig=kbig,
+                maq=maq, maxns=maxns, ftm=ftm)
 
     shards = {}
     if num_hosts > 1:

@@ -163,41 +163,106 @@ if __name__ == "__main__":
     raise SystemExit(main(sys.argv[1:]))
 
 
-NEXTERA_JUNCTION = b"CTGTCTCTTATACACATCT"
+
+# Nextera LMP junction adapter (reference: jgi/SplitNexteraLMP.java:601
+# default literal — the full 38 bp palindromic junction)
+NEXTERA_JUNCTION = b"CTGTCTCTTATACACATCTAGATGTGTATAAGAGACAG"
+
+
+class _JunctionMasker:
+    """K-mer junction detector (reference: SplitNexteraLMP loads the
+    junction literal into kmer tables at k=19 mink=11 hdist=1 and
+    kMasks each read; the first/last masked index split the read)."""
+
+    def __init__(self, literals: List[bytes], k: int = 19,
+                 mink: int = 11, hdist: int = 1):
+        from ..index import kmerset
+        self.ks = kmerset.build_kmer_set(
+            literals, k=k, mink=mink, hdist=hdist, mask_middle=True)
+        self.k = k
+        self.mink = mink
+        self._scan = kmerset.scan_batch
+        self._tips = kmerset.scan_tips
+
+    def span(self, bases: bytes):
+        """(start, stop) of the masked junction span, or (-1, -1)."""
+        import numpy as np
+        arr = np.frombuffer(bases, np.uint8)[None, :]
+        L = arr.shape[1]
+        if L < self.mink:
+            return -1, -1
+        first = last = -1
+        if L >= self.k:
+            hits, _ids = self._scan(self.ks, arr)
+            pos = np.nonzero(hits[0])[0]
+            if pos.size:
+                first = int(pos[0])
+                last = int(pos[-1]) + self.k - 1
+        # tip kmers (mink..k-1) extend the mask to read edges
+        lengths = np.array([L], np.int32)
+        tl = int(self._tips(self.ks, arr, lengths, "l")[0])
+        if tl > 0:
+            first = 0
+            last = max(last, tl - 1)
+        tr = int(self._tips(self.ks, arr, lengths, "r")[0])
+        if tr >= 0:
+            last = max(last, L - 1)
+            if first < 0:
+                first = tr
+        return first, last
 
 
 def splitnexteralmp(argv: List[str]) -> int:
     """splitnexteralmp: split Nextera Long-Mate-Pair reads at the
-    junction adapter into mate pairs (reference:
-    jgi/SplitNexteraLMP.java + sh/splitnexteralmp.sh — reads containing
-    the junction CTGTCTCTTATACACATCT split into left/right mates; the
-    right half is reverse-complemented to restore innie orientation;
-    junction-free reads go to outu as fragments)."""
-    import numpy as np
-    from ..core.bases import COMP_ASCII
+    junction adapter into mate pairs.
+
+    reference: jgi/SplitNexteraLMP.java + sh/splitnexteralmp.sh. The
+    junction literal (k=19/mink=11/hdist=1 tables) is located in each
+    read; reads/pairs are classified per the reference's
+    processReadPair:409-536: outer LMP (r1-left + r2-right-part),
+    inner LMP (useinnerlmp=t), left/right fragment pairs, singletons,
+    junction-free pairs -> unknown. Note the reference does NOT
+    reverse-complement the split halves — LMP mates stay
+    outward-facing; r2's left/right roles are swapped because mate 2
+    is already reversed (SplitNexteraLMP.java:446-451)."""
     from ..io import fastx
     from ..utils.args import Args
 
     args = Args.parse(argv)
     in1 = args.get("in", "in1") or (args.positional[0]
                                     if args.positional else None)
+    in2 = args.get("in2")
     out1 = args.get("out", "out1")
     out2 = args.get("out2")
+    outf = args.get("outf", "outfrag", "outf1")
     outu = args.get("outu", "outunknown")
-    minlen = args.get_int("minlength", "minlen", default=40)
-    mask = args.get_bool("mask", default=False)
+    outs = args.get("outs", "outsingle")
+    stats = args.get("stats")
+    minlen = args.get_int("minlength", "minlen", "ml", default=40)
+    inner = args.get_bool("useinnerlmp", "innerlmp", default=False)
+    interleaved = args.get_bool("interleaved", "int", default=False)
+    hdist = args.get_int("hdist", default=1)
+    lit = args.get("literal")
+    literals = [x.encode() for x in lit.split(",")] if lit \
+        else [NEXTERA_JUNCTION]
     if in1 is None or out1 is None:
-        print("Usage: splitnexteralmp in=<reads.fq> out=<1.fq> "
-              "out2=<2.fq> [outu=] [minlen=40]", file=sys.stderr)
+        print("Usage: splitnexteralmp in=<reads.fq> [in2=] out=<lmp> "
+              "[outf=frag] [outu=unknown] [outs=single] [minlen=40]",
+              file=sys.stderr)
         return 1
-    junc = NEXTERA_JUNCTION
-    rc_junc = bytes(COMP_ASCII[np.frombuffer(junc, np.uint8)][::-1])
+    masker = _JunctionMasker(literals, hdist=hdist)
+
     o1 = fastx.xopen(out1, "wb")
     o2 = fastx.xopen(out2, "wb") if out2 else None
+    of = fastx.xopen(outf, "wb") if outf else None
     ou = fastx.xopen(outu, "wb") if outu else None
-    n = n_split = n_frag = 0
+    os_ = fastx.xopen(outs, "wb") if outs else None
+    n = {"reads_in": 0, "bases_in": 0, "lmp_r": 0, "lmp_b": 0,
+         "frag_r": 0, "frag_b": 0, "unk_r": 0, "unk_b": 0,
+         "single_r": 0, "single_b": 0, "sought": 0, "detected": 0}
 
-    def wr(fh, name, seq, qual):
+    def wr(fh, name, seq, qual, alt=None):
+        fh = fh if fh is not None else alt
         if fh is None:
             return
         q = qual if qual is not None and len(qual) == len(seq) \
@@ -205,42 +270,140 @@ def splitnexteralmp(argv: List[str]) -> int:
         fh.write(b"@" + name.encode() + b"\n" + seq + b"\n+\n" + q
                  + b"\n")
 
-    for rec in fastx.read_seqs(in1, fake_quality=30):
-        n += 1
-        pos = rec.bases.find(junc)
-        jl = len(junc)
-        if pos < 0:
-            pos = rec.bases.find(rc_junc)
-        if pos < 0:
-            if mask:
-                wr(ou or o1, rec.id, rec.bases, rec.quality)
+    def sub(rec, a, b):
+        """(bases, qual, length) slice a..b (exclusive)."""
+        return (rec.bases[a:b],
+                rec.quality[a:b] if rec.quality else None)
+
+    def emit_pair(cat, fh1, fh2, name, p1, p2):
+        n[cat + "_r"] += 2
+        n[cat + "_b"] += len(p1[0]) + len(p2[0])
+        wr(fh1, name + " 1:", p1[0], p1[1])
+        wr(fh2 if fh2 is not None else fh1, name + " 2:", p2[0], p2[1])
+
+    def emit_single(p, name):
+        n["single_r"] += 1
+        n["single_b"] += len(p[0])
+        wr(os_, name, p[0], p[1], alt=o1)
+
+    def process_pair(r1, r2):
+        n["reads_in"] += 2
+        n["bases_in"] += len(r1.bases) + len(r2.bases)
+        n["sought"] += 1
+        s1, e1 = masker.span(r1.bases)
+        s2, e2 = masker.span(r2.bases)
+        if s1 < 0 and s2 < 0:
+            n["unk_r"] += 2
+            n["unk_b"] += len(r1.bases) + len(r2.bases)
+            wr(ou, r1.id + " 1:", r1.bases, r1.quality, alt=o1)
+            wr(ou, r2.id + " 2:", r2.bases, r2.quality, alt=o1)
+            return
+        n["detected"] += 1
+        r1left = r1right = r2left = r2right = None
+        if s1 >= 0:
+            if s1 >= minlen:
+                r1left = sub(r1, 0, s1)
+            if len(r1.bases) - e1 - 1 >= minlen:
+                r1right = sub(r1, e1 + 1, len(r1.bases))
+        else:
+            r1left = sub(r1, 0, len(r1.bases))
+        if s2 >= 0:
+            # mate 2 is already reversed: its LEFT part plays the
+            # "right" role and vice versa (reference :446-451)
+            if len(r2.bases) - e2 - 1 >= minlen:
+                r2left = sub(r2, e2 + 1, len(r2.bases))
+            if s2 >= minlen:
+                r2right = sub(r2, 0, s2)
+        else:
+            r2right = sub(r2, 0, len(r2.bases))
+        if s1 < 0:
+            r1right = None
+        if s2 < 0:
+            r2left = None
+        name = r1.id
+        if r1left and r2right:                        # outer LMP
+            emit_pair("lmp", o1, o2, name, r1left, r2right)
+            r1left = r2right = None
+        if r1right and r2left and inner:              # inner LMP
+            emit_pair("lmp", o1, o2, name, r1right, r2left)
+            r1right = r2left = None
+        if r1left and r2left:                         # left frag
+            emit_pair("frag", of if of else o1,
+                      None if of else o2, name, r1left, r2left)
+            r1left = r2left = None
+        if r1right and r2right:                       # right frag
+            emit_pair("frag", of if of else o1,
+                      None if of else o2, name, r1right, r2right)
+            r1right = r2right = None
+        for p in (r1left, r1right, r2left, r2right):
+            if p:
+                emit_single(p, name)
+
+    def process_single(r1):
+        n["reads_in"] += 1
+        n["bases_in"] += len(r1.bases)
+        n["sought"] += 1
+        s1, e1 = masker.span(r1.bases)
+        if s1 < 0:
+            emit_single(sub(r1, 0, len(r1.bases)), r1.id)
+            return
+        n["detected"] += 1
+        left = sub(r1, 0, s1) if s1 >= minlen else None
+        right = sub(r1, e1 + 1, len(r1.bases)) \
+            if len(r1.bases) - e1 - 1 >= minlen else None
+        if left and right:
+            emit_pair("lmp", o1, o2, r1.id, left, right)
+        elif left:
+            emit_single(left, r1.id)
+        elif right:
+            emit_single(right, r1.id)
+
+    if in2:
+        for r1, r2 in zip(fastx.read_seqs(in1), fastx.read_seqs(in2)):
+            process_pair(r1, r2)
+    elif interleaved:
+        prev = None
+        for rec in fastx.read_seqs(in1):
+            if prev is None:
+                prev = rec
             else:
-                n_frag += 1
-                wr(ou if ou else o1, rec.id, rec.bases, rec.quality)
-            continue
-        left = rec.bases[:pos]
-        right = rec.bases[pos + jl:]
-        ql = rec.quality[:pos] if rec.quality else None
-        qr = rec.quality[pos + jl:] if rec.quality else None
-        if len(left) < minlen or len(right) < minlen:
-            # keep the longer side as a fragment
-            keep, kq = (left, ql) if len(left) >= len(right) \
-                else (right, qr)
-            if len(keep) >= minlen:
-                n_frag += 1
-                wr(ou if ou else o1, rec.id, keep, kq)
-            continue
-        n_split += 1
-        # LMP chemistry: both mates read outward from the junction ->
-        # rc the right side to produce standard innie orientation
-        right_rc = bytes(COMP_ASCII[np.frombuffer(right,
-                                                  np.uint8)][::-1])
-        qr_rc = qr[::-1] if qr else None
-        wr(o1, rec.id + " 1:", left, ql)
-        wr(o2 if o2 else o1, rec.id + " 2:", right_rc, qr_rc)
-    for fh in (o1, o2, ou):
+                process_pair(prev, rec)
+                prev = None
+        if prev is not None:
+            process_single(prev)
+    else:
+        for rec in fastx.read_seqs(in1):
+            process_single(rec)
+
+    for fh in (o1, o2, of, ou, os_):
         if fh is not None:
             fh.close()
-    sys.stderr.write(f"Reads:\t{n}\nSplit pairs:\t{n_split}\n"
-                     f"Fragments:\t{n_frag}\n")
+    bmult = 100.0 / max(1, n["bases_in"])
+    rmult = 100.0 / max(1, n["reads_in"])
+    recovered = (n["lmp_b"] + n["frag_b"] + n["unk_b"]
+                 + n["single_b"])
+    lines = [
+        "Long Mate Pairs:        \t%d reads (%.2f%%) \t%d bases "
+        "(%.2f%%)" % (n["lmp_r"], n["lmp_r"] * rmult, n["lmp_b"],
+                      n["lmp_b"] * bmult),
+        "Fragment Pairs:         \t%d reads (%.2f%%) \t%d bases "
+        "(%.2f%%)" % (n["frag_r"], n["frag_r"] * rmult, n["frag_b"],
+                      n["frag_b"] * bmult),
+        "Unknown Pairs:          \t%d reads (%.2f%%) \t%d bases "
+        "(%.2f%%)" % (n["unk_r"], n["unk_r"] * rmult, n["unk_b"],
+                      n["unk_b"] * bmult),
+        "Singletons:             \t%d reads (%.2f%%) \t%d bases "
+        "(%.2f%%)" % (n["single_r"], n["single_r"] * rmult,
+                      n["single_b"], n["single_b"] * bmult),
+        "",
+        "Adapters Detected:      \t%d (%.2f%%)"
+        % (n["detected"], n["detected"] * 100.0 / max(1, n["sought"])),
+        "Bases Recovered:        \t%d (%.2f%%)"
+        % (recovered, recovered * bmult),
+    ]
+    text = "\n".join(lines) + "\n"
+    if stats:
+        with open(stats, "w") as fh:
+            fh.write(text)
+    sys.stderr.write(text)
     return 0
