@@ -243,8 +243,18 @@ def pair_boost_device(gl, cand, Bp: int, L1: int, L2: int, apd,
     masked before use. Bit-equal to the host int64 path on ok lanes."""
     s1 = gl[:Bp]
     s2 = gl[Bp:]
+    # a site only CONTRIBUTES a boost when its own score is positive
+    # (the reference's retained site lists never hold the deeply
+    # negative padding slots of our fixed candidate table; without the
+    # guard a -2851-score junk candidate 37 kbp away donates +18k
+    # through the -(deviation*s)//denom sign flip). The RECIPIENT may
+    # be negative — that is exactly how a bad mate is rescued into the
+    # relaxed paired gate (reference: pairSiteScoresFinal boosts every
+    # retained site, BBMapThread.java:846-871).
     v1 = s1 > -(2 ** 29)
     v2 = s2 > -(2 ** 29)
+    c1 = s1 > 0            # may contribute to the mate's boost
+    c2 = s2 > 0
     a_start = cand["start"][:Bp]
     a_stop = a_start + cand["spread"][:Bp] + (L1 - 1)
     b_start = cand["start"][Bp:]
@@ -261,8 +271,11 @@ def pair_boost_device(gl, cand, Bp: int, L1: int, L2: int, apd,
     outer = jnp.where(A(st1) == 0, Bx(b_stop) - A(a_start),
                       A(a_stop) - Bx(b_start))
     outer_limit = (max(L1, L2) * OUTER_DIST_MULT) // OUTER_DIST_DIV
-    ok = (A(v1) & Bx(v2) & opp & (A(ch1) == Bx(ch2))
-          & (outer >= outer_limit) & (inner <= MAX_PAIR_DIST))
+    okg = (A(v1) & Bx(v2) & opp & (A(ch1) == Bx(ch2))
+           & (outer >= outer_limit) & (inner <= MAX_PAIR_DIST))
+    ok1 = okg & Bx(c2)     # mate-2 site donates to mate-1
+    ok2 = okg & A(c1)      # mate-1 site donates to mate-2
+    ok = okg               # deviation masking only needs geometry
     expected_frag = apd + (L1 + L2)
     # DEV_CAP keeps deviation*score inside int32 on ok lanes (inner is
     # only bounded by the chromosome length on the low side). For
@@ -282,8 +295,8 @@ def pair_boost_device(gl, cand, Bp: int, L1: int, L2: int, apd,
     p1 = A(s1) + 1 + jnp.maximum(1, m1 - (deviation * Bx(s2)) // denom)
     p2 = Bx(s2) + 1 + jnp.maximum(1, m2 - (deviation * A(s1)) // denom)
     neg = jnp.int32(NEG_BOOST)
-    boost1 = jnp.where(ok, p1, neg).max(axis=2)
-    boost2 = jnp.where(ok, p2, neg).max(axis=1)
+    boost1 = jnp.where(ok1, p1, neg).max(axis=2)
+    boost2 = jnp.where(ok2, p2, neg).max(axis=1)
     return jnp.concatenate([jnp.maximum(boost1, neg),
                             jnp.maximum(boost2, neg)], axis=0)
 
@@ -604,8 +617,34 @@ def fused_stage(fcfg: FusedConfig, rcodes, starts_d, sites_d, gpack_d,
         tloc, ln, gaps, sc2, col, tws_final,
         retried.astype(I32)], axis=1)                  # (T, 7)
     retry_i32 = jnp.stack([rloc], axis=1)              # (RT, 1)
-    return (meta, esc_i32, trace_i32, sym_packed, retry_i32,
-            sym_w_packed)
+    # ONE flat int32 output buffer: each host fetch over the tunnel
+    # link pays ~50-100 ms of round-trip latency, so shipping the six
+    # blocks as six arrays cost ~300-400 ms per batch at the 32k-pair
+    # shape; a single concatenated blob pays the latency once
+    return _pack_outputs(meta, esc_i32, trace_i32, sym_packed,
+                         retry_i32, sym_w_packed)
+
+
+def _u8_rows_to_i32(a):
+    """(n, w) uint8 -> (n, ceil(w/4)) int32, 4 bytes per word in minor
+    order (host inverse: .view(np.uint8) on the row-major array)."""
+    n, w = a.shape
+    wp = -(-w // 4) * 4
+    if wp != w:
+        a = jnp.concatenate(
+            [a, jnp.zeros((n, wp - w), jnp.uint8)], axis=1)
+    return jax.lax.bitcast_convert_type(
+        a.reshape(n, wp // 4, 4), jnp.int32)
+
+
+def _pack_outputs(meta, esc_i32, trace_i32, sym_packed, retry_i32,
+                  sym_w_packed):
+    parts = [meta.reshape(-1), esc_i32.reshape(-1),
+             trace_i32.reshape(-1),
+             _u8_rows_to_i32(sym_packed).reshape(-1),
+             retry_i32.reshape(-1),
+             _u8_rows_to_i32(sym_w_packed).reshape(-1)]
+    return jnp.concatenate(parts)
 
 
 ESC_COLS = ("idx", "best", "second", "wdiag", "raweff", "packed")
@@ -615,25 +654,52 @@ TRACE_COLS = ("tloc", "ln", "gaps", "sc2", "col", "tws", "retried")
 class FusedRun:
     """In-flight fused dispatch; .host() blocks and unpacks. Match rows
     are NOT shipped — the host recomputes winner gapless match rows from
-    the genome (cheaper than the tunnel link)."""
+    the genome (cheaper than the tunnel link). The device ships ONE
+    flat int32 blob (see _pack_outputs — per-array fetches each paid a
+    full tunnel round trip); .host() slices it apart."""
 
     def __init__(self, outs, L: int, Cn: int, Cw: int,
-                 wn: Optional[int] = None, pair: bool = False):
+                 wn: Optional[int] = None, pair: bool = False,
+                 fcfg: Optional[FusedConfig] = None, B: int = 0):
         self._outs = outs
         self._L = L
         self._Cn = Cn
         self._Cw = Cw
         self._wn = wn if wn is not None else L + Cn  # narrow sym width
         self._pair = pair
-        for o in outs:
-            try:
-                o.copy_to_host_async()
-            except Exception:
-                pass
+        self._fcfg = fcfg
+        self._B = B
+        try:
+            outs.copy_to_host_async()
+        except Exception:
+            pass
+
+    def _unpack(self):
+        blob = np.asarray(self._outs)
+        fcfg = self._fcfg
+        B, E, T, RT = self._B, fcfg.E, fcfg.T, fcfg.RT
+        mw = 7 if self._pair else 6
+        w2n = (self._wn + 1) // 2
+        w2w = (self._L + self._Cw + 1) // 2
+        w4n = -(-w2n // 4)
+        w4w = -(-w2w // 4)
+        sizes = (B * mw, E * 6, T * 7, T * w4n, RT, RT * w4w)
+        off = np.cumsum((0,) + sizes)
+        cut = lambda j: blob[off[j]:off[j + 1]]
+        meta = cut(0).reshape(B, mw)
+        esc_i32 = cut(1).reshape(E, 6)
+        trace_i32 = cut(2).reshape(T, 7)
+        sym_packed = np.ascontiguousarray(
+            cut(3).reshape(T, w4n)).view(np.uint8)[:, :w2n]
+        retry_i32 = cut(4).reshape(RT, 1)
+        sym_w_packed = np.ascontiguousarray(
+            cut(5).reshape(RT, w4w)).view(np.uint8)[:, :w2w]
+        return (meta, esc_i32, trace_i32, sym_packed, retry_i32,
+                sym_w_packed)
 
     def host(self) -> Dict[str, np.ndarray]:
         (meta, esc_i32, trace_i32, sym_packed, retry_i32,
-         sym_w_packed) = [np.asarray(o) for o in self._outs]
+         sym_w_packed) = self._unpack()
         L = self._L
         d = {
             "best_score": meta[:, 0],
@@ -765,7 +831,8 @@ def build_fused(index: KmerIndex, L: int, B: int, chain_dist: int = 400,
         bb_t = _pick_bb(fcfg.T, vmem_cap=128) if _pallas_enabled() \
             else 0
         wn = (fcfg.Cn + 16) if bb_t else (L + fcfg.Cn)
-        return FusedRun(outs, L, fcfg.Cn, fcfg.Cw, wn=wn)
+        return FusedRun(outs, L, fcfg.Cn, fcfg.Cw, wn=wn,
+                        fcfg=fcfg, B=B)
 
     run.fcfg = fcfg
     return run
@@ -911,7 +978,8 @@ def build_fused_pair(index: KmerIndex, L: int, Bp: int,
         bb_t = _pick_bb(fcfg.T, vmem_cap=128) if _pallas_enabled() \
             else 0
         wn = (fcfg.Cn + 16) if bb_t else (L + fcfg.Cn)
-        return FusedRun(outs, L, fcfg.Cn, fcfg.Cw, wn=wn, pair=True)
+        return FusedRun(outs, L, fcfg.Cn, fcfg.Cw, wn=wn,
+                        pair=True, fcfg=fcfg, B=2 * Bp)
 
     run.fcfg = fcfg
     run.min_gate = min_gate

@@ -1234,6 +1234,9 @@ class BBMapAligner:
         s2 = d2["cand_scores"].astype(np.int64)
         v1 = s1 > -(2 ** 29)
         v2 = s2 > -(2 ** 29)
+        # contributor-positivity guard (see pair_boost_device note)
+        c1 = s1 > 0
+        c2 = s2 > 0
         a_start = d1["cand_start"].astype(np.int64)
         a_stop = a_start + d1["cand_spread"] + L1 - 1
         b_start = d2["cand_start"].astype(np.int64)
@@ -1250,8 +1253,9 @@ class BBMapAligner:
         outer = np.where(A(st1) == 0, Bx(b_stop) - A(a_start),
                          A(a_stop) - Bx(b_start))
         outer_limit = (max(L1, L2) * OUTER_DIST_MULT) // OUTER_DIST_DIV
-        ok = (A(v1) & Bx(v2) & opp & (A(ch1) == Bx(ch2))
-              & (outer >= outer_limit) & (inner <= MAX_PAIR_DIST))
+        okg = (A(v1) & Bx(v2) & opp & (A(ch1) == Bx(ch2))
+               & (outer >= outer_limit) & (inner <= MAX_PAIR_DIST))
+        ok = okg
         apd = int(self.average_pair_dist)
         expected_frag = apd + L1 + L2
         # deviation cap mirrors fused_device.pair_boost_device (int32
@@ -1270,8 +1274,8 @@ class BBMapAligner:
             1, (A(s1) * mult2).astype(np.int64)
             - (deviation * A(s1)) // denom)
         neg = np.int64(-(2 ** 30))
-        boost1 = np.where(ok, p1, neg).max(axis=2)
-        boost2 = np.where(ok, p2, neg).max(axis=1)
+        boost1 = np.where(okg & Bx(c2), p1, neg).max(axis=2)
+        boost2 = np.where(okg & A(c1), p2, neg).max(axis=1)
         return (np.maximum(boost1, neg), np.maximum(boost2, neg))
 
     @staticmethod
@@ -1480,6 +1484,21 @@ class BBMapAligner:
                                   proxy)
             if proxy.store:
                 mb.absorb_objects(proxy.store)
+        # post-DP winner-level pair re-boost (VERDICT r4 #8): the
+        # device selection carried the PRE-DP boost delta through the
+        # DP competition, so the reported value (and therefore MAPQ,
+        # stream/SamLine.java:1703-1721) drifted from the host paired
+        # path, which derives pairedScore AFTER scoreSlow (reference
+        # order: AbstractMapThread scoreSlow -> pairSiteScoresFinal).
+        # Re-derive the boost from the FINAL raw winner scores.
+        raw = d["best_score"].astype(np.int64).copy()
+        esc_v = d["_esc"]
+        ev = esc_v["idx"].astype(np.int64)
+        ev_ok = ev < 2 ** 30
+        raw[ev[ev_ok]] = esc_v["raweff"][ev_ok].astype(np.int64)
+        if len(still):
+            raw[still] = mb.score[still]
+        self._reboost_winner_pairs(mb, raw, B, L)
         mb1 = self._mb_slice(mb, 0, B, L)
         mb2 = self._mb_slice(mb, B, 2 * B, L)
         hi = np.nonzero(d["hi_over"])[0] if "hi_over" in d else \
@@ -1494,6 +1513,55 @@ class BBMapAligner:
             self._refit_pairs(b1, b2, L, pair_ids, mb1, mb2)
         pend = self._rescue_dispatch(b1, b2, L, L, mb1, mb2)
         return (b1, b2, L, mb1, mb2, pend)
+
+    def _reboost_winner_pairs(self, mb: "MappedBatch", raw: np.ndarray,
+                              B: int, L: int) -> None:
+        """Winner-level pairSiteScoresFinal on POST-DP raw scores
+        (reference: AbstractMapThread.java:1919-2070 applied to the
+        selected sites): where both mates mapped and their winner sites
+        form a valid opposite-strand pair within the distance limits,
+        score = max(raw, raw + 1 + max(1, mate*mult - dev*mate/denom));
+        where the winner pair is invalid or a mate is unmapped the
+        device selection value stands (it already max-ed over the full
+        candidate cross)."""
+        m = mb.mapped[:B] & mb.mapped[B:]
+        if not m.any():
+            return
+        rows = np.nonzero(m)[0]
+        ch1 = mb.chrom[:B][rows].astype(np.int64)
+        ch2 = mb.chrom[B:][rows].astype(np.int64)
+        off1 = self.chrom_offsets[np.maximum(ch1, 1) - 1]
+        off2 = self.chrom_offsets[np.maximum(ch2, 1) - 1]
+        a_start = off1 + mb.start[:B][rows].astype(np.int64)
+        a_stop = off1 + mb.stop[:B][rows].astype(np.int64)
+        b_start = off2 + mb.start[B:][rows].astype(np.int64)
+        b_stop = off2 + mb.stop[B:][rows].astype(np.int64)
+        st1 = mb.strand[:B][rows]
+        st2 = mb.strand[B:][rows]
+        opp = st1 != st2
+        inner = np.where(st1 == 0, b_start - a_stop,
+                         a_start - b_stop)
+        outer = np.where(st1 == 0, b_stop - a_start,
+                         a_stop - b_start)
+        outer_limit = (L * OUTER_DIST_MULT) // OUTER_DIST_DIV
+        ok = (opp & (ch1 == ch2) & (outer >= outer_limit)
+              & (inner <= MAX_PAIR_DIST))
+        if not ok.any():
+            return
+        apd = int(self.average_pair_dist)
+        expected_frag = apd + 2 * L
+        deviation = np.abs(apd - inner)
+        mult = min(0.5, max(0.25, 1.0 / 4.0))
+        denom = max(100, 10 * expected_frag + 100)
+        r1 = raw[rows]
+        r2 = raw[B + rows]
+        p1 = r1 + 1 + np.maximum(
+            1, (r2 * mult).astype(np.int64) - (deviation * r2) // denom)
+        p2 = r2 + 1 + np.maximum(
+            1, (r1 * mult).astype(np.int64) - (deviation * r1) // denom)
+        okr = rows[ok]
+        mb.score[okr] = np.maximum(r1[ok], p1[ok])
+        mb.score[B + okr] = np.maximum(r2[ok], p2[ok])
 
     def _pair_phase2(self, mid):
         return self._pair_phase2b(self._pair_phase2a(mid))
@@ -2443,8 +2511,12 @@ class BBMapAligner:
             1, (sc2 * mult1).astype(np.int64) - (deviation * sc2) // denom)
         p2 = sc2 + 1 + np.maximum(
             1, (sc1 * mult2).astype(np.int64) - (deviation * sc1) // denom)
-        np.maximum.at(boost1, j1[ok], p1[ok])
-        np.maximum.at(boost2, j2[ok], p2[ok])
+        # contributor-positivity guard (see pair_boost_device note):
+        # a site donates a boost only when its own score is positive
+        ok1 = ok & (sc2 > 0)
+        ok2 = ok & (sc1 > 0)
+        np.maximum.at(boost1, j1[ok1], p1[ok1])
+        np.maximum.at(boost2, j2[ok2], p2[ok2])
         return boost1, boost2
 
     def _select_group(self, g: dict, results: List[MappedRead],
@@ -2721,9 +2793,15 @@ class BBMapAligner:
         res.chrom = chrom
         res.start = loc
         res.stop = loc + (flat_stop - flat_start)
-        # a wider retry window may have found a better alignment; use the
-        # fill's own score for the final record
-        res.score = score
+        # a wider retry window may have found a better alignment; take
+        # the max of the fill's own score and the selection value — the
+        # selection value can carry the pair boost, which the reference
+        # KEEPS for the final record (pairedScore is promoted into
+        # ss.score and r.mapScore, BBMapThread.java:889-897 +
+        # AbstractMapThread.java:205; MAPQ derives from it,
+        # SamLine.toMapq:1703). Overwriting with the raw fill score
+        # un-boosted every paired DP winner (VERDICT r4 #8).
+        res.score = max(score, res.score)
 
 
 def _fetch(arrs):

@@ -146,12 +146,125 @@ def bench_bbmerge(n_pairs=500_000, L=100, insert=160):
         "pairs": n_pairs}), flush=True)
 
 
+def bench_mappacbio(n_reads=1200, L=6000):
+    """Long-read mode evidence (VERDICT r4 #5, BASELINE config 5):
+    6 kbp PacBio-model reads vs a bacterial-scale genome through the
+    REAL mappacbio CLI (k=12 index, minratio=0.46, MSA9PacBio profile,
+    6020-row envelope — reference: align2/BBMapThreadPacBio.java:28,
+    BBIndexPacBio.java:2462). Reports reads/s (second, warm run) and
+    the gradesam strict-correct fraction."""
+    import tempfile
+
+    from bbmap_tpu.io import fastx
+    from bbmap_tpu.tools import gradesam, mappacbio, randomreads
+
+    tmp = tempfile.mkdtemp(prefix="pbbench")
+    ref = os.path.join(tmp, "ref.fa")
+    reads = os.path.join(tmp, "reads.fq")
+    out = os.path.join(tmp, "mapped.sam")
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from bench import make_genome
+    g = make_genome()
+    with open(ref, "w") as fh:
+        fh.write(">ecoli_like\n")
+        for a in range(0, len(g), 80):
+            fh.write(g[a:a + 80].tobytes().decode() + "\n")
+    note(f"mappacbio: generating {n_reads} x {L} bp reads "
+         f"(pacbio error model)")
+    rc = randomreads.main([
+        f"ref={ref}", f"out={reads}", f"reads={n_reads}", "pacbio=t",
+        f"pbmin={L}", f"pbmax={L}", "pberror=0.12", "seed=19"])
+    assert rc == 0
+    args = [f"ref={ref}", f"in={reads}", f"out={out}", "nodisk"]
+    note("mappacbio: warm run (compiles the 6 kbp programs)")
+    t0 = time.time()
+    assert mappacbio.main(list(args)) == 0
+    warm_s = time.time() - t0
+    note(f"mappacbio: warm run {warm_s:.1f}s; timing second run")
+    t0 = time.time()
+    assert mappacbio.main(list(args)) == 0
+    dt = time.time() - t0
+    s = gradesam.grade(out, 400)    # strict = within 400 bp for 6 kbp
+    n = max(1, s["primary"] - s["unparsed"])
+    res = {
+        "metric": "mappacbio_6kbp_reads_per_sec",
+        "value": round(n_reads / dt, 1), "unit": "reads/s",
+        "bases_per_sec": round(n_reads * L / dt, 0),
+        "strict_correct": round(s["strict"] / n, 4),
+        "mapped_fraction": round(s["mapped"] / n, 4),
+        "reads": n_reads, "read_len": L,
+        "warmup_seconds": round(warm_s, 1)}
+    note(f"mappacbio: {res['value']} reads/s "
+         f"({res['bases_per_sec']:.0f} b/s), "
+         f"strict {res['strict_correct']}, "
+         f"mapped {res['mapped_fraction']}")
+    print(json.dumps(res), flush=True)
+
+
+def bench_seal(n_reads=500_000, L=150, nrefs=50):
+    """Seal attribution throughput: device k-mer scan + vectorized
+    multi-id condense vs the host scan path (VERDICT r4 #6)."""
+    from bbmap_tpu.core.batch import ReadBatch
+    from bbmap_tpu.tools.seal import Seal
+    rng = np.random.default_rng(11)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    refs = [bytes(rng.choice(bases, 5000)) for _ in range(nrefs)]
+    names = [f"scaf{i}" for i in range(nrefs)]
+    srcs = rng.integers(0, nrefs, n_reads)
+    offs = rng.integers(0, 5000 - L, n_reads)
+    reads = np.zeros((n_reads, L), np.uint8)
+    refmat = np.array([np.frombuffer(r, np.uint8) for r in refs])
+    reads = refmat[srcs[:, None],
+                   offs[:, None] + np.arange(L)[None, :]]
+    CH = 131072
+    npad = ((n_reads + CH - 1) // CH) * CH
+    if npad != n_reads:
+        reads = np.vstack([reads, reads[:npad - n_reads]])
+    res = {}
+    for mode, env in (("device", "1"), ("host", "0")):
+        os.environ["BBMAP_DEVICE_KMERS"] = env
+        seal = Seal(refs, names, k=31, ambig="first")
+
+        def mk(a):
+            return ReadBatch(
+                bases=reads[a:a + CH], quality=None,
+                lengths=np.full(CH, L, np.int32),
+                ids=[str(i) for i in range(CH)],
+                numeric_ids=np.arange(a, a + CH, dtype=np.int64))
+
+        seal.assign_batch(mk(0))                # warm/compile
+        t0 = time.time()
+        nm = 0
+        for a in range(0, npad, CH):
+            asg = seal.assign_batch(mk(a))
+            nm += int((asg.primary >= 0).sum())
+        dt = time.time() - t0
+        res[mode] = npad / dt
+        note(f"seal {mode}: {res[mode]:.0f} reads/s ({nm} matched)")
+    os.environ.pop("BBMAP_DEVICE_KMERS", None)
+    print(json.dumps({
+        "metric": "seal_attribution_reads_per_sec",
+        "value": round(res["device"], 1), "unit": "reads/s",
+        "host_value": round(res["host"], 1),
+        "device_speedup": round(res["device"] / res["host"], 2),
+        "reads": n_reads, "nrefs": nrefs}), flush=True)
+
+
 def main():
     from bbmap_tpu.utils.jaxcfg import enable_compilation_cache
     enable_compilation_cache()
     n = int(os.environ.get("TOOLBENCH_READS", 1_000_000))
-    bench_bbduk(n_reads=n)
-    bench_bbmerge(n_pairs=max(1, n // 2))
+    which = os.environ.get("TOOLBENCH_ONLY", "").split(",") \
+        if os.environ.get("TOOLBENCH_ONLY") else None
+    if which is None or "bbduk" in which:
+        bench_bbduk(n_reads=n)
+    if which is None or "bbmerge" in which:
+        bench_bbmerge(n_pairs=max(1, n // 2))
+    if which is None or "seal" in which:
+        bench_seal(n_reads=max(1, n // 2))
+    if which is None or "mappacbio" in which:
+        bench_mappacbio(
+            n_reads=int(os.environ.get("TOOLBENCH_PB_READS", 1200)))
     return 0
 
 

@@ -43,8 +43,10 @@ def main():
     log("setup done")
 
     n_batches = 5
+    with_q = os.environ.get("PROF_QUALITY", "1") != "0"
     r1, r2, q1, q2, t1, t2 = make_pairs(
-        gbases, n_pairs * n_batches, L=L, seed=77)
+        gbases, n_pairs * n_batches, L=L, seed=77,
+        with_quality=with_q)
 
     def mk(rows, quals, b):
         lo = b * n_pairs
@@ -96,5 +98,85 @@ def main():
             f"{2*4*n_pairs/dt:.0f} reads/s")
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and not os.environ.get("LINK_PROBE"):
     main()
+
+
+def link_probe():
+    """Separate experiment: does a host fetch overlap device compute?
+    dispatch A; sleep (A finishes); fetch A  -> pure transfer time.
+    dispatch A; dispatch B; fetch A          -> queueing behavior."""
+    import time as _t
+    n_pairs = int(os.environ.get("PROF_PAIRS", 32768))
+    L = 150
+    gbases = make_genome()
+    g = Genome(chroms=[gbases], scaffolds=[
+        Scaffold(chrom=1, sid=1, start=0, length=len(gbases),
+                 name="ecoli_like")]).finalize()
+    index = build_index(g, 13)
+    analyze_index(index, 0.01)
+    aligner = BBMapAligner(g, index)
+    r1, r2, q1, q2, t1, t2 = make_pairs(gbases, n_pairs * 3, L=L,
+                                        seed=78)
+
+    def mk(rows, quals, b):
+        lo = b * n_pairs
+        return ReadBatch(
+            bases=rows[lo:lo + n_pairs],
+            quality=None if quals is None else quals[lo:lo + n_pairs],
+            lengths=np.full(n_pairs, L, np.int32),
+            ids=[str(i) for i in range(lo, lo + n_pairs)],
+            numeric_ids=np.arange(lo, lo + n_pairs, dtype=np.int64))
+
+    aligner.map_pairs_columnar(mk(r1, q1, 0), mk(r2, q2, 0))
+    log("warm")
+    for trial in range(2):
+        f = aligner._fused_pair_dispatch(mk(r1, q1, 1), mk(r2, q2, 1),
+                                         L)
+        _t.sleep(2.0)                      # A finishes on device
+        t0 = _t.time()
+        f.host()
+        log(f"fetch after idle: {1e3*(_t.time()-t0):.0f} ms")
+    for trial in range(2):
+        fA = aligner._fused_pair_dispatch(mk(r1, q1, 1),
+                                          mk(r2, q2, 1), L)
+        fB = aligner._fused_pair_dispatch(mk(r1, q1, 2),
+                                          mk(r2, q2, 2), L)
+        t0 = _t.time()
+        fA.host()
+        tA = _t.time() - t0
+        t0 = _t.time()
+        fB.host()
+        tB = _t.time() - t0
+        log(f"fetch A with B queued: {1e3*tA:.0f} ms; "
+            f"then fetch B: {1e3*tB:.0f} ms")
+    for trial in range(2):
+        # does A's output copy stream WHILE B computes?
+        fA = aligner._fused_pair_dispatch(mk(r1, q1, 1),
+                                          mk(r2, q2, 1), L)
+        fB = aligner._fused_pair_dispatch(mk(r1, q1, 2),
+                                          mk(r2, q2, 2), L)
+        _t.sleep(0.65)          # A done (~425ms); B mid-flight
+        t0 = _t.time()
+        fA.host()
+        tA = _t.time() - t0
+        t0 = _t.time()
+        fB.host()
+        tB = _t.time() - t0
+        log(f"fetch A at t=650ms (B mid-flight): {1e3*tA:.0f} ms; "
+            f"then fetch B: {1e3*tB:.0f} ms")
+    # raw compute time with a scalar-fetch program is ~425 ms; time a
+    # bare back-to-back dispatch+fetch here for calibration
+    for trial in range(2):
+        fA = aligner._fused_pair_dispatch(mk(r1, q1, 1),
+                                          mk(r2, q2, 1), L)
+        t0 = _t.time()
+        fA.host()
+        log(f"single dispatch+fetch: {1e3*(_t.time()-t0):.0f} ms")
+
+
+if __name__ == "__main__":
+    if os.environ.get("LINK_PROBE"):
+        link_probe()
+    else:
+        main()

@@ -140,8 +140,10 @@ def main():
                 pair={"apd": apd32, "chrom_offsets": ch_,
                       "min_gate": min_gate}, _stop_after=_sp)
             if isinstance(out, dict):
+                out = list(out.values())
+            if isinstance(out, (tuple, list)):
                 tot = jnp.int32(0)
-                for v in out.values():
+                for v in out:
                     tot = tot + v.astype(jnp.int32).ravel()[:8].sum()
                 return tot
             return out.astype(jnp.int32).ravel()[:8].sum()
