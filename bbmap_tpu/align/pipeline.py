@@ -20,6 +20,8 @@ align2/BBMapThread.java:389-943). Stages:
 
 from __future__ import annotations
 
+import os
+import sys
 from dataclasses import dataclass, field
 from typing import Dict, Iterator, List, Optional, Tuple
 
@@ -311,6 +313,9 @@ class BBMapAligner:
         self._inner_sum = 0      # innerLengthSum (reference: :3037)
         self._num_mated = 0      # numMated (:3033)
         self._mapped_retained = 0  # mappedRetained2 rescue cutoff (:1146)
+        # device-budget fallback accounting (ADVICE r4 visibility)
+        self._n_esc_rows = 0
+        self._n_fallback_rows = 0
         self.codes_ascii = self._genome_ascii()
         self.chrom_offsets = index.chrom_offsets
 
@@ -651,6 +656,13 @@ class BBMapAligner:
         if len(overflow_rows):
             fallback.append(overflow_rows)
         fb = esc["fb"].astype(bool) & valid
+        # fallback-rate visibility (ADVICE r4: the NARROW_SPREAD 64->16
+        # change routes mid-spread jobs to the fixed wide-lane budgets;
+        # on a repetitive genome wide_over/wide_trace_over could
+        # silently saturate and push whole rows to the host refit —
+        # track the rate so the cliff is observable, not silent)
+        self._n_esc_rows += int(valid.sum())
+        self._n_fallback_rows += int(fb.sum()) + len(overflow_rows)
         if fb.any():
             fallback.append(eidx[fb])
 
@@ -1943,35 +1955,72 @@ class BBMapAligner:
         queued behind a full fused program. Yields (mb1, mb2) in order;
         pairs that can't take the device path yield via the object path
         converted to columns."""
+        import time as _time
+        trace = os.environ.get("BBMAP_STREAM_TRACE") == "1"
+        t00 = _time.time()
+
+        def _tr(tag, t0):
+            if trace:
+                print(f"[stream +{_time.time()-t00:7.3f}s] {tag} "
+                      f"{1e3*(_time.time()-t0):6.1f} ms",
+                      file=sys.stderr, flush=True)
+
+        # Stage order is scheduled around a device queue that runs
+        # programs AND serves fetches strictly in order (measured:
+        # fetching an output whose program sits behind another queued
+        # program waits for BOTH; a staged async copy of a FINISHED
+        # program costs ~15 ms). So per iteration:
+        #   1. phase2a(k-1): fetch the rescue SCAN (its program ran
+        #      right behind fused(k)) and dispatch the slowRescue DP —
+        #      BEFORE fused(k+1) enters the queue, so the DP runs now,
+        #      not behind a 400 ms fused program;
+        #   2. dispatch fused(k+1) (keeps the device busy);
+        #   3. mid(k): fetch fused(k)'s blob (finished + staged -> fast)
+        #      + host assembly + rescue-scan dispatch;
+        #   4. phase2b(k-2): fetch the DP results (ran during step 1-2
+        #      of the PREVIOUS iteration -> staged) + finish + yield.
+        # The old order (fused dispatch first, DP dispatched after it)
+        # made every phase2b fetch wait out a full fused execution:
+        # 600-680 ms of the ~890 ms steady batch.
         p_disp = None      # newest: fused dispatched, not yet assembled
         p_mid = None       # assembled, rescue scan in flight
         p_sc = None        # oldest: slowRescue DP in flight
         for b1, b2 in pairs:
+            t0 = _time.time()
+            new_sc = None
+            if p_mid is not None:
+                new_sc = self._pair_phase2a(p_mid)
+                p_mid = None
+            _tr("phase2a ", t0)
             L = self._can_pair_columnar(b1, b2)
+            t0 = _time.time()
             if L is not None:
                 item = (b1, b2, L, self._fused_pair_dispatch(b1, b2, L))
             else:
                 item = (b1, b2)
-            if p_sc is not None:
-                yield self._pair_phase2b(p_sc)
-                p_sc = None
-            if p_mid is not None:
-                p_sc = self._pair_phase2a(p_mid)
-                p_mid = None
+            _tr("dispatch", t0)
             if p_disp is not None:
+                t0 = _time.time()
                 p_mid = self._pair_mid(p_disp)
+                _tr("mid(fetch+p1)", t0)
             p_disp = item
-        # drain
-        for flush in range(3):
             if p_sc is not None:
+                t0 = _time.time()
                 yield self._pair_phase2b(p_sc)
-                p_sc = None
+                _tr("phase2b ", t0)
+            p_sc = new_sc
+        # drain
+        for flush in range(4):
+            new_sc = None
             if p_mid is not None:
-                p_sc = self._pair_phase2a(p_mid)
+                new_sc = self._pair_phase2a(p_mid)
                 p_mid = None
             if p_disp is not None:
                 p_mid = self._pair_mid(p_disp)
                 p_disp = None
+            if p_sc is not None:
+                yield self._pair_phase2b(p_sc)
+            p_sc = new_sc
 
     def _pair_mid(self, item):
         """Run phase 1 (host assembly + rescue dispatch) of a stream

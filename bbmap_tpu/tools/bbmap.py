@@ -494,6 +494,17 @@ def main(argv: List[str]) -> int:
         f"({100.0*n_mapped/max(1,n_reads):.3f}%)\n"
         f"Time:\t{dt:.3f} seconds.\t"
         f"Reads/sec:\t{n_reads/max(dt,1e-9):.0f}\n")
+    fbn = getattr(aligner, "_n_fallback_rows", 0)
+    fbe = getattr(aligner, "_n_esc_rows", 0)
+    if fbn and fbn > 0.005 * max(1, fbe):
+        # device wide/trace/slot budget overflow visibility (ADVICE r4:
+        # a repetitive genome can saturate the fixed wide-lane budgets
+        # and silently push rows to the exact-but-slow host refit)
+        sys.stderr.write(
+            f"NOTE: {fbn} of {fbe} escalated rows "
+            f"({100.0*fbn/max(1,fbe):.2f}%) overflowed device budgets "
+            f"and took the host refit path (exact, but slow — "
+            f"consider larger budgets for this reference).\n")
     return 0
 
 

@@ -52,9 +52,29 @@ def main(argv: List[str]) -> int:
     rng = np.random.default_rng(sampleseed if sampleseed >= 0 else None)
     paired = in2 is not None or interleaved_in
 
+    # hosts=N striping over 8192-pair batches (same machinery as
+    # bbduk/bbmerge/seal hosts=). Note: samplerate= draws follow the
+    # striped order (per-host RNG streams), so sampled outputs are
+    # multihost-deterministic but not byte-equal to a single-process
+    # run; unsampled runs merge byte-equal.
+    import io as _io
+    import json as _json
+    import os as _os
+    num_hosts = args.get_int("hosts", default=1)
+    host_id = args.get_int("hostid", default=int(
+        _os.environ.get("BBMAP_TPU_HOST_ID", "0"))) \
+        if num_hosts > 1 else 0
+    shards = {}
     out_fmt1 = fastx.sniff_format(out1) if out1 else None
-    out1_fh = fastx.xopen(out1, "wb") if out1 else None
-    out2_fh = fastx.xopen(out2, "wb") if out2 else None
+    if num_hosts > 1:
+        from ..parallel import multihost
+        for nm, path in (("out1", out1), ("out2", out2)):
+            shards[nm] = multihost.ShardWriter(path, host_id) \
+                if path else None
+        out1_fh = out2_fh = None
+    else:
+        out1_fh = fastx.xopen(out1, "wb") if out1 else None
+        out2_fh = fastx.xopen(out2, "wb") if out2 else None
 
     def emit(fh, fmt, rec):
         if fh is None:
@@ -111,35 +131,88 @@ def main(argv: List[str]) -> int:
     reader = fastx.PairedReader(in1, in2, interleaved_in,
                                 qfin=args.get("qfin"),
                                 qfin2=args.get("qfin2"))
-    for r1, r2 in reader:
-        n_in += 1 if r2 is None else 2
-        bases_in += len(r1.bases) + (len(r2.bases) if r2 else 0)
-        if reads_cap >= 0 and n_out >= reads_cap:
+    from ..core.batch import batched as _batched
+    src = _batched(iter(reader), 8192)
+    if num_hosts > 1:
+        from ..parallel import multihost
+        src = multihost.stripe_batches(src, host_id, num_hosts)
+    else:
+        src = enumerate(src)
+    out_fmt2 = fastx.sniff_format(out2) if out2 else out_fmt1
+    stop = False
+    for batch_id, chunk in src:
+        if stop:
             break
-        if samplerate < 1.0 and rng.random() >= samplerate:
-            continue
-        if verify and r2 is not None:
-            n1 = r1.id.split()[0].rstrip("/12")
-            n2 = r2.id.split()[0].rstrip("/12")
-            if n1 != n2:
-                pair_name_mismatch += 1
-        t1 = transform(r1)
-        t2 = transform(r2) if r2 is not None else None
-        if t1 is None and t2 is None:
-            continue
-        if t1 is not None:
-            emit(out1_fh, out_fmt1, t1)
-            n_out += 1
-            bases_out += len(t1.bases)
-        if t2 is not None:
-            fh = out2_fh if out2_fh is not None else out1_fh
-            fmt = (fastx.sniff_format(out2) if out2_fh is not None
-                   else out_fmt1)
-            emit(fh, fmt, t2)
-            n_out += 1
-            bases_out += len(t2.bases)
+        if num_hosts > 1:
+            bufs = {nm: _io.BytesIO() if sh is not None else None
+                    for nm, sh in shards.items()}
+            out1_fh = bufs["out1"]
+            out2_fh = bufs["out2"]
+        for r1, r2 in chunk:
+            n_in += 1 if r2 is None else 2
+            bases_in += len(r1.bases) + (len(r2.bases) if r2 else 0)
+            if reads_cap >= 0 and n_out >= reads_cap:
+                stop = True
+                break
+            if samplerate < 1.0 and rng.random() >= samplerate:
+                continue
+            if verify and r2 is not None:
+                n1 = r1.id.split()[0].rstrip("/12")
+                n2 = r2.id.split()[0].rstrip("/12")
+                if n1 != n2:
+                    pair_name_mismatch += 1
+            t1 = transform(r1)
+            t2 = transform(r2) if r2 is not None else None
+            if t1 is None and t2 is None:
+                continue
+            if t1 is not None:
+                emit(out1_fh, out_fmt1, t1)
+                n_out += 1
+                bases_out += len(t1.bases)
+            if t2 is not None:
+                fh = out2_fh if out2_fh is not None else out1_fh
+                fmt = out_fmt2 if out2_fh is not None else out_fmt1
+                emit(fh, fmt, t2)
+                n_out += 1
+                bases_out += len(t2.bases)
+        if num_hosts > 1:
+            for nm, sh in shards.items():
+                if sh is not None:
+                    sh.write_batch(batch_id, bufs[nm].getvalue())
+    if num_hosts > 1:
+        from ..parallel import multihost
+        for sh in shards.values():
+            if sh is not None:
+                sh.close()
+        base = out1 or out2
+        side = multihost.shard_path(base, host_id) + ".refstats.json"
+        with open(side, "w") as fh:
+            _json.dump({"n_in": n_in, "n_out": n_out,
+                        "bases_in": bases_in, "bases_out": bases_out,
+                        "mismatch": pair_name_mismatch}, fh)
+        multihost.barrier("reformat-shards-done", host_id, num_hosts,
+                          base)
+        if host_id != 0:
+            return 0
+        for path in (out1, out2):
+            if path:
+                multihost.merge_shards(path, num_hosts)
+        for pr in range(1, num_hosts):
+            sp = multihost.shard_path(base, pr) + ".refstats.json"
+            with open(sp) as fh:
+                o = _json.load(fh)
+            n_in += o["n_in"]
+            n_out += o["n_out"]
+            bases_in += o["bases_in"]
+            bases_out += o["bases_out"]
+            pair_name_mismatch += o["mismatch"]
+            _os.remove(sp)
+        _os.remove(side)
+        multihost.barrier_cleanup("reformat-shards-done", num_hosts,
+                                  base)
+        out1_fh = out2_fh = None
     for fh in (out1_fh, out2_fh):
-        if fh is not None:
+        if fh is not None and not isinstance(fh, _io.BytesIO):
             fh.close()
     dt = time.time() - t0
     sys.stderr.write(

@@ -406,11 +406,31 @@ def main(argv: List[str]) -> int:
                   file=sys.stderr)
             return 1
 
+    # hosts=N striping (same machinery as bbduk/bbmerge hosts=)
+    import io as _io
+    import json as _json
+    import os as _os
+    num_hosts = args.get_int("hosts", default=1)
+    host_id = args.get_int("hostid", default=int(
+        _os.environ.get("BBMAP_TPU_HOST_ID", "0"))) \
+        if num_hosts > 1 else 0
+    shards: Dict[str, object] = {}
+    pat_shards: Dict[int, object] = {}
+    if num_hosts > 1:
+        from ..parallel import multihost
+        for nm, path in (("outm", outm), ("outm2", outm2),
+                         ("outu", outu), ("outu2", outu2)):
+            shards[nm] = multihost.ShardWriter(path, host_id) \
+                if path else None
     per_ref_fh: Dict[int, object] = {}
-    outm_fh = fastx.xopen(outm, "wb") if outm else None
-    outm2_fh = fastx.xopen(outm2, "wb") if outm2 else None
-    outu_fh = fastx.xopen(outu, "wb") if outu else None
-    outu2_fh = fastx.xopen(outu2, "wb") if outu2 else None
+    outm_fh = fastx.xopen(outm, "wb") if outm and not num_hosts > 1 \
+        else None
+    outm2_fh = fastx.xopen(outm2, "wb") if outm2 and num_hosts == 1 \
+        else None
+    outu_fh = fastx.xopen(outu, "wb") if outu and num_hosts == 1 \
+        else None
+    outu2_fh = fastx.xopen(outu2, "wb") if outu2 and num_hosts == 1 \
+        else None
 
     def wfq(fh, rec):
         if fh is None:
@@ -420,7 +440,16 @@ def main(argv: List[str]) -> int:
         fh.write(b"@" + rec.id.encode() + b"\n" + rec.bases + b"\n+\n"
                  + q + b"\n")
 
-    def route(chunk1, chunk2):
+    def route(chunk1, chunk2, batch_id):
+        nonlocal outm_fh, outm2_fh, outu_fh, outu2_fh
+        if num_hosts > 1:
+            bufs = {nm: _io.BytesIO() if sh is not None else None
+                    for nm, sh in shards.items()}
+            outm_fh = bufs["outm"]
+            outm2_fh = bufs["outm2"]
+            outu_fh = bufs["outu"]
+            outu2_fh = bufs["outu2"]
+            pat_bufs: Dict[int, object] = {}
         b1 = ReadBatch.from_records(chunk1)
         b2 = ReadBatch.from_records(chunk2) if chunk2 else None
         asg = seal.assign_batch(b1, b2)
@@ -429,13 +458,22 @@ def main(argv: List[str]) -> int:
         if pattern and "%" in pattern:
             for r, i in zip(asg.chosen_rows, asg.chosen_ids):
                 i = int(i)
-                if i not in per_ref_fh:
-                    safe = names[i].replace("/", "_")
-                    per_ref_fh[i] = fastx.xopen(
-                        pattern.replace("%", safe), "wb")
-                wfq(per_ref_fh[i], chunk1[r])
+                if num_hosts > 1:
+                    if i not in pat_shards:
+                        from ..parallel import multihost
+                        safe = names[i].replace("/", "_")
+                        pat_shards[i] = multihost.ShardWriter(
+                            pattern.replace("%", safe), host_id)
+                    fh = pat_bufs.setdefault(i, _io.BytesIO())
+                else:
+                    if i not in per_ref_fh:
+                        safe = names[i].replace("/", "_")
+                        per_ref_fh[i] = fastx.xopen(
+                            pattern.replace("%", safe), "wb")
+                    fh = per_ref_fh[i]
+                wfq(fh, chunk1[r])
                 if chunk2:
-                    wfq(per_ref_fh[i], chunk2[r])
+                    wfq(fh, chunk2[r])
         for i, rec in enumerate(chunk1):
             a = int(asg.primary[i])
             if a >= 0:
@@ -446,24 +484,83 @@ def main(argv: List[str]) -> int:
                 wfq(outu_fh, rec)
                 if chunk2:
                     wfq(outu2_fh or outu_fh, chunk2[i])
+        if num_hosts > 1:
+            for nm, sh in shards.items():
+                if sh is not None:
+                    sh.write_batch(batch_id, bufs[nm].getvalue())
+            for i, buf in pat_bufs.items():
+                pat_shards[i].write_batch(batch_id, buf.getvalue())
+
+    def striped(src):
+        if num_hosts > 1:
+            from ..parallel import multihost
+            return multihost.stripe_batches(src, host_id, num_hosts)
+        return enumerate(src)
 
     if in2:
         it1 = batched(fastx.read_seqs(in1), 8192)
         it2 = batched(fastx.read_seqs(in2), 8192)
-        for chunk1, chunk2 in zip(it1, it2):
-            route(chunk1, chunk2)
+        for bid, (chunk1, chunk2) in striped(zip(it1, it2)):
+            route(chunk1, chunk2, bid)
     elif interleaved:
-        for chunk in batched(fastx.read_seqs(in1), 16384):
-            route(chunk[0::2], chunk[1::2])
+        for bid, chunk in striped(batched(fastx.read_seqs(in1),
+                                          16384)):
+            route(chunk[0::2], chunk[1::2], bid)
     else:
-        for chunk in batched(fastx.read_seqs(in1), 8192):
-            route(chunk, None)
+        for bid, chunk in striped(batched(fastx.read_seqs(in1),
+                                          8192)):
+            route(chunk, None, bid)
 
     for fh in per_ref_fh.values():
         fh.close()
     for fh in (outm_fh, outm2_fh, outu_fh, outu2_fh):
-        if fh is not None:
+        if fh is not None and not isinstance(fh, _io.BytesIO):
             fh.close()
+    if num_hosts > 1:
+        from ..parallel import multihost
+        for sh in list(shards.values()) + list(pat_shards.values()):
+            if sh is not None:
+                sh.close()
+        base = outm or outu or (stats or "seal") + ".x"
+        side = multihost.shard_path(base, host_id) + ".sealstats.json"
+        with open(side, "w") as fh:
+            _json.dump({"reads_in": seal.reads_in,
+                        "bases_in": seal.bases_in,
+                        "frags_in": seal.frags_in,
+                        "reads_matched": seal.reads_matched,
+                        "bases_matched": seal.bases_matched,
+                        "read_counts": seal.read_counts.tolist(),
+                        "base_counts": seal.base_counts.tolist(),
+                        "frag_counts": seal.frag_counts.tolist(),
+                        "pat": sorted(pat_shards)}, fh)
+        multihost.barrier("seal-shards-done", host_id, num_hosts, base)
+        if host_id != 0:
+            return 0
+        pat_all = set(pat_shards)
+        for pr in range(1, num_hosts):
+            sp = multihost.shard_path(base, pr) + ".sealstats.json"
+            with open(sp) as fh:
+                o = _json.load(fh)
+            seal.reads_in += o["reads_in"]
+            seal.bases_in += o["bases_in"]
+            seal.frags_in += o["frags_in"]
+            seal.reads_matched += o["reads_matched"]
+            seal.bases_matched += o["bases_matched"]
+            seal.read_counts += np.asarray(o["read_counts"], np.int64)
+            seal.base_counts += np.asarray(o["base_counts"], np.int64)
+            seal.frag_counts += np.asarray(o["frag_counts"], np.int64)
+            pat_all.update(o["pat"])
+            _os.remove(sp)
+        _os.remove(side)
+        for nm, path in (("outm", outm), ("outm2", outm2),
+                         ("outu", outu), ("outu2", outu2)):
+            if path:
+                multihost.merge_shards(path, num_hosts)
+        for i in pat_all:
+            safe = names[i].replace("/", "_")
+            multihost.merge_shards(pattern.replace("%", safe),
+                                   num_hosts)
+        multihost.barrier_cleanup("seal-shards-done", num_hosts, base)
     if stats:
         seal.write_stats(stats, in1, in2, columns=columns,
                          nonzero_only=nzo)

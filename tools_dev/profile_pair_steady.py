@@ -42,7 +42,7 @@ def main():
     aligner = BBMapAligner(g, index)
     log("setup done")
 
-    n_batches = 5
+    n_batches = 13
     with_q = os.environ.get("PROF_QUALITY", "1") != "0"
     r1, r2, q1, q2, t1, t2 = make_pairs(
         gbases, n_pairs * n_batches, L=L, seed=77,
@@ -91,11 +91,11 @@ def main():
     for rnd in range(2):
         t0 = time.time()
         out = list(aligner.map_pairs_columnar_stream(
-            (mk(r1, q1, b), mk(r2, q2, b)) for b in range(1, 5)))
+            (mk(r1, q1, b), mk(r2, q2, b)) for b in range(1, 13)))
         dt = time.time() - t0
-        log(f"pipelined: {dt*1e3:.0f} ms / 4 batches = "
-            f"{dt*250:.0f} ms/batch -> "
-            f"{2*4*n_pairs/dt:.0f} reads/s")
+        log(f"pipelined: {dt*1e3:.0f} ms / 12 batches = "
+            f"{dt*1000/12:.0f} ms/batch -> "
+            f"{2*12*n_pairs/dt:.0f} reads/s")
 
 
 if __name__ == "__main__" and not os.environ.get("LINK_PROBE"):
