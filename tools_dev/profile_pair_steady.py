@@ -176,7 +176,48 @@ def link_probe():
 
 
 if __name__ == "__main__":
-    if os.environ.get("LINK_PROBE"):
+    if os.environ.get("AMORT_PROBE"):
+        amortized_probe()
+    elif os.environ.get("LINK_PROBE"):
         link_probe()
     else:
         main()
+
+
+def amortized_probe():
+    """True per-program fused time: N back-to-back dispatches, fetch
+    only the last — amortizes fixed per-call overhead."""
+    import time as _t
+    n_pairs = int(os.environ.get("PROF_PAIRS", 32768))
+    L = 150
+    gbases = make_genome()
+    g = Genome(chroms=[gbases], scaffolds=[
+        Scaffold(chrom=1, sid=1, start=0, length=len(gbases),
+                 name="ecoli_like")]).finalize()
+    index = build_index(g, 13)
+    analyze_index(index, 0.01)
+    aligner = BBMapAligner(g, index)
+    r1, r2, q1, q2, t1, t2 = make_pairs(gbases, n_pairs * 2, L=L,
+                                        seed=79)
+
+    def mk(rows, quals, b):
+        lo = b * n_pairs
+        return ReadBatch(
+            bases=rows[lo:lo + n_pairs],
+            quality=None if quals is None else quals[lo:lo + n_pairs],
+            lengths=np.full(n_pairs, L, np.int32),
+            ids=[str(i) for i in range(lo, lo + n_pairs)],
+            numeric_ids=np.arange(lo, lo + n_pairs, dtype=np.int64))
+
+    aligner.map_pairs_columnar(mk(r1, q1, 0), mk(r2, q2, 0))
+    log("warm")
+    for N in (1, 4):
+        t0 = _t.time()
+        fs = [aligner._fused_pair_dispatch(mk(r1, q1, 1),
+                                           mk(r2, q2, 1), L)
+              for _ in range(N)]
+        fs[-1].host()
+        dt = _t.time() - t0
+        log(f"N={N}: total {1e3*dt:.0f} ms -> "
+            f"{1e3*dt/N:.0f} ms/program")
+
