@@ -44,6 +44,21 @@ TRACE_CHUNKS = (2048, 1024, 512)
 TRACE_CHUNKS_W = (1024,)
 
 
+def _trace_ladder(L: int, C: int, ladder):
+    """Memory-aware trace-chunk ladder: the fill's prev-code block is
+    ~(L+C)*(L+1) bytes PER JOB — 72 MB at the 6 kbp PacBio envelope,
+    where the short-read ladder (512+) would allocate tens of GB.
+    Budget ~2 GB per launch; always keep at least chunk size 8."""
+    cap = max(8, (2 << 30) // max(1, (L + C) * (L + 1)))
+    out = tuple(c for c in ladder if c <= cap)
+    if not out:
+        c = 8
+        while c * 2 <= cap:
+            c *= 2
+        out = (c,)
+    return out
+
+
 def _greedy_chunks(n: int, ladder):
     """Yield (start, stop, size) covering [0, n) with descending
     power-of-two sizes; the tail uses the smallest size."""
@@ -160,8 +175,11 @@ def trace_jobs_launch(progs: Dict, reads: np.ndarray,
     """Dispatch all fill+traceback chunks without blocking."""
     L = reads.shape[1]
     launches = []
-    for is_wide, key, ladder in ((False, "trace_n", TRACE_CHUNKS),
-                                 (True, "trace_w", TRACE_CHUNKS_W)):
+    for is_wide, key, ladder0 in ((False, "trace_n", TRACE_CHUNKS),
+                                  (True, "trace_w", TRACE_CHUNKS_W)):
+        L = reads.shape[1]
+        C = progs["Cw"] if is_wide else progs["Cn"]
+        ladder = _trace_ladder(L, C, ladder0)
         rows = np.nonzero(wide == is_wide)[0]
         if not len(rows):
             continue

@@ -228,6 +228,15 @@ def _bucket_pad(n: int) -> int:
 
 RESCUE_CHUNK = 1024   # fixed rescue-kernel job budget (one program)
 DP_CHUNK = 8192       # device batch for fill+traceback DP jobs
+
+
+def _dp_tb_chunk_cap(L: int, C: int) -> int:
+    """Memory-aware cap for fill+traceback chunks: the packed
+    prev-code block is ~(L+C) x (L+1) bytes PER JOB (msa_jax fill) —
+    72 MB/job at the 6 kbp PacBio envelope, where a short-read-sized
+    chunk would allocate tens of GB. Budget ~2 GB of HBM per launch."""
+    per_job = max(1, (L + C) * (L + 1))
+    return max(8, min(DP_CHUNK, (2 << 30) // per_job))
 DP_SCORE_CHUNK = 32768  # device batch for score-only DP — sized so a
 # whole batch's escalation jobs usually fit one dispatch (the tunnel's
 # per-dispatch latency dwarfs padded compute)
@@ -401,9 +410,17 @@ class BBMapAligner:
 
     # ---- fused single-dispatch path (quickmap + escalation + trace in
     # one device program; align/fused_device.py) ----
-    def _use_fused(self) -> bool:
+    # the fused single-dispatch programs are sized for the SHORT-read
+    # stack (reference envelope: ALIGN_ROWS=601, BBMapThread.java:28);
+    # a 6 kbp PacBio batch blows the 128 MB VMEM budget in the fused
+    # finalize/quality stages — long reads take the unfused quickmap +
+    # host escalation path (the reference's separate PacBio stack).
+    FUSED_MAX_L = 600
+
+    def _use_fused(self, L: Optional[int] = None) -> bool:
         return (self.device_quickmap and self.mesh is None
-                and self.maxindel > 0 and not self.print_secondary)
+                and self.maxindel > 0 and not self.print_secondary
+                and (L is None or L <= self.FUSED_MAX_L))
 
     def _fused_dispatch(self, batch: ReadBatch, L: int):
         from . import fused_device
@@ -571,7 +588,7 @@ class BBMapAligner:
                 and int(lens[0]) >= self.index.k):
             return None
         L = int(lens[0])
-        if self._use_fused():
+        if self._use_fused(L):
             f = self._fused_dispatch(batch, L)
             return self._columnar_from_fused(batch, L, f.host())
         d = self._qm_run(batch, L)
@@ -1030,21 +1047,22 @@ class BBMapAligner:
         overlap: batch N+1's quickmap is dispatched before batch N's
         results are transferred and finalized (the TPU analog of the
         reference's reader/worker thread overlap, SURVEY §2.11 P2)."""
-        fused = self._use_fused()
-        fin = (self._columnar_from_fused if fused
-               else self._columnar_from_qm)
-        disp = self._fused_dispatch if fused else self._qm_dispatch
-        pending = None   # (batch, L, handle)
+        pending = None   # (batch, L, handle, fin)
         for batch in batches:
             L = int(batch.lengths[0])
-            handle = disp(batch, L)
+            if self._use_fused(L):
+                handle = self._fused_dispatch(batch, L)
+                fin = self._columnar_from_fused
+            else:
+                handle = self._qm_dispatch(batch, L)
+                fin = self._columnar_from_qm
             if pending is not None:
-                pb, pL, ph = pending
-                yield fin(pb, pL, ph.host())
-            pending = (batch, L, handle)
+                pb, pL, ph, pf = pending
+                yield pf(pb, pL, ph.host())
+            pending = (batch, L, handle, fin)
         if pending is not None:
-            pb, pL, ph = pending
-            yield fin(pb, pL, ph.host())
+            pb, pL, ph, pf = pending
+            yield pf(pb, pL, ph.host())
 
     def map_batches_stream(self, batches):
         """Object-result streaming over ReadBatches with dispatch
@@ -1052,15 +1070,10 @@ class BBMapAligner:
         length batches ride the fused/quickmap dispatch queue; anything
         else (mixed lengths, secondary-site output) falls back to the
         synchronous map_batch. Yields List[MappedRead] per batch."""
-        fused = self._use_fused()
-        fin = (self._columnar_from_fused if fused
-               else self._columnar_from_qm)
-        disp = self._fused_dispatch if fused else self._qm_dispatch
-
         def finish(item):
             if len(item) == 1:
                 return self.map_batch(item[0])
-            batch, L, handle = item
+            batch, L, handle, fin = item
             mb = fin(batch, L, handle.host())
             results = [MappedRead() for _ in range(batch.size)]
             mb.fill_objects(results)
@@ -1074,7 +1087,12 @@ class BBMapAligner:
                           and not self.print_secondary)
             if streamable:
                 L = int(lens[0])
-                item = (batch, L, disp(batch, L))
+                if self._use_fused(L):
+                    item = (batch, L, self._fused_dispatch(batch, L),
+                            self._columnar_from_fused)
+                else:
+                    item = (batch, L, self._qm_dispatch(batch, L),
+                            self._columnar_from_qm)
             else:
                 item = (batch,)
             if pending is not None:
@@ -1085,7 +1103,7 @@ class BBMapAligner:
 
     def _map_batch_device(self, batch: ReadBatch, L: int,
                           results: List[MappedRead]) -> None:
-        if self._use_fused():
+        if self._use_fused(L):
             f = self._fused_dispatch(batch, L)
             mb = self._columnar_from_fused(batch, L, f.host())
             mb.fill_objects(results)
@@ -1429,11 +1447,13 @@ class BBMapAligner:
     def _can_pair_columnar(self, b1: ReadBatch, b2: ReadBatch):
         l1 = np.unique(b1.lengths)
         l2 = np.unique(b2.lengths)
-        if not (self.device_quickmap and self._use_fused()
-                and self.maxindel > 0 and len(l1) == 1 and len(l2) == 1):
+        if not (self.device_quickmap and self.maxindel > 0
+                and len(l1) == 1 and len(l2) == 1):
             return None
         L1, L2 = int(l1[0]), int(l2[0])
         if L1 != L2 or L1 < self.index.k:
+            return None
+        if not self._use_fused(L1):
             return None
         if (b1.quality is None) != (b2.quality is None):
             return None
@@ -2701,8 +2721,9 @@ class BBMapAligner:
         for t, j in enumerate(dp_jobs):
             buckets.setdefault(int(wlen[j]), []).append(t)
         launches = []   # (slot list, device output arrays)
-        max_chunk = DP_SCORE_CHUNK if score_only else DP_CHUNK
         for C, slots in buckets.items():
+            max_chunk = DP_SCORE_CHUNK if score_only \
+                else _dp_tb_chunk_cap(L, C)
             chunk = min(max_chunk, _bucket_pad(len(slots)))
             for a, b in _fixed_chunks(len(slots), chunk):
                 reads = np.full((chunk, L), ord("N"), np.uint8)
@@ -2789,7 +2810,8 @@ class BBMapAligner:
             buckets.setdefault(dp_winners[w][3], []).append(w)
         launches = []
         for C, idx_list in buckets.items():
-            chunk = min(DP_CHUNK, _bucket_pad(len(idx_list)))
+            chunk = min(_dp_tb_chunk_cap(L, C),
+                        _bucket_pad(len(idx_list)))
             for a, b in _fixed_chunks(len(idx_list), chunk):
                 reads = np.full((chunk, L), ord("N"), np.uint8)
                 refs = np.full((chunk, C), ord("N"), np.uint8)

@@ -425,3 +425,103 @@ def device_scan_batch(ks: KmerSet, bases: np.ndarray
         ks._device_set = dks
     ids = dks.scan_ids(bases)
     return (ids >= 0), ids
+
+
+def device_scan_counts(ks: KmerSet, bases: np.ndarray,
+                       nrefs: int) -> "np.ndarray | None":
+    """Per-read per-scaffold hit-count matrix computed ON DEVICE:
+    search every k-mer position for its value slot, gather the slot's
+    multi-owner row from a precomputed (nslots+1, nrefs) owner matrix,
+    and ship only the summed (B, nrefs) uint16 counts. A dense id
+    block for a hit-dense Seal batch is ~60 MB per 131k-read chunk
+    over the tunnel link; the count matrix is ~13 MB at nrefs=50.
+
+    Returns None when disabled, too small, or the owner matrix would
+    be too large (caller uses the host path)."""
+    B, L = bases.shape
+    m = L - ks.k + 1
+    if m <= 0 or len(ks.values) == 0 or not _enabled():
+        return None
+    if B * m < 2048 or nrefs > 4096:
+        return None
+    n = len(ks.values)
+    if (n + 1) * nrefs > 256 * (1 << 20):
+        return None
+    dks = getattr(ks, "_device_set", None)
+    if dks is None:
+        dks = DeviceKmerSet(ks)
+        ks._device_set = dks
+    import jax
+
+    owner_d = getattr(ks, "_owner_matrix_d", None)
+    if owner_d is None:
+        om = np.zeros((n + 1, nrefs), np.uint8)
+        if ks.multi_offsets is not None:
+            off = ks.multi_offsets
+            reps = np.diff(off).astype(np.int64)
+            cum = np.zeros(n + 1, np.int64)
+            np.cumsum(reps, out=cum[1:])
+            slot_of = np.repeat(np.arange(n), reps)
+            om[slot_of, ks.multi_ids[:cum[-1]]] = 1
+        else:
+            om[np.arange(n), np.clip(ks.ids, 0, nrefs - 1)] = 1
+        owner_d = jax.device_put(om)
+        ks._owner_matrix_d = owner_d
+
+    key = ("counts", B, L, nrefs)
+    prog = dks._scan_cache.get(key)
+    if prog is None:
+        _, jnp = _jnp()
+        from ..align.fused_device import unpack_reads_device
+
+        def f(c2, nm, s_hi, s_lo, s_starts, own):
+            codes = unpack_reads_device(c2, nm, L)
+            qhi, qlo, valid = dks._values_pair(codes, m)
+            U32 = jnp.uint32
+            qhi = jnp.where(valid, qhi, U32(0xFFFFFFFF))
+            qlo = jnp.where(valid, qlo, U32(0xFFFFFFFF))
+            # slot search (same branchless bucketed binary search as
+            # _search_pair, but returning the VALUE SLOT)
+            from ..align.quickmap_device import take_flat
+            I = jnp.int32
+            s = dks.shift
+            if s >= 32:
+                bkt = (qhi >> (s - 32)).astype(I)
+            elif s > 0:
+                bkt = (((qhi << (32 - s)) | (qlo >> s))
+                       & U32((1 << (2 * dks.k + 1 - s)) - 1)).astype(I)
+            else:
+                bkt = qlo.astype(I)
+            bkt = jnp.clip(bkt, 0, s_starts.shape[0] - 2)
+            base = take_flat(s_starts, bkt)
+            end = take_flat(s_starts, bkt + 1)
+            sz = end - base
+            for _ in range(dks.t_rounds):
+                half = sz >> 1
+                mid = base + half
+                midc = jnp.clip(mid, 0, max(dks.n - 1, 0))
+                vh = take_flat(s_hi, midc)
+                vl = take_flat(s_lo, midc)
+                go_right = _lt_pair(vh, vl, qhi, qlo) & (sz > 0)
+                base = jnp.where(go_right, mid + 1, base)
+                sz = jnp.where(go_right, sz - half - 1, half)
+            pos = jnp.clip(base, 0, max(dks.n - 1, 0))
+            fh = take_flat(s_hi, pos)
+            fl = take_flat(s_lo, pos)
+            hit = (fh == qhi) & (fl == qlo) & (base < dks.n)
+            slot = jnp.where(hit, pos, dks.n)         # miss -> zero row
+            # owner-row gather + sum over positions, chunked so the
+            # (B, m, nrefs) intermediate never materializes whole
+            counts = jnp.zeros((B, nrefs), jnp.int32)
+            CH = 8
+            for g in range(0, m, CH):
+                sl = slot[:, g:g + CH]
+                counts = counts + own[sl].astype(jnp.int32).sum(axis=1)
+            return jnp.clip(counts, 0, 65535).astype(jnp.uint16)
+
+        prog = jax.jit(f)
+        dks._scan_cache[key] = prog
+    from ..align.fused_device import pack_reads_host
+    c2, nm = pack_reads_host(np.ascontiguousarray(bases))
+    return np.asarray(prog(c2, nm, dks.hi, dks.lo, dks.starts,
+                           owner_d)).astype(np.int64)

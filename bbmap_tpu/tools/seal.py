@@ -113,35 +113,11 @@ class Seal:
         if B * nrefs <= DENSE_CELLS_CAP:
             # dense condense: O(hits) bincount into a (B, nrefs) count
             # matrix — ~8x faster than the sort-based unique on
-            # hit-dense batches (toolbench: 9.8k -> 70k+ reads/s)
+            # hit-dense batches
             counts = np.bincount(key, minlength=B * nrefs).reshape(
                 B, nrefs)
-            maxc = counts.max(axis=1)
-            thresh = np.maximum(1, maxc - self.clearzone)
-            kept = counts >= thresh[:, None]
-            sites = kept.sum(axis=1).astype(np.int64)
-            matched = maxc >= np.maximum(self.min_kmer_hits, min_hits)
-            if self.ambig == AMBIG_ALL:
-                krow, kid = np.nonzero(kept & matched[:, None])
-                return matched, sites, krow.astype(np.int64), \
-                    kid.astype(np.int64)
-            if self.ambig == AMBIG_TOSS:
-                ok = matched & (sites == 1)
-                return (matched, sites, np.nonzero(ok)[0],
-                        np.argmax(kept[ok], axis=1).astype(np.int64))
-            if self.ambig == AMBIG_FIRST:
-                off = np.zeros(B, np.int64)
-            else:                                 # AMBIG_RANDOM
-                off = numeric_ids.astype(np.int64) \
-                    % np.maximum(1, sites)
-                off = np.where(sites < 2, 0, off)
-            ok = matched & (sites > 0)
-            # the off-th kept column per row (ascending id): position
-            # where the running kept-count first reaches off+1
-            ord_in_row = np.cumsum(kept, axis=1)
-            hitcol = kept & (ord_in_row == (off + 1)[:, None])
-            return (matched, sites, np.nonzero(ok)[0],
-                    np.argmax(hitcol[ok], axis=1).astype(np.int64))
+            return self._select_from_counts(counts, numeric_ids,
+                                            min_hits)
         # sparse condense (huge reference sets): unique (row, scaffold)
         # with counts; np.unique sorts, so ids are ascending within
         # each row (the reference's loose.sort() — makes ambig=first
@@ -175,6 +151,38 @@ class Seal:
         pick = (row_start[:-1] + off)[ok]
         return matched, sites, np.nonzero(ok)[0], kid[pick]
 
+    def _select_from_counts(self, counts: np.ndarray,
+                            numeric_ids: np.ndarray,
+                            min_hits: np.ndarray):
+        """Selection from a dense (B, nrefs) per-scaffold count
+        matrix (host bincount or the device count program)."""
+        B = counts.shape[0]
+        maxc = counts.max(axis=1)
+        thresh = np.maximum(1, maxc - self.clearzone)
+        kept = (counts >= thresh[:, None]) & (counts > 0)
+        sites = kept.sum(axis=1).astype(np.int64)
+        matched = maxc >= np.maximum(self.min_kmer_hits, min_hits)
+        if self.ambig == AMBIG_ALL:
+            krow, kid = np.nonzero(kept & matched[:, None])
+            return matched, sites, krow.astype(np.int64), \
+                kid.astype(np.int64)
+        if self.ambig == AMBIG_TOSS:
+            ok = matched & (sites == 1)
+            return (matched, sites, np.nonzero(ok)[0],
+                    np.argmax(kept[ok], axis=1).astype(np.int64))
+        if self.ambig == AMBIG_FIRST:
+            off = np.zeros(B, np.int64)
+        else:                                     # AMBIG_RANDOM
+            off = numeric_ids.astype(np.int64) % np.maximum(1, sites)
+            off = np.where(sites < 2, 0, off)
+        ok = matched & (sites > 0)
+        # the off-th kept column per row (ascending id): position
+        # where the running kept-count first reaches off+1
+        ord_in_row = np.cumsum(kept, axis=1)
+        hitcol = kept & (ord_in_row == (off + 1)[:, None])
+        return (matched, sites, np.nonzero(ok)[0],
+                np.argmax(hitcol[ok], axis=1).astype(np.int64))
+
     def assign_batch(self, batch: ReadBatch,
                      batch2: Optional[ReadBatch] = None
                      ) -> BatchAssignment:
@@ -188,20 +196,33 @@ class Seal:
         self.bases_in += int(len1.sum()) + (int(len2.sum())
                                             if paired else 0)
         self.frags_in += B
-        rows, vals = kmerset.scan_batch_multi(self.ks, batch.bases)
-        if paired:
-            rows2, vals2 = kmerset.scan_batch_multi(self.ks,
-                                                    batch2.bases)
-            rows = np.concatenate([rows, rows2])
-            vals = np.concatenate([vals, vals2])
         nk = np.maximum(len1 - self.k + 1, 0)
         if paired:
             nk = nk + np.maximum(len2 - self.k + 1, 0)
         min_hits = (self.min_kmer_fraction * nk).astype(np.int64)
         nid = batch.numeric_ids if batch.numeric_ids is not None \
             else np.arange(B)
-        matched, sites, crow, cid = self._select(B, rows, vals, nid,
-                                                 min_hits)
+        # device count path: condense to (B, nrefs) counts ON device —
+        # a dense id block for a hit-dense batch is ~60 MB over the
+        # tunnel link, the count matrix ~13 MB (kmerset_device
+        # .device_scan_counts)
+        from ..index.kmerset_device import device_scan_counts
+        counts = device_scan_counts(self.ks, batch.bases, self.nrefs)
+        if counts is not None and paired:
+            c2 = device_scan_counts(self.ks, batch2.bases, self.nrefs)
+            counts = counts + c2 if c2 is not None else None
+        if counts is not None:
+            matched, sites, crow, cid = self._select_from_counts(
+                counts, nid, min_hits)
+        else:
+            rows, vals = kmerset.scan_batch_multi(self.ks, batch.bases)
+            if paired:
+                rows2, vals2 = kmerset.scan_batch_multi(self.ks,
+                                                        batch2.bases)
+                rows = np.concatenate([rows, rows2])
+                vals = np.concatenate([vals, vals2])
+            matched, sites, crow, cid = self._select(B, rows, vals,
+                                                     nid, min_hits)
 
         read_sum = 2 if paired else 1
         len_sum = len1 + (len2 if paired else 0)

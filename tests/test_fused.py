@@ -83,7 +83,7 @@ def _pair(setup, **kw):
     g, index = setup
     fused = BBMapAligner(g, index, **kw)
     unfused = BBMapAligner(g, index, **kw)
-    unfused._use_fused = lambda: False
+    unfused._use_fused = lambda L=None: False
     return fused, unfused
 
 
