@@ -315,10 +315,17 @@ def _keys_all_positions(codes, k, L):
 
 def _keys_from_codes(codes, offsets_list, k, L):
     """(B, L) 2-bit codes -> (B, nk) keys at the static seed offsets.
-    offsets_list is a Python tuple, so the per-offset picks compile to
-    static slices instead of a gather."""
+    Small nk: per-offset static slices (no gather). Long-read nk
+    (hundreds): one lane-aligned take (an nk-unrolled stack traces
+    750+ ops at the PacBio envelope)."""
     keys_all = _keys_all_positions(codes, k, L)
-    return jnp.stack([keys_all[:, o] for o in offsets_list], axis=1)
+    if len(offsets_list) <= 64:
+        return jnp.stack([keys_all[:, o] for o in offsets_list],
+                         axis=1)
+    off = jnp.asarray(np.asarray(offsets_list, np.int32))
+    B = codes.shape[0]
+    return take_along_flat(keys_all,
+                           jnp.broadcast_to(off, (B, len(offsets_list))))
 
 
 def _rc_keys(keys, k):
@@ -427,6 +434,12 @@ class QmConfig(NamedTuple):
     # truth). Enabled when the index carries canonical counts.
     ref_admit: bool = False
     max_usable_length: int = 1 << 30
+    # site-slot budget per (read, strand): SLOT_BUDGET (64) for the
+    # short stack; long reads (L > 600) carry ~L/8 seed keys at ~1.3
+    # sites each, so the budget scales to keep sensitivity (reference
+    # PacBio stack: maxDesiredKeys=63 -> keyDen2 clamps to
+    # minKeyDensity=2.8 -> ~1400 keys/6 kbp read)
+    slot_budget: int = 64
     limit_avg: int = 20
     limit_avg2: int = 20
     limit_shortest: int = 20
@@ -446,7 +459,8 @@ def make_config(index: KmerIndex, L: int, chain_dist: int = 400,
     if max_list_length is None:
         max_list_length = min(index.max_usable_length, MAX_SITES_CAP,
                               max(actual_max, 1))
-    S = int(max(2, min(max_list_length, MAX_SITES_CAP, SLOT_BUDGET)))
+    slot_budget = SLOT_BUDGET if L <= 600 else 512
+    S = int(max(2, min(max_list_length, MAX_SITES_CAP, slot_budget)))
     max_sw = profile.max_quality(L) if profile is not None \
         else K.max_quality(L)
     has_n = getattr(index, "_has_n", None)
@@ -465,7 +479,8 @@ def make_config(index: KmerIndex, L: int, chain_dist: int = 400,
                     limit_avg=int(index.limit_avg),
                     limit_avg2=int(index.limit_avg2),
                     limit_shortest=int(index.limit_shortest),
-                    points_per_site=int(index.points_per_site))
+                    points_per_site=int(index.points_per_site),
+                    slot_budget=slot_budget)
 
 
 def ccnt_array(index: KmerIndex):
@@ -545,12 +560,21 @@ def _ref_retention(cfg: QmConfig, kp, off_p, ccnt, weights=None):
     if weights is not None:
         # compact per-slot weights to the shrunk-array (admitted-rank)
         # order once: position r holds the weight of the r-th ADMITTED
-        # slot. Exact elementwise selection (nk is tiny; a one-hot
-        # matmul would round the f32 weights to bf16 on the MXU).
-        adm_rank = jnp.cumsum(adm.astype(I32), axis=1) - 1
-        weights = jnp.stack(
-            [jnp.sum(jnp.where(adm & (adm_rank == r), weights, 0.0),
-                     axis=1) for r in range(nk)], axis=1)
+        # slot. Exact elementwise selection (a one-hot matmul would
+        # round the f32 weights to bf16 on the MXU).
+        if nk <= 64:
+            adm_rank = jnp.cumsum(adm.astype(I32), axis=1) - 1
+            weights = jnp.stack(
+                [jnp.sum(jnp.where(adm & (adm_rank == r), weights,
+                                   0.0), axis=1) for r in range(nk)],
+                axis=1)
+        else:
+            # long-read nk: admitted-first stable permutation gather
+            # (exact — a pure reorder, no arithmetic; the nk-unrolled
+            # stack above would trace 750+ ops at the PacBio nk)
+            order = jnp.argsort((~adm).astype(I32), axis=1,
+                                stable=True)
+            weights = jnp.take_along_axis(weights, order, axis=1)
 
     lengths0 = jnp.where(adm, ccnt, 0)
     initial = jnp.sum((lengths0 > 0).astype(I32), axis=1)      # (B,)
@@ -614,17 +638,23 @@ def _ref_retention(cfg: QmConfig, kp, off_p, ccnt, weights=None):
             # weight 1.0f: float32(valuep) is exact below 2^24
             vpw = vp_final.astype(I32)
         else:
-            # weight by LIST position (alive-rank) — reference quirk.
-            # weights[b, rank[b, s]] via a one-match masked sum (exact,
-            # and (B, nk, nk) is tiny; take_along_flat pads to 64 lanes
-            # and costs ~33 ms per greedy iteration at 65k rows)
+            # weight by LIST position (alive-rank) — reference quirk:
+            # w[b, s] = weights[b, rank[b, s]]
             rank = jnp.cumsum(alive.astype(I32), axis=1) - 1
             rclip = jnp.clip(rank, 0, nk - 1)
-            ar = jnp.arange(nk, dtype=I32)
-            w = jnp.sum(
-                jnp.where(rclip[:, :, None] == ar[None, None, :],
-                          weights[:, None, :], jnp.float32(0.0)),
-                axis=2)
+            if nk <= 64:
+                # one-match masked sum ((B, nk, nk) is tiny; a
+                # take_along pads to 64 lanes and costs ~33 ms per
+                # greedy iteration at 65k rows)
+                ar = jnp.arange(nk, dtype=I32)
+                w = jnp.sum(
+                    jnp.where(rclip[:, :, None] == ar[None, None, :],
+                              weights[:, None, :], jnp.float32(0.0)),
+                    axis=2)
+            else:
+                # long-read nk: the masked-sum tensor is GBs — plain
+                # take_along gather (bit-identical values)
+                w = take_along_flat(weights, rclip)
             vpw = (vp_final.astype(jnp.float32) * w).astype(I32)
         value = vpw + pps * jnp.minimum(l, vm_cap)
         vals = jnp.where(alive, value, BIG)
@@ -1003,14 +1033,29 @@ def candidate_stage(cfg: QmConfig, bases, starts_d, sites_d,
         # budget. nk is tiny, so the (B, 2, nk, nk) broadcast is cheap —
         # and 9x faster at runtime than the sort chain on this backend
         # (106 ms -> 12 ms per 32k batch, bit-identical).
+        SB = cfg.slot_budget
         g1 = jnp.where(gadm > 0, gadm, BIG)
-        ar_nk = jnp.arange(nk, dtype=I32)
-        before = (g1[:, :, :, None] < g1[:, :, None, :]) | \
-            ((g1[:, :, :, None] == g1[:, :, None, :])
-             & (ar_nk[:, None] <= ar_nk[None, :]))
-        csum = jnp.sum(jnp.where(before, gadm[:, :, :, None], 0),
-                       axis=2)
-        fits = csum <= SLOT_BUDGET
+        if nk <= 64:
+            # pairwise rank-sum (9x faster than the sort chain at the
+            # short stack's tiny nk)
+            ar_nk = jnp.arange(nk, dtype=I32)
+            before = (g1[:, :, :, None] < g1[:, :, None, :]) | \
+                ((g1[:, :, :, None] == g1[:, :, None, :])
+                 & (ar_nk[:, None] <= ar_nk[None, :]))
+            csum = jnp.sum(jnp.where(before, gadm[:, :, :, None], 0),
+                           axis=2)
+            fits = csum <= SB
+        else:
+            # long-read nk (hundreds of keys): the (B, 2, nk, nk)
+            # rank-sum tensor is GBs — shortest-first via a stable
+            # argsort + inclusive cumsum + inverse permutation,
+            # same (len, index)-lexicographic order
+            order = jnp.argsort(g1, axis=-1, stable=True)
+            g_sorted = jnp.take_along_axis(gadm, order, axis=-1)
+            csum_sorted = jnp.cumsum(g_sorted, axis=-1)
+            fits_sorted = csum_sorted <= SB
+            inv = jnp.argsort(order, axis=-1, stable=True)
+            fits = jnp.take_along_axis(fits_sorted, inv, axis=-1)
         cnt = jnp.where(valid & admit & fits & (gadm > 0),
                         cnt_local, 0)
         if _stop == "admit":
@@ -1021,23 +1066,41 @@ def candidate_stage(cfg: QmConfig, bases, starts_d, sites_d,
         # slot->key assignment is an unrolled interval test per key
         # (3D elementwise ops) rather than a (B, 2, nk, WB) searchsorted
         # tensor + take_along chains, which XLA lowers ~2x slower.
-        WB = SLOT_BUDGET
+        WB = cfg.slot_budget
         cum = jnp.cumsum(cnt, axis=-1)                      # (B, 2, nk)
         wslot = jnp.arange(WB, dtype=I32)
-        base = jnp.zeros((B, 2, WB), I32)   # s0_t - cum0_t of owning key
-        offadj_slot = jnp.zeros((B, 2, WB), I32)
-        toff_slot = jnp.zeros((B, 2, WB), I32)  # key index of the slot
-        cum_prev = jnp.zeros((B, 2), I32)
-        for t in range(nk):
-            cum_t = cum[:, :, t]
-            m = (cum_prev[..., None] <= wslot) \
-                & (wslot < cum_t[..., None])
-            base = jnp.where(m, (s0[:, :, t] - cum_prev)[..., None],
-                             base)
-            offadj_slot = jnp.where(m, offadj[:, :, t][..., None],
-                                    offadj_slot)
-            toff_slot = jnp.where(m, t, toff_slot)
-            cum_prev = cum_t
+        if nk <= 64:
+            # slot->key assignment as an unrolled interval test per key
+            # (XLA lowers this ~2x faster than searchsorted chains at
+            # the short stack's tiny nk)
+            base = jnp.zeros((B, 2, WB), I32)   # s0_t - cum0_t of key
+            offadj_slot = jnp.zeros((B, 2, WB), I32)
+            toff_slot = jnp.zeros((B, 2, WB), I32)
+            cum_prev = jnp.zeros((B, 2), I32)
+            for t in range(nk):
+                cum_t = cum[:, :, t]
+                m = (cum_prev[..., None] <= wslot) \
+                    & (wslot < cum_t[..., None])
+                base = jnp.where(m, (s0[:, :, t] - cum_prev)[..., None],
+                                 base)
+                offadj_slot = jnp.where(m, offadj[:, :, t][..., None],
+                                        offadj_slot)
+                toff_slot = jnp.where(m, t, toff_slot)
+                cum_prev = cum_t
+        else:
+            # vectorized slot->key assignment (an nk-unrolled loop at
+            # the PacBio nk~750 traces 4500+ ops and compiles for
+            # minutes): owning key t = #{cum <= w}, then gather the
+            # key's base/offadj per slot
+            t_of = jnp.sum((cum[:, :, None, :]
+                            <= wslot[None, None, :, None]).astype(I32),
+                           axis=-1)                       # (B, 2, WB)
+            t_clip = jnp.clip(t_of, 0, nk - 1)
+            cum_prev_k = jnp.concatenate(
+                [jnp.zeros((B, 2, 1), I32), cum[:, :, :-1]], axis=-1)
+            base = take_along_flat(s0 - cum_prev_k, t_clip)
+            offadj_slot = take_along_flat(offadj, t_clip)
+            toff_slot = t_clip
         valid_slot = wslot < cum[..., -1:]
         gather_idx = jnp.clip(base + wslot, 0, sites_d.shape[0] - 1)
         hi_over = None

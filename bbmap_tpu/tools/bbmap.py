@@ -311,7 +311,9 @@ def main(argv: List[str]) -> int:
     # optional device profiler trace around the mapping loop
     # (SURVEY §5.1 'TPU plan: jax.profiler traces + per-phase wall
     # timers'; view with tensorboard/xprof)
-    profile_dir = args.get("profiledir", "profile")
+    # NOTE: "profile=" is the SCORING-profile flag (profile=pacbio);
+    # only profiledir= starts the jax profiler trace
+    profile_dir = args.get("profiledir")
     prof_active = False
     if profile_dir:
         try:
