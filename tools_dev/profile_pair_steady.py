@@ -175,15 +175,6 @@ def link_probe():
         log(f"single dispatch+fetch: {1e3*(_t.time()-t0):.0f} ms")
 
 
-if __name__ == "__main__":
-    if os.environ.get("AMORT_PROBE"):
-        amortized_probe()
-    elif os.environ.get("LINK_PROBE"):
-        link_probe()
-    else:
-        main()
-
-
 def amortized_probe():
     """True per-program fused time: N back-to-back dispatches, fetch
     only the last — amortizes fixed per-call overhead."""
@@ -220,4 +211,14 @@ def amortized_probe():
         dt = _t.time() - t0
         log(f"N={N}: total {1e3*dt:.0f} ms -> "
             f"{1e3*dt/N:.0f} ms/program")
+
+
+if __name__ == "__main__":
+    if os.environ.get("AMORT_PROBE"):
+        amortized_probe()
+    elif os.environ.get("LINK_PROBE"):
+        link_probe()
+    else:
+        main()
+
 
