@@ -68,9 +68,19 @@ def _emit_and_exit():
 
 
 def _bank(res):
+    """Keep the NEWEST result of the most-complete phase: larger batch
+    beats smaller, then more timed rounds beat fewer, then newer beats
+    older EVEN IF the median is lower (a lucky single-round median must
+    not outrank the final 3-round median — honesty over max())."""
     global _best_result
     with _best_lock:
-        if _best_result is None or res["value"] > _best_result["value"]:
+        if _best_result is None:
+            _best_result = res
+            return
+        key = (res.get("batch_pairs", 0), res.get("rounds_timed", 0))
+        cur = (_best_result.get("batch_pairs", 0),
+               _best_result.get("rounds_timed", 0))
+        if key >= cur:
             _best_result = res
 
 
