@@ -299,6 +299,12 @@ def main(argv: List[str]) -> int:
                     wfq(out_fh, rec.id, rec.bases, rec.quality)
                     wfq(outu2_fh if outu2_fh else out_fh, recs2[i].id,
                         recs2[i].bases, recs2[i].quality)
+            if num_hosts > 1:
+                # the ecco branch skips the tail of the loop body —
+                # flush this batch's shard buffers here too
+                for nm, sh in shards.items():
+                    if sh is not None:
+                        sh.write_batch(batch_id, bufs[nm].getvalue())
             continue
         for i, rec in enumerate(recs1):
             if inserts[i] > 0 and joined[i] is not None:
