@@ -153,7 +153,8 @@ def main(argv: List[str]) -> int:
             bases_in += len(r1.bases) + (len(r2.bases) if r2 else 0)
             if reads_cap >= 0 and n_out >= reads_cap:
                 stop = True
-                break
+                break          # shard buffers flushed below before the
+                #                outer stop check
             if samplerate < 1.0 and rng.random() >= samplerate:
                 continue
             if verify and r2 is not None:
